@@ -1,0 +1,32 @@
+"""The t2 gate, locally: every declared query hash-matches DuckDB at sf0.001.
+
+(The driver runs the same comparison at sf0.01; sf0.001 keeps the suite fast.
+tools/check_oracle.py runs the full sf0.01 sweep on demand.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from webscale_vector_search_spark.queries import ORACLE_SQL, QUERIES
+from webscale_vector_search_spark.testing import compare, duckdb_connection
+
+ORACLE_NAMES = sorted(ORACLE_SQL)
+
+
+@pytest.fixture(scope="module")
+def duck_smoke():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(spark, duck_smoke, name):
+    res = compare(name, QUERIES[name](spark, SF_SMOKE), duck_smoke, ORACLE_SQL[name])
+    assert res.ok, str(res)
+    assert res.spark_rows > 0, f"{name} returned no rows"
+
+
+def test_all_queries_have_callables(spark):
+    for name, fn in QUERIES.items():
+        assert callable(fn), name

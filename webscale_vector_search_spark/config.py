@@ -1,0 +1,58 @@
+"""Engine configuration.
+
+The reference exposes config through CLI flags that mostly don't flow
+(vector_search_cluster.py:942-946 stashes them; startup_event 784-790 ignores
+them — quirk Q4 in SURVEY.md §1.5). Here config is an explicit dataclass that
+every job takes; defaults mirror the reference's constants where they exist.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Knobs for index build + search jobs.
+
+    Defaults trace to the reference:
+    - vector_dim 64: fixture dim (reference default 128, vector_search_cluster.py:913)
+    - num_shards 16: coordinator default (vector_search_cluster.py:785, 914)
+    - k 10: QueryRequest default (vector_search_cluster.py:763)
+    - index_type FLAT|IVF|IVFPQ (argparse choices, vector_search_cluster.py:934;
+      HNSW capability is delivered as tuned IVF — SURVEY.md §7 hard-part (a))
+    - nprobe: min(64, max(1, nlist // 8)) (vector_search_cluster.py:549)
+    - seed 42: the reference seeds nothing (np.random.shuffle at 1002);
+      we require determinism everywhere.
+    """
+
+    vector_dim: int = 64
+    num_shards: int = 16
+    k: int = 10
+    index_type: str = "FLAT"
+    nlist: int | None = None  # None -> max(100, floor(sqrt(n))) as reference:1027
+    nprobe: int | None = None  # None -> min(64, max(1, nlist // 8)) as reference:549
+    pq_m: int | None = None  # None -> max(1, dim // 4) as reference:1037
+    pq_bits: int = 8  # reference:1038
+    seed: int = 42
+    distance: str = "sq_l2"  # canonical metric (§1.4); 'cosine'/'dot' extensions
+    kmeans_sample_fraction: float = 0.2  # fix for quirk Q7 (first-batch-only training)
+    use_pandas_kernel: bool = False  # distance kernel: SQL expr (oracle-par) vs numpy
+
+    def resolved_nlist(self, n_vectors: int) -> int:
+        if self.nlist is not None:
+            return self.nlist
+        return max(100, int(n_vectors**0.5))
+
+    def resolved_nprobe(self, nlist: int) -> int:
+        if self.nprobe is not None:
+            return self.nprobe
+        return min(64, max(1, nlist // 8))
+
+    def resolved_pq_m(self) -> int:
+        if self.pq_m is not None:
+            return self.pq_m
+        return max(1, self.vector_dim // 4)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,62 @@
+"""Distance kernels — the engine's canonical metric is **squared L2**.
+
+Every index type in the reference is L2: IndexFlatL2 (vector_search_cluster.py:1021),
+IndexIVFFlat over an IndexFlatL2 quantizer (1025-1028), IndexIVFPQ (1034-1039),
+IndexHNSWFlat (1044). FAISS returns *squared* L2 (no sqrt) and the merge sorts
+ascending (341-342) — SURVEY.md §1.4.
+
+Float policy (SURVEY.md §5.2): accumulate in DOUBLE with a left fold over
+array positions (``aggregate`` is sequential by construction), emit distances
+``round(x, 6)``. This is what makes Spark-vs-DuckDB hash matching possible.
+
+These are pure Column builders — whole-stage-codegen'd JVM expressions, no
+Python in the hot path. The numpy fast path lives in operators/knn.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance between two ARRAY<FLOAT|DOUBLE> columns.
+
+    Left-fold DOUBLE accumulation: aggregate(zip_with(a,b,(x,y)->(x-y)^2), 0.0, +).
+    """
+    diffs = F.zip_with(_to_double(a), _to_double(b), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sq_l2_sql(a: str, b: str) -> str:
+    """Spark SQL text form of :func:`sq_l2` (for spark.sql query strings)."""
+    return (
+        f"aggregate(zip_with(transform({a}, x -> CAST(x AS DOUBLE)), "
+        f"transform({b}, x -> CAST(x AS DOUBLE)), "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Inner product (declared extension; the reference never builds an IP index)."""
+    prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    sq = F.transform(_to_double(a), lambda x: x * x)
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """1 - cos(a, b). Declared extension beyond the reference surface."""
+    return F.lit(1.0) - dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def round_distance(d: Column, decimals: int = 6) -> Column:
+    """The §5.2 float policy: distances are emitted rounded to 6 decimals."""
+    return F.round(d, decimals)

@@ -1,0 +1,170 @@
+"""Exact kNN search as DataFrame transformations (K1-K4, SURVEY.md §2.3).
+
+Reference behavior being re-expressed:
+- K1 brute-force top-k by squared L2 over a shard: ``faiss_index.search(q, k)``
+  (vector_search_cluster.py:593, IndexFlatL2 built at 1020-1021).
+- K2 per-shard partial top-k: each ZMQ node returns its local k best (606-610).
+- K3 global merge: coordinator concatenates shard results, sorts ascending on
+  distance, truncates to k (``_merge_results``, 300-359).
+- K4 id globalization: ``(shard_id, local_idx)`` tuples (332-334) — we carry
+  the real source ``vec_id`` end-to-end instead (SURVEY.md hard-part (c)).
+
+Spark-first shape: candidate generation is a join (cross join for exact FLAT,
+centroid equi-join for IVF — see operators/ivf.py), distance is a codegen'd
+SQL expression, and top-k is a rank window. K2→K3 is exactly Spark's
+partial/final aggregate shape: the per-partition partial top-k happens
+automatically via WindowGroupLimit pushdown (Spark >= 3.5) — each shuffle map
+task keeps only its local k per query before the exchange, which is the
+scatter-gather merge, minus the hand-written coordinator.
+
+Scale posture (100 TB): queries are the broadcast side (a query batch is
+always ≪ corpus); the corpus is never collected, never broadcast; the only
+shuffle is the rank window's exchange on query_id, whose input has already
+been cut to ≤ k rows per (query, map-partition) by the group-limit pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webscale_vector_search_spark.functions.distance import cosine_distance, dot_product, sq_l2
+
+_METRICS = {"sq_l2": sq_l2, "cosine": cosine_distance, "dot": dot_product}
+
+
+def with_distance(
+    df: DataFrame,
+    left: str = "qvec",
+    right: str = "embedding",
+    metric: str = "sq_l2",
+    out: str = "distance",
+    decimals: int = 6,
+) -> DataFrame:
+    """Attach the rounded distance column (float policy §5.2)."""
+    dist = _METRICS[metric](F.col(left), F.col(right))
+    if metric == "dot":
+        dist = -dist  # larger dot = better -> keep ascending-is-better ordering
+    return df.withColumn(out, F.round(dist, decimals))
+
+
+def topk(
+    scored: DataFrame,
+    k: int,
+    partition_cols: tuple[str, ...] = ("query_id",),
+    order_cols: tuple[str, ...] = ("distance", "vec_id"),
+    rank_col: str = "rank",
+) -> DataFrame:
+    """K3 — keep the k best rows per query by (distance, tie-break id).
+
+    The explicit tie-break makes the ordering total, hence oracle-checkable;
+    the reference's sort (341-342) is distance-only and tie-unstable.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    return scored.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "sq_l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact (FLAT) kNN: every query against every corpus vector.
+
+    Result schema: (query_id, rank, neighbor_id, distance) — the relational
+    form of the reference's response dict (353-359).
+
+    The broadcast hint on ``queries`` turns the cross join into a
+    BroadcastNestedLoopJoin: the corpus streams partition-parallel, queries
+    ride along to every task. At 100 TB this is the only join shape that
+    works — never the reverse.
+    """
+    pairs = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).crossJoin(F.broadcast(queries.select("query_id", "qvec")))
+    scored = with_distance(pairs, metric=metric)
+    ranked = topk(scored, k)
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        "distance",
+    )
+
+
+def knn_sharded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_shards: int = 16,
+    metric: str = "sq_l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """K2→K3 — explicit per-shard partial top-k then global merge.
+
+    Mirrors the scatter-gather lifecycle (coordinator fan-out 223-229, node
+    search 593, merge 300-359) as two window ranks. Semantically REQUIRED to
+    equal :func:`knn` exactly (the q_knn_partial_final merge property,
+    SURVEY.md §2.9 #2). The shard column defaults to the engine's
+    deterministic id-hash sharding (fixed quirk Q2).
+    """
+    from webscale_vector_search_spark.functions.hashing import pmod_shard
+
+    base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if shard_col is None:
+        base = base.withColumn("shard_id", pmod_shard(F.col("vec_id"), num_shards))
+    else:
+        base = base.withColumn("shard_id", F.col(shard_col))
+
+    pairs = base.crossJoin(F.broadcast(queries.select("query_id", "qvec")))
+    scored = with_distance(pairs, metric=metric)
+    # K2: partial top-k inside each shard (what each search node returns)
+    partial = topk(
+        scored,
+        k,
+        partition_cols=("query_id", "shard_id"),
+        order_cols=("distance", "vec_id"),
+        rank_col="shard_rank",
+    )
+    # K3: global merge across shards; tie-break (distance, shard_id, vec_id)
+    # like the reference merge's stable concat order, but total
+    merged = topk(
+        partial.drop("shard_rank"),
+        k,
+        partition_cols=("query_id",),
+        order_cols=("distance", "vec_id"),
+        rank_col="rank",
+    )
+    return merged.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("shard_id").cast("int").alias("shard_id"),
+        "distance",
+    )
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    metric: str = "sq_l2",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 — all pairs within a distance threshold (vec × vec).
+
+    Exact form; the scale path replaces the cross join with the IVF
+    centroid equi-join (operators/ivf.py) or LSH banding (operators/dedup.py).
+    """
+    l = left.select(F.col(left_id).alias("left_id"), F.col(vec_col).alias("qvec"))
+    r = right.select(F.col(right_id).alias("right_id"), F.col(vec_col).alias("embedding"))
+    pairs = r.crossJoin(F.broadcast(l))
+    scored = with_distance(pairs, metric=metric)
+    return scored.filter(F.col("distance") < threshold).select("left_id", "right_id", "distance")

@@ -1,0 +1,55 @@
+"""Sharding / partitioning operators (P1-P3, SURVEY.md §2.2).
+
+Reference behaviors re-expressed:
+- P1 random shuffle before splitting (np.random.shuffle, unseeded,
+  vector_search_cluster.py:1002) -> seeded hash ordering.
+- P2 contiguous range split with remainder spread (1005-1015) -> ntile window.
+- P3 content-hash sharding (1200-1212 — broken float modulo, quirk Q2) ->
+  deterministic id hash, the *intent* of the reference code.
+
+All three are pure column expressions; the physical placement step is
+``repartition(n, 'shard_id')`` / ``write.partitionBy('shard_id')`` which at
+100 TB gives partition-pruned scans per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webscale_vector_search_spark.functions.hashing import det_hash, pmod_shard
+
+
+def seeded_shuffle_key(id_col: str = "vec_id", seed: int = 42) -> F.Column:
+    """P1 — deterministic stand-in for np.random.shuffle: order by seeded hash."""
+    return det_hash(F.col(id_col), seed)
+
+
+def range_split(
+    df: DataFrame, num_shards: int, id_col: str = "vec_id", seed: int = 42, out: str = "shard_id"
+) -> DataFrame:
+    """P2 — even contiguous split after a seeded shuffle.
+
+    ntile(n) over the shuffled order reproduces the reference's
+    remainder-spread-over-first-shards fill (1005-1015) exactly: the first
+    ``N % n`` shards get one extra row.
+    """
+    w = Window.orderBy(seeded_shuffle_key(id_col, seed).asc(), F.col(id_col).asc())
+    return df.withColumn(out, (F.ntile(num_shards).over(w) - 1).cast("int"))
+
+
+def hash_shard(
+    df: DataFrame, num_shards: int, id_col: str = "vec_id", seed: int = 0, out: str = "shard_id"
+) -> DataFrame:
+    """P3 (fixed form) — stable content-independent shard assignment by id hash."""
+    return df.withColumn(out, pmod_shard(F.col(id_col), num_shards, seed))
+
+
+def apply_sharding(
+    df: DataFrame, num_shards: int, strategy: str = "hash", id_col: str = "vec_id", seed: int = 42
+) -> DataFrame:
+    if strategy == "hash":
+        return hash_shard(df, num_shards, id_col=id_col)
+    if strategy == "range":
+        return range_split(df, num_shards, id_col=id_col, seed=seed)
+    raise ValueError(f"unknown sharding strategy {strategy!r}")

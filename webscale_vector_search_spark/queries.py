@@ -1,0 +1,286 @@
+"""Declared query registry — every oracle-checked capability, in one place.
+
+``QUERIES[name](spark, sf_dir) -> DataFrame`` is the Spark implementation;
+``ORACLE_SQL[name]`` is the ANSI-SQL twin DuckDB runs on the same parquet
+(fixture views pre-registered by the driver). SURVEY.md §2.9 declares the
+core 12; the training-data-pipeline extensions add more. Column names are
+aliased identically on both sides — the driver's compare sorts columns by
+name before hashing.
+
+Float policy (SURVEY.md §5.2): DOUBLE accumulation, round(x, 6) on distances,
+total-order tie-breaks on every window/sort, no rand()/uuid()/now().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscale_vector_search_spark.functions.hashing import (
+    det_hash_sql,
+    fingerprint,
+    fingerprint_sql,
+    pmod_shard_sql,
+)
+from webscale_vector_search_spark.operators import knn as knn_ops
+from webscale_vector_search_spark.operators import shard as shard_ops
+from webscale_vector_search_spark.sources.fixtures import load_table, queries_from_embeddings
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def declare(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+N_QUERIES = 20  # the Q20 derived fixture (FIXTURES.md)
+K = 10  # reference default k (vector_search_cluster.py:763)
+
+# ---------------------------------------------------------------------------
+# q_knn_exact — K1+K3: exact squared-L2 top-10 (SURVEY.md §2.9 #1)
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+diffs AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
+         CAST(unnest(e.embedding) AS DOUBLE) AS ex
+  FROM q CROSS JOIN embeddings e
+),
+dists AS (
+  SELECT query_id, vec_id,
+         round(sum((qx - ex) * (qx - ex)), 6) AS distance
+  FROM diffs GROUP BY query_id, vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS INT) AS rank,
+       vec_id AS neighbor_id, distance
+FROM dists
+QUALIFY rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@declare("q_knn_exact", _KNN_ORACLE)
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
+    return knn_ops.knn(corpus, queries, k=K)
+
+
+# ---------------------------------------------------------------------------
+# q_knn_partial_final — K2→K3 sharded merge, must equal q_knn_exact's ids
+# (merge-correctness property, §2.9 #2). Sharding: pmod(det_hash(vec_id), 4).
+# ---------------------------------------------------------------------------
+
+_SHARDS_MERGE = 4
+
+_KNN_PF_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+corpus AS (
+  SELECT vec_id, embedding,
+         {pmod_shard_sql('vec_id', _SHARDS_MERGE)} AS shard_id
+  FROM embeddings
+),
+diffs AS (
+  SELECT q.query_id, c.vec_id, c.shard_id,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
+         CAST(unnest(c.embedding) AS DOUBLE) AS ex
+  FROM q CROSS JOIN corpus c
+),
+dists AS (
+  SELECT query_id, vec_id, shard_id,
+         round(sum((qx - ex) * (qx - ex)), 6) AS distance
+  FROM diffs GROUP BY query_id, vec_id, shard_id
+),
+partial AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id, shard_id ORDER BY distance, vec_id) AS shard_rank
+  FROM dists
+  QUALIFY shard_rank <= {K}
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS INT) AS rank,
+       vec_id AS neighbor_id, CAST(shard_id AS INT) AS shard_id, distance
+FROM partial
+QUALIFY rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@declare("q_knn_partial_final", _KNN_PF_ORACLE)
+def q_knn_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
+    return knn_ops.knn_sharded(corpus, queries, k=K, num_shards=_SHARDS_MERGE)
+
+
+# ---------------------------------------------------------------------------
+# q_shard_assign — P3 fixed form: shard histogram (§2.9 #3)
+# ---------------------------------------------------------------------------
+
+_SHARD_ASSIGN_ORACLE = f"""
+SELECT {pmod_shard_sql('vec_id', 16)} AS shard_id,
+       count(*) AS n_vectors
+FROM embeddings
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+@declare("q_shard_assign", _SHARD_ASSIGN_ORACLE)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        shard_ops.hash_shard(emb, 16)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_range_split — P2: seeded-shuffle ntile split histogram (§2.9 #4)
+# ---------------------------------------------------------------------------
+
+_RANGE_SPLIT_ORACLE = f"""
+WITH split AS (
+  SELECT vec_id,
+         ntile(16) OVER (ORDER BY {det_hash_sql('vec_id', 42)} ASC, vec_id ASC) - 1 AS shard_id
+  FROM embeddings
+)
+SELECT CAST(shard_id AS INT) AS shard_id, count(*) AS n_vectors,
+       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+FROM split GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+@declare("q_range_split", _RANGE_SPLIT_ORACLE)
+def q_range_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        shard_ops.range_split(emb, 16, seed=42)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_fingerprint — E1: the reference's lossy cache-key fingerprint (§2.9 #5)
+# (vector_search_cluster.py:378-387: first 8 + last 8 comps at 5 decimals)
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+SELECT vec_id, {fingerprint_sql('embedding')} AS fp
+FROM embeddings
+WHERE vec_id < 50
+ORDER BY vec_id
+"""
+
+
+@declare("q_fingerprint", _FINGERPRINT_ORACLE)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.filter(F.col("vec_id") < 50).select(
+        "vec_id", fingerprint(F.col("embedding")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup — X1: exact content dedup over documents (§2.9 #8)
+# survivors = min doc_id per distinct md5(text); also reports group size
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY content_hash
+ORDER BY content_hash
+"""
+
+
+@declare("q_dedup", _DEDUP_ORACLE)
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pricing — X9: TPC-H Q1-style pricing summary over lineitem (§2.9 #12)
+# ---------------------------------------------------------------------------
+
+# Float policy for full-table SUMs: DOUBLE summation is order-dependent and
+# Spark/DuckDB partition sums in different orders — so monetary columns are
+# cast to exact DECIMAL first (they are 2-decimal quantities), summed exactly
+# (order-independent), and only then cast to DOUBLE. AVGs are exact-sum /
+# count in DOUBLE. This is what makes the hash match at any scale factor.
+
+_PRICING_ORACLE = """
+WITH src AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(14,2)) AS price,
+         CAST(l_discount AS DECIMAL(4,2)) AS disc,
+         CAST(l_tax AS DECIMAL(4,2)) AS tax
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS DOUBLE) AS sum_qty,
+       CAST(sum(price) AS DOUBLE) AS sum_base_price,
+       CAST(sum(price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(price) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(disc) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM src
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@declare("q_pricing", _PRICING_ORACLE)
+def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    cnt = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / cnt, 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / cnt, 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / cnt, 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )

@@ -1,0 +1,48 @@
+"""Fixture table sources (S1/S6 in SURVEY.md §2.1).
+
+The reference's corpus source is a single eagerly-loaded ``.npy``
+(vector_search_cluster.py:995) — whole corpus in driver RAM. Here every source
+is a lazy partitioned Parquet scan; at 100 TB the scan parallelizes over
+``spark.sql.files.maxPartitionBytes``-sized splits and Catalyst pushes
+filters/column pruning into the reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscale_vector_search_spark.schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in FIXTURE_TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in FIXTURE_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture as a temp view for spark.sql queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def queries_from_embeddings(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, n: int = 20
+) -> DataFrame:
+    """The Q20 derived fixture (FIXTURES.md): first ``n`` embeddings as a
+    query batch ``(query_id, qvec)``. Self-querying makes rank-1 the vector
+    itself at distance 0 — a built-in sanity invariant.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
