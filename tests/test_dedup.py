@@ -1,0 +1,79 @@
+"""Property tests for dedup operators (X1/X2 + extensions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from webscale_vector_search_spark.operators.dedup import (
+    exact_dedup,
+    neardup_candidate_pairs,
+    simhash64,
+)
+from webscale_vector_search_spark.sources.fixtures import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, "documents", SF_SMOKE).cache()
+
+
+def test_exact_dedup_idempotent(docs):
+    """Dedup of survivors is a no-op (idempotence)."""
+    first = exact_dedup(docs)
+    survivors = docs.join(
+        first.select(F.col("keeper_doc_id").alias("doc_id")), "doc_id", "inner"
+    )
+    second = exact_dedup(survivors)
+    assert first.count() == second.count()
+    assert second.filter(F.col("n_dups") > 1).count() == 0
+
+
+def test_neardup_pairs_catch_mutated_copies(spark, docs):
+    """LSH banding must pair each doc with a near-identical copy of itself.
+
+    Mutation: drop the first token of the first 30 docs, offset ids by 10^6 —
+    shingle-set Jaccard ~ (n-1)/n, so 8 bands x 4 rows catches essentially all.
+    """
+    mutated = (
+        docs.filter(F.col("doc_id") < 30)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' '))))"))
+    )
+    corpus = docs.filter(F.col("doc_id") < 30).select("doc_id", "text").union(
+        mutated.select("doc_id", "text")
+    )
+    pairs = neardup_candidate_pairs(corpus).toPandas()
+    matched = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    hits = sum((i, i + 1_000_000) in matched for i in range(30))
+    assert hits >= 27, f"only {hits}/30 mutated copies caught by LSH bands"
+
+
+def test_neardup_candidates_verify_as_similar(docs):
+    """LSH precision: the fixture corpus contains genuine near-dups; every
+    band-collision candidate must verify with high exact shingle Jaccard
+    (4-row bands make random collisions astronomically unlikely)."""
+    from webscale_vector_search_spark.operators.dedup import ngram_jaccard
+
+    sub = docs.limit(200)
+    pairs = neardup_candidate_pairs(sub)
+    verified = ngram_jaccard(sub, sub, pairs).toPandas()
+    assert len(verified) > 0, "fixture corpus is known to contain near-dups"
+    assert (verified["jaccard"] >= 0.5).all(), verified.to_string()
+
+
+def test_simhash_stability_and_locality(spark, docs):
+    """Same text -> same simhash; near-identical text -> small hamming distance."""
+    sub = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    h1 = sub.select("doc_id", simhash64(F.col("text")).alias("h")).toPandas()
+    h2 = sub.select("doc_id", simhash64(F.col("text")).alias("h")).toPandas()
+    assert h1.sort_values("doc_id")["h"].tolist() == h2.sort_values("doc_id")["h"].tolist()
+
+    mutated = sub.withColumn(
+        "text", F.expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' '))))")
+    )
+    hm = mutated.select("doc_id", simhash64(F.col("text")).alias("h")).toPandas()
+    merged = h1.merge(hm, on="doc_id", suffixes=("_a", "_b"))
+    hamming = [bin(a ^ b).count("1") for a, b in zip(merged["h_a"], merged["h_b"])]
+    assert sum(h <= 16 for h in hamming) >= 18, f"hamming distances too large: {hamming}"

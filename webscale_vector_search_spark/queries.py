@@ -284,3 +284,177 @@ def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt.alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_metrics — A1-A5 shape: count/avg/exact-nearest-rank p50/p95/p99 per
+# event_type over events.value (§2.9 #6). Percentile semantics mirror the
+# reference's sorted-index picks (vector_search_cluster.py:418-425).
+# ---------------------------------------------------------------------------
+
+from webscale_vector_search_spark.operators import metrics as metrics_ops  # noqa: E402
+
+_METRICS_ORACLE = metrics_ops.nearest_rank_percentiles_sql(
+    "events", "event_type", "value", "event_id"
+)
+
+
+@declare("q_metrics", _METRICS_ORACLE)
+def q_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return metrics_ops.nearest_rank_percentiles(ev, "event_type", "value", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q_topk_retention — A6: last-1000-by-ts per event_type, then the same
+# percentile shape (§2.9 #7) — the reference's rolling latency window.
+# ---------------------------------------------------------------------------
+
+_RETENTION_N = 1000
+
+_RETENTION_ORACLE = metrics_ops.nearest_rank_percentiles_sql(
+    f"""(
+  SELECT * FROM (
+    SELECT event_type, value, event_id,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS _recency
+    FROM events
+  ) WHERE _recency <= {_RETENTION_N}
+)""",
+    "event_type",
+    "value",
+    "event_id",
+)
+
+
+@declare("q_topk_retention", _RETENTION_ORACLE)
+def q_topk_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    recent = metrics_ops.retain_last_n(ev, "event_type", "ts", "event_id", _RETENTION_N)
+    return metrics_ops.nearest_rank_percentiles(recent, "event_type", "value", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q_json_events — X7+X8: hourly tumbling sum of a JSON property per
+# event_type (§2.9 #11). date_trunc is the cross-engine tumbling window;
+# the streaming variant (window(ts, '1 hour') + watermark) lives in
+# streaming/metrics_stream.py.
+# ---------------------------------------------------------------------------
+
+_JSON_EVENTS_ORACLE = """
+SELECT event_type,
+       date_trunc('hour', ts) AS hour_ts,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type, hour_ts
+ORDER BY event_type, hour_ts
+"""
+
+
+@declare("q_json_events", _JSON_EVENTS_ORACLE)
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        ).agg(
+            F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_filtered_knn — X4: top-5 neighbors among lang='en' docs only (§2.9 #10).
+# The metadata predicate lands BEFORE the distance computation — Catalyst
+# pushes the lang filter into the documents scan and the join prunes the
+# corpus ahead of the cross join.
+# ---------------------------------------------------------------------------
+
+_FILTERED_K = 5
+
+_FILTERED_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+corpus AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en'
+),
+diffs AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
+         CAST(unnest(c.embedding) AS DOUBLE) AS ex
+  FROM q CROSS JOIN corpus c
+),
+dists AS (
+  SELECT query_id, vec_id, round(sum((qx - ex) * (qx - ex)), 6) AS distance
+  FROM diffs GROUP BY query_id, vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS INT) AS rank,
+       vec_id AS neighbor_id, distance
+FROM dists
+QUALIFY rank <= {_FILTERED_K}
+ORDER BY query_id, rank
+"""
+
+
+@declare("q_filtered_knn", _FILTERED_KNN_ORACLE)
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = emb.join(
+        docs.filter(F.col("lang") == "en").select("doc_id"),
+        emb["vec_id"] == F.col("doc_id"),
+    ).select("vec_id", "embedding")
+    queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
+    return knn_ops.knn(corpus, queries, k=_FILTERED_K)
+
+
+# ---------------------------------------------------------------------------
+# q_neardup_bands — X2 deterministic band form: 8 bands x 4 minhashes over
+# word 3-shingles (§2.9 #9). Output: per-doc band signatures — the LSH
+# bucketing artifact (candidate pairs = docs sharing a (band, band_sig)
+# bucket; pair emission is property-tested in tests/test_dedup.py).
+# ---------------------------------------------------------------------------
+
+from webscale_vector_search_spark.operators import dedup as dedup_ops  # noqa: E402
+
+_NEARDUP_DOCS = 100
+
+_NEARDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < {_NEARDUP_DOCS}
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {dedup_ops.SHINGLE_K - 1}, 1) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+         ))) AS shingle
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, seed,
+         substr(md5(concat_ws(':', seed, shingle)), 1, {dedup_ops.HASH_WIDTH}) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {dedup_ops.N_HASHES})) AS seed)
+),
+sigs AS (
+  SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY doc_id, seed
+)
+SELECT doc_id,
+       CAST(seed // {dedup_ops.ROWS_PER_BAND} AS INT) AS band,
+       string_agg(minhash, '|' ORDER BY seed) AS band_sig
+FROM sigs
+GROUP BY doc_id, band
+ORDER BY doc_id, band
+"""
+
+
+@declare("q_neardup_bands", _NEARDUP_ORACLE)
+def q_neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _NEARDUP_DOCS)
+    sigs = dedup_ops.minhash_signatures(docs)
+    return dedup_ops.band_signatures(sigs)
