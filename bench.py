@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once to warm the JVM/scan caches and once timed; the
+timed run materializes results via count() (no driver-side collect of data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_knn_exact",
+    "q_knn_partial_final",
+    "q_pricing",
+    "q_neardup_bands",
+    "q_json_events",
+    "q_metrics",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from webscale_vector_search_spark.queries import QUERIES
+    from webscale_vector_search_spark.session import get_spark
+
+    spark = get_spark("wvss-bench")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).count()  # warm-up: JIT, file listing, broadcast
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
