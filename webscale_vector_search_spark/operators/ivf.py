@@ -1,0 +1,167 @@
+"""IVF (inverted-file) index operators: K5/K6 + the §4.2 probe-pruning rewrite.
+
+Reference behaviors re-expressed (SURVEY.md §2.3):
+- K5 coarse-quantizer training: FAISS k-means with nlist = max(100, floor(sqrt(n)))
+  (vector_search_cluster.py:1023-1031). Here: MLlib KMeans, seeded, trained on
+  a documented sample fraction of the FULL corpus — fixing quirk Q7 (the
+  reference's streaming builder trains on only the first batch, 1156-1159).
+- K6 assign + probe search: assign every vector to its nearest centroid; at
+  query time scan only the nprobe nearest inverted lists
+  (nprobe = min(64, max(1, nlist // 8)) at 549).
+
+Physical plan (the whole point at 100 TB):
+1. centroids are tiny (nlist <= ~10^4) -> broadcast; probe selection is a
+   BroadcastNestedLoopJoin of the query batch x centroids + rank window.
+2. candidate generation is corpus JOIN broadcast(probes) ON centroid_id —
+   a BroadcastHashJoin: the corpus NEVER shuffles. With the corpus Parquet
+   partitioned by centroid_id, Catalyst's dynamic partition pruning skips
+   every non-probed list at scan time — this IS FAISS's inverted-list scan,
+   expressed relationally.
+3. exact distance + global top-k window on the surviving ~nprobe/nlist
+   fraction of the corpus.
+
+`all_shards=True` of the reference degenerates to nprobe = nlist = exact scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscale_vector_search_spark.operators.knn import topk, with_distance
+
+
+def train_centroids(
+    spark: SparkSession,
+    corpus: DataFrame,
+    nlist: int,
+    seed: int = 42,
+    sample_fraction: float = 0.2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K5 — fit nlist centroids with MLlib KMeans on a seeded sample.
+
+    Returns (centroid_id INT, cvec ARRAY<FLOAT>). The sample keeps the
+    training set bounded at any corpus size; KMeans itself is the distributed
+    MLlib implementation (k-means|| init), so even the sample never has to
+    fit on one executor.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    sample = corpus.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    train = sample.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
+    centers = model.clusterCenters()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id INT, cvec ARRAY<FLOAT>",
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """K6 (assign) — nearest centroid per vector, as a map-only numpy kernel.
+
+    The centroid table is tiny; it ships to every task as a closure array and
+    the argmin runs vectorized over Arrow batches ((v-c)^2 via the dot-product
+    expansion). NO shuffle, NO join — at 100 TB this is a single pass over
+    the corpus. Ties break to the lowest centroid_id (matches the SQL
+    reference form below). Output: corpus columns + centroid_id INT.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = centroids.orderBy("centroid_id").collect()
+    C = np.array([r["cvec"] for r in rows], dtype=np.float64)  # (nlist, dim)
+    c_sq = (C * C).sum(axis=1)
+    schema = T.StructType(list(corpus.schema.fields) + [T.StructField("centroid_id", T.IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+            pdf = pdf.copy()
+            pdf["centroid_id"] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return corpus.mapInPandas(assign, schema)
+
+
+def assign_centroids_sql(
+    corpus: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Pure-SQL reference form of :func:`assign_centroids` (broadcast
+    crossJoin + min_by). Used by tests to cross-check the numpy kernel;
+    the groupBy re-shuffles the corpus, so the kernel is the scale path."""
+    paired = corpus.crossJoin(F.broadcast(centroids))
+    scored = with_distance(paired, left="cvec", right=vec_col, out="_cdist")
+    return (
+        scored.groupBy(*corpus.columns)
+        .agg(F.min_by("centroid_id", F.struct("_cdist", "centroid_id")).alias("centroid_id"))
+    )
+
+
+def select_probes(
+    queries: DataFrame, centroids: DataFrame, nprobe: int
+) -> DataFrame:
+    """K6 (probe selection) — top-nprobe nearest centroids per query.
+
+    Output: (query_id, qvec, centroid_id) — one row per probed list.
+    """
+    paired = queries.crossJoin(F.broadcast(centroids))
+    scored = with_distance(paired, left="qvec", right="cvec", out="_cdist")
+    probes = topk(
+        scored,
+        nprobe,
+        partition_cols=("query_id",),
+        order_cols=("_cdist", "centroid_id"),
+        rank_col="_probe_rank",
+    )
+    return probes.select("query_id", "qvec", "centroid_id")
+
+
+def ivf_search(
+    corpus_with_centroid: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K6 (search) — probe-pruned approximate kNN.
+
+    The probes DataFrame is tiny (|queries| x nprobe) and broadcasts; the
+    corpus-side equi-join on centroid_id prunes to the probed lists (and
+    prunes *partitions* when the corpus is stored partitioned by
+    centroid_id). Result schema matches knn(): (query_id, rank, neighbor_id,
+    distance).
+    """
+    probes = select_probes(queries, centroids, nprobe)
+    candidates = corpus_with_centroid.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), "centroid_id"
+    ).join(F.broadcast(probes), "centroid_id")
+    scored = with_distance(candidates)
+    ranked = topk(scored, k)
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        "distance",
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
+    """Recall harness metric (SURVEY.md §5.2 #3): |approx ∩ exact| / |exact|
+    over the top-k neighbor ids per query."""
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hit = a.join(e, ["query_id", "neighbor_id"]).count()
+    total = e.count()
+    return hit / total if total else 0.0

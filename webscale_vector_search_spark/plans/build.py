@@ -1,0 +1,136 @@
+"""The offline index-build job — §3.2's lifecycle, Spark-native.
+
+Reference: create_sharded_index (vector_search_cluster.py:977-1068) —
+single-process, whole-corpus-in-RAM, unseeded shuffle, per-shard FAISS build.
+
+This job is parallel, out-of-core, deterministic:
+  read corpus -> validate dim -> shard assign (seeded, id-hash) ->
+  [IVF: KMeans on sample -> centroid assign]
+  [IVFPQ: + codebook fit -> PQ encode]
+  -> write.partitionBy(...) parquet + metadata sidecar
+
+Partitioning strategy (the 100 TB posture):
+- FLAT: partitionBy(shard_id) — coarse, for operational parallelism.
+- IVF/IVFPQ: partitionBy(centroid_id) — fine, so probe-pruned searches
+  skip non-probed inverted lists AT THE FILE LEVEL (partition pruning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscale_vector_search_spark.config import EngineConfig
+from webscale_vector_search_spark.operators import ivf as ivf_ops
+from webscale_vector_search_spark.operators import pq as pq_ops
+from webscale_vector_search_spark.operators.shard import hash_shard
+from webscale_vector_search_spark.schemas import validate_vectors
+from webscale_vector_search_spark.sources import index_io
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    config: EngineConfig = EngineConfig(),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> index_io.IndexHandle:
+    """End-to-end build. Returns an opened handle on the written artifacts."""
+    validate_vectors(corpus, config.vector_dim, vec_col)
+    base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    n_total = base.count()
+
+    nlist = pq_m = None
+    vectors_dir = os.path.join(out_dir, "vectors")
+
+    if config.index_type == "FLAT":
+        sharded = hash_shard(base, config.num_shards)
+        sharded.write.mode("overwrite").partitionBy("shard_id").parquet(vectors_dir)
+    elif config.index_type in ("IVF", "IVFPQ"):
+        nlist = config.resolved_nlist(n_total)
+        centroids = ivf_ops.train_centroids(
+            spark, base, nlist, seed=config.seed, sample_fraction=config.kmeans_sample_fraction
+        )
+        centroids.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+        assigned = ivf_ops.assign_centroids(base, centroids)
+        if config.index_type == "IVFPQ":
+            pq_m = config.resolved_pq_m()
+            books = pq_ops.fit_codebooks(base, pq_m, seed=config.seed)
+            index_io.write_codebooks(spark, out_dir, books)
+            assigned = pq_ops.encode(assigned, books)
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(vectors_dir)
+    else:
+        raise ValueError(f"unknown index_type {config.index_type!r}")
+
+    index_io.write_metadata(
+        out_dir,
+        index_io.metadata_dict(
+            num_shards=config.num_shards,
+            index_type=config.index_type,
+            vector_dim=config.vector_dim,
+            total_vectors=n_total,
+            nlist=nlist,
+            pq_m=pq_m,
+        ),
+    )
+    return index_io.open_index(spark, out_dir)
+
+
+def search_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    exact_refine: bool = True,
+) -> DataFrame:
+    """Search previously-built artifacts (the online path of §3.1, batch form).
+
+    - FLAT   -> exact brute-force (K1/K3)
+    - IVF    -> probe-pruned exact distances (K6); nprobe defaults to the
+                reference's min(64, max(1, nlist // 8)) rule (549)
+    - IVFPQ  -> probe-pruned ADC over codes (K8); with exact_refine, the
+                ADC top-4k candidates are re-ranked with exact distances
+                (standard two-stage PQ serving)
+    """
+    from webscale_vector_search_spark.operators.knn import knn
+
+    handle = index_io.open_index(spark, index_dir)
+    itype = handle.meta["index_type"]
+    if itype == "FLAT":
+        return knn(handle.vectors, queries, k=k)
+
+    nlist = handle.meta["nlist"]
+    if nprobe is None:
+        nprobe = min(64, max(1, nlist // 8))
+
+    if itype == "IVF":
+        return ivf_ops.ivf_search(handle.vectors, handle.centroids, queries, k=k, nprobe=nprobe)
+
+    # IVFPQ: restrict codes to probed lists, ADC-scan, optional exact refine
+    probes = ivf_ops.select_probes(queries, handle.centroids, nprobe).select(
+        "query_id", "centroid_id"
+    )
+    candidates = handle.vectors.join(F.broadcast(probes.select("centroid_id").distinct()), "centroid_id")
+    adc = pq_ops.adc_search(candidates, handle.codebooks, queries, k=(4 * k if exact_refine else k))
+    if not exact_refine:
+        return adc
+    cand_ids = adc.select("query_id", F.col("neighbor_id").alias("vec_id"))
+    refine = (
+        handle.vectors.select("vec_id", "embedding")
+        .join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(queries.select("query_id", "qvec")), "query_id")
+    )
+    from webscale_vector_search_spark.operators.knn import topk, with_distance
+
+    scored = with_distance(refine)
+    ranked = topk(scored, k)
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        "distance",
+    )

@@ -458,3 +458,64 @@ def q_neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _NEARDUP_DOCS)
     sigs = dedup_ops.minhash_signatures(docs)
     return dedup_ops.band_signatures(sigs)
+
+
+# ---------------------------------------------------------------------------
+# q_cosine_topk — X3 cosine variant: brute-force cosine top-10 (the baseline
+# for similarity search over an embedding column; §2.8). Oracle-checked.
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+terms AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
+         CAST(unnest(e.embedding) AS DOUBLE) AS ex
+  FROM q CROSS JOIN embeddings e
+),
+dots AS (
+  SELECT query_id, vec_id,
+         sum(qx * ex) AS dot,
+         sqrt(sum(qx * qx)) AS nq,
+         sqrt(sum(ex * ex)) AS ne
+  FROM terms GROUP BY query_id, vec_id
+),
+dists AS (
+  SELECT query_id, vec_id, round(1.0 - dot / (nq * ne), 6) AS distance
+  FROM dots
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS INT) AS rank,
+       vec_id AS neighbor_id, distance
+FROM dists
+QUALIFY rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@declare("q_cosine_topk", _COSINE_ORACLE)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
+    return knn_ops.knn(corpus, queries, k=K, metric="cosine")
+
+
+# ---------------------------------------------------------------------------
+# q_ann_ivf — K5/K6: IVF probe-pruned approximate kNN (train + assign +
+# search in one lazy pipeline). Deterministic given the fixed seed but not
+# SQL-expressible (KMeans) -> rows-only driver check; recall properties are
+# covered by tests/test_index.py.
+# ---------------------------------------------------------------------------
+
+
+@declare("q_ann_ivf")  # no oracle: approximate operator (§2.9 exclusion)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscale_vector_search_spark.operators import ivf as ivf_ops
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
+    cents = ivf_ops.train_centroids(spark, corpus, nlist=16, seed=42, sample_fraction=1.0)
+    assigned = ivf_ops.assign_centroids(corpus, cents)
+    return ivf_ops.ivf_search(assigned, cents, queries, k=K, nprobe=4)

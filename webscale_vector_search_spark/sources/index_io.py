@@ -1,0 +1,103 @@
+"""Index artifact IO (S3/S4/S5, SURVEY.md §2.1).
+
+The reference serializes one FAISS index file per shard plus a JSON sidecar
+(vector_search_cluster.py:1052-1066). Here the index IS data: partitioned
+Parquet (vectors + centroid assignments + PQ codes) that any Spark job can
+scan with partition pruning, plus the same metadata sidecar fields.
+
+Layout of an index directory:
+  <dir>/vectors/          partitioned parquet (shard_id= / centroid_id=)
+  <dir>/centroids/        (IVF/IVFPQ) centroid table parquet
+  <dir>/codebooks/        (IVFPQ) pq codebook parquet (subspace, code, cvec)
+  <dir>/shards_metadata.json   sidecar: num_shards, index_type, vector_dim,
+                               total_vectors, created_at, nlist, pq_m
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+METADATA_FILE = "shards_metadata.json"
+
+
+def write_metadata(out_dir: str, meta: dict) -> None:
+    """S5 — same fields as the reference sidecar (1056-1066) + index params."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, METADATA_FILE), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+
+
+def read_metadata(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, METADATA_FILE)) as f:
+        return json.load(f)
+
+
+def metadata_dict(
+    num_shards: int,
+    index_type: str,
+    vector_dim: int,
+    total_vectors: int,
+    nlist: int | None = None,
+    pq_m: int | None = None,
+) -> dict:
+    return {
+        "num_shards": num_shards,
+        "index_type": index_type,
+        "vector_dim": vector_dim,
+        "total_vectors": total_vectors,
+        "created_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "nlist": nlist,
+        "pq_m": pq_m,
+    }
+
+
+def write_codebooks(spark: SparkSession, out_dir: str, codebooks: np.ndarray) -> None:
+    m, n_codes, _ = codebooks.shape
+    rows = [
+        (j, c, [float(x) for x in codebooks[j, c]]) for j in range(m) for c in range(n_codes)
+    ]
+    df = spark.createDataFrame(rows, "subspace INT, code INT, cvec ARRAY<FLOAT>")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "codebooks"))
+
+
+def read_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "codebooks"))
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m = max(r["subspace"] for r in rows) + 1
+    n_codes = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["cvec"])
+    books = np.zeros((m, n_codes, dsub))
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["cvec"]
+    return books
+
+
+@dataclass
+class IndexHandle:
+    """An opened index (S4) — lazy DataFrames + small driver-side artifacts."""
+
+    meta: dict
+    vectors: DataFrame
+    centroids: DataFrame | None = None
+    codebooks: np.ndarray | None = None
+
+
+def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
+    meta = read_metadata(index_dir)
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    centroids = None
+    codebooks = None
+    if meta["index_type"] in ("IVF", "IVFPQ"):
+        centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    if meta["index_type"] == "IVFPQ":
+        codebooks = read_codebooks(spark, index_dir)
+    return IndexHandle(meta=meta, vectors=vectors, centroids=centroids, codebooks=codebooks)
