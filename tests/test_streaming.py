@@ -1,0 +1,128 @@
+"""Streaming tests (T1/T3, SURVEY.md §5.2 #/M7):
+- batch-vs-incremental index equivalence (the T1 invariant)
+- windowed metrics vs the equivalent batch aggregation
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from webscale_vector_search_spark.config import EngineConfig
+from webscale_vector_search_spark.sources.fixtures import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return load_table(spark, "embeddings", SF_SMOKE).cache()
+
+
+def _stream_corpus(spark, corpus, src_dir: str, n_files: int = 4):
+    """Materialize the corpus as several files, then read as a file stream
+    (one file per micro-batch) — a deterministic replay of incremental ingest."""
+    corpus.repartition(n_files).write.mode("overwrite").parquet(src_dir)
+    return (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def test_incremental_flat_equals_batch(spark, corpus, tmp_path_factory):
+    from webscale_vector_search_spark.plans.build import build_index
+    from webscale_vector_search_spark.streaming.build_stream import incremental_build
+
+    batch_dir = str(tmp_path_factory.mktemp("flat_batch"))
+    build_index(spark, corpus, batch_dir, EngineConfig(index_type="FLAT"))
+
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    inc_dir = str(tmp_path_factory.mktemp("flat_inc"))
+    q = incremental_build(
+        spark, _stream_corpus(spark, corpus, src), inc_dir, EngineConfig(index_type="FLAT")
+    )
+    q.awaitTermination(120)
+
+    a = spark.read.parquet(os.path.join(batch_dir, "vectors")).select(
+        "vec_id", "shard_id"
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    b = spark.read.parquet(os.path.join(inc_dir, "vectors")).select(
+        "vec_id", "shard_id"
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b), "incremental FLAT build diverged from batch build"
+
+
+def test_incremental_ivf_equals_batch(spark, corpus, tmp_path_factory):
+    from webscale_vector_search_spark.operators.ivf import train_centroids
+    from webscale_vector_search_spark.streaming.build_stream import incremental_build
+
+    cents = train_centroids(spark, corpus, nlist=8, seed=42, sample_fraction=1.0).cache()
+    from webscale_vector_search_spark.operators.ivf import assign_centroids
+
+    batch = assign_centroids(corpus, cents).select("vec_id", "centroid_id").toPandas()
+
+    src = str(tmp_path_factory.mktemp("ivf_stream_src"))
+    inc_dir = str(tmp_path_factory.mktemp("ivf_inc"))
+    q = incremental_build(
+        spark,
+        _stream_corpus(spark, corpus, src),
+        inc_dir,
+        EngineConfig(index_type="IVF"),
+        centroids=cents,
+    )
+    q.awaitTermination(120)
+
+    inc = spark.read.parquet(os.path.join(inc_dir, "vectors")).select(
+        "vec_id", "centroid_id"
+    ).toPandas()
+    a = batch.sort_values("vec_id").reset_index(drop=True)
+    b = inc.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b), "incremental IVF assignment diverged from batch"
+
+
+def test_windowed_metrics_matches_batch(spark, tmp_path_factory):
+    """Run T3 over a file stream of events; totals must equal the batch
+    groupBy over the same tumbling windows (availableNow drains everything,
+    so no rows are dropped by the watermark)."""
+    from webscale_vector_search_spark.streaming.metrics_stream import windowed_metrics
+
+    events = load_table(spark, "events", SF_SMOKE).cache()
+    src = str(tmp_path_factory.mktemp("events_src"))
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = windowed_metrics(stream, window_duration="1 hour", watermark="1 second")
+    qname = "win_metrics_test"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(qname).select("window_start", "event_type", "n_events").toPandas()
+
+    want = (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+        .toPandas()
+    )
+    a = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    b = want.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_session_windows_batch_shape(spark):
+    from webscale_vector_search_spark.streaming.metrics_stream import session_windows
+
+    events = load_table(spark, "events", SF_SMOKE)
+    out = session_windows(events.limit(200), gap="5 minutes").toPandas()
+    assert len(out) > 0
+    assert (out["session_end"] >= out["session_start"]).all()

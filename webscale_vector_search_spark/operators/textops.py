@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines (X5 + §2.8 mandate).
+
+The reference has no text processing (its corpus is dense vectors); these are
+the north-star LLM-pipeline operators, all pure Catalyst expressions — no
+Python in the row path, so they run whole-stage-codegen'd over 100 TB of
+documents:
+
+- tokenization + token counting (whitespace and BPE-ish regex)
+- language ID: stopword-dictionary voting (n-gram heuristic class)
+- quality scoring: length / punctuation / stopword / token-shape signals
+- document fingerprinting: winnowing-style min-hash over rolling k-grams
+  plus a normalized-content hash
+
+Every operator has an exact ANSI-SQL twin in queries.py (the dictionaries are
+inlined literals on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword dictionaries (public common words). Deliberately
+# small and inlined: the operator's shape (dictionary voting) is the point;
+# swap in real dictionaries at deployment.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "en": ("the", "a", "of", "and", "is", "not", "with", "to", "in", "for"),
+    "es": ("el", "la", "de", "y", "es", "no", "con", "un", "una", "en"),
+    "fr": ("le", "la", "de", "et", "est", "pas", "avec", "un", "une", "dans"),
+    "zh": ("的", "是", "不", "和", "在", "了", "有", "我", "他", "这"),
+}
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  # BPE-ish: words | numbers | symbols
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (lowercased)."""
+    return F.split(F.lower(text), " ")
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter-runs, digit-runs, single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens (with multiplicity) that are stopwords of `lang`."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(stop, t)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
+
+
+def predicted_lang(text: Column) -> Column:
+    """Dictionary-voting language ID; ties break to the alphabetically first
+    language; zero hits everywhere -> 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0, 1]: rewards mid-length docs, prose-like
+    token shapes, low symbol noise. Deterministic arithmetic only.
+
+    score = 0.4 * min(1, n_tokens / 50)
+          + 0.3 * (letter_tokens / tokens)
+          + 0.3 * (1 - symbol_chars / chars)
+    """
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    letter_toks = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    n_chars = F.length(text)
+    sym_chars = n_chars - F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok.cast("double") / 50)
+        + F.lit(0.3) * (letter_toks.cast("double") / F.greatest(n_tok, F.lit(1)))
+        + F.lit(0.3) * (F.lit(1.0) - sym_chars.cast("double") / F.greatest(n_chars, F.lit(1)))
+    )
+    return F.round(score, 6)
+
+
+def normalized_text(text: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, squeeze whitespace — the
+    canonical form both fingerprints hash."""
+    cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
+def content_fingerprint(text: Column) -> Column:
+    """md5 of the normalized text — robust exact-dup fingerprint."""
+    return F.md5(normalized_text(text).cast("binary"))
+
+
+def winnow_fingerprint(text: Column, k: int = 5) -> Column:
+    """Winnowing-style rolling fingerprint: minimum md5 over all k-token
+    rolling windows of the normalized text. Documents sharing any long run
+    of tokens tend to share the minimizing window — the SQL-expressible core
+    of the Winnowing/MOSS rolling-hash family."""
+    toks = F.split(normalized_text(text), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)])
+    )
+    return F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))

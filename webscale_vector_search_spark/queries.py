@@ -519,3 +519,273 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_ops.train_centroids(spark, corpus, nlist=16, seed=42, sample_fraction=1.0)
     assigned = ivf_ops.assign_centroids(corpus, cents)
     return ivf_ops.ivf_search(assigned, cents, queries, k=K, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis queries (X5 + §2.8): language ID, quality scoring, token
+# counting, document fingerprinting — all over `documents`, all exact.
+# ---------------------------------------------------------------------------
+
+from webscale_vector_search_spark.operators import textops  # noqa: E402
+
+
+def _stop_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textops.STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), t -> list_contains([{words}], t)))"
+    )
+
+
+_LANG_SCORE_COLS = ",\n       ".join(
+    f"{_stop_sql(lang)} AS hits_{lang}" for lang in sorted(textops.STOPWORDS)
+)
+_LANG_BEST = "greatest(" + ", ".join(f"hits_{l}" for l in sorted(textops.STOPWORDS)) + ")"
+_LANG_CASE = "CASE " + " ".join(
+    f"WHEN hits_{l} = {_LANG_BEST} THEN '{l}'" for l in sorted(textops.STOPWORDS)
+) + " END"
+
+_LANG_ID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_LANG_SCORE_COLS}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN {_LANG_BEST} > 0 THEN {_LANG_CASE} ELSE 'und' END AS predicted_lang,
+       hits_en, hits_de
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@declare("q_lang_id", _LANG_ID_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    scores = textops.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        textops.predicted_lang(F.col("text")).alias("predicted_lang"),
+        scores["en"].alias("hits_en"),
+        scores["de"].alias("hits_de"),
+    )
+
+
+_QUALITY_ORACLE = """
+SELECT doc_id,
+       round(
+         0.4 * least(1.0, len(string_split(lower(text), ' ')) / 50.0)
+       + 0.3 * (len(list_filter(string_split(lower(text), ' '), t -> regexp_full_match(t, '[a-z]+')))
+                / greatest(len(string_split(lower(text), ' ')), 1))
+       + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                / greatest(length(text), 1))
+       , 6) AS quality
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@declare("q_quality_score", _QUALITY_ORACLE)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", textops.quality_score(F.col("text")).alias("quality"))
+
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len(string_split(lower(text), ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{textops.TOKEN_REGEX}')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@declare("q_token_count", _TOKEN_COUNT_ORACLE)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        textops.ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        textops.regex_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+_FINGERPRINT_DOC_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+  FROM documents
+),
+toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM norm)
+SELECT doc_id,
+       md5(nt) AS content_fp,
+       list_aggregate(list_transform(
+         range(1, greatest(len(t) - 4, 1) + 1),
+         i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+       ), 'min') AS winnow_fp
+FROM toks
+ORDER BY doc_id
+"""
+
+
+@declare("q_doc_fingerprint", _FINGERPRINT_DOC_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        textops.content_fingerprint(F.col("text")).alias("content_fp"),
+        textops.winnow_fingerprint(F.col("text")).alias("winnow_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_stats — X6: opaque BINARY media columns with byte/hash stats.
+# The media table derives deterministically from documents (UTF-8 payloads,
+# round-robin media_type) so the binary pipeline is fixture-reproducible.
+# ---------------------------------------------------------------------------
+
+from webscale_vector_search_spark.operators import multimodal  # noqa: E402
+
+_MULTIMODAL_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS content_hash
+  FROM documents
+)
+SELECT media_type,
+       count(*) AS n_items,
+       sum(n_bytes) AS total_bytes,
+       min(n_bytes) AS min_bytes,
+       max(n_bytes) AS max_bytes,
+       count(DISTINCT content_hash) AS n_distinct
+FROM media
+GROUP BY media_type
+ORDER BY media_type
+"""
+
+
+@declare("q_multimodal_stats", _MULTIMODAL_ORACLE)
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.media_stats(multimodal.media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_features — §2.8: binary -> feature-vector plumbing through the
+# Arrow/mapInPandas path (deterministic fake codec; real codecs are stubbed —
+# see operators/multimodal.py). Rows-only driver check: Python kernel.
+# ---------------------------------------------------------------------------
+
+
+@declare("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.round(F.aggregate(F.col("feature"), F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+        F.size("feature").alias("feature_dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cache_dedup — K10 / §4.1: the query-dedup rewrite (the reference's Redis
+# result cache, made exact). The query batch contains every Q20 vector TWICE
+# (ids 0-19 and 100-119); the engine searches each distinct vector once and
+# fans results back out. Oracle: plain exact kNN over the full 40-query set —
+# results must be identical, proving the rewrite is semantics-preserving.
+# ---------------------------------------------------------------------------
+
+_CACHE_DEDUP_K = 5
+
+_CACHE_DEDUP_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}
+  UNION ALL
+  SELECT vec_id + 100, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+diffs AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
+         CAST(unnest(e.embedding) AS DOUBLE) AS ex
+  FROM q CROSS JOIN embeddings e
+),
+dists AS (
+  SELECT query_id, vec_id, round(sum((qx - ex) * (qx - ex)), 6) AS distance
+  FROM diffs GROUP BY query_id, vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS INT) AS rank,
+       vec_id AS neighbor_id, distance
+FROM dists
+QUALIFY rank <= {_CACHE_DEDUP_K}
+ORDER BY query_id, rank
+"""
+
+
+@declare("q_cache_dedup", _CACHE_DEDUP_ORACLE)
+def q_cache_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscale_vector_search_spark.plans.rewrite import search_with_query_dedup
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    q20 = queries_from_embeddings(spark, sf_dir, N_QUERIES)
+    duplicated = q20.union(q20.withColumn("query_id", F.col("query_id") + 100))
+    return search_with_query_dedup(
+        duplicated, lambda qs: knn_ops.knn(corpus, qs, k=_CACHE_DEDUP_K)
+    ).select("query_id", "rank", "neighbor_id", "distance")
+
+
+# ---------------------------------------------------------------------------
+# q_session_windows — X8: session windows (5-minute gap) per user over
+# events. Spark uses the built-in session_window; the oracle derives the
+# same sessions with gaps-and-islands (new session when the gap >= 5 min,
+# matching session_window's ts < prev_end merge rule).
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CAST(value AS DECIMAL(18,6)) AS dvalue,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       round(CAST(sum(dvalue) AS DOUBLE), 6) AS sum_value
+FROM sess
+GROUP BY user_id, sess_no
+ORDER BY user_id, session_start
+"""
+
+
+@declare("q_session_windows", _SESSION_ORACLE)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("sess.start").alias("session_start"), "user_id", "n_events", "sum_value")
+    )
