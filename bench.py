@@ -28,6 +28,20 @@ HEADLINE = [
 ]
 
 
+def _knn_fast(spark, sf_dir):
+    """Bench-only: the numpy Arrow kernel for exact kNN (same results as
+    q_knn_exact; the SQL form stays canonical for oracle checks)."""
+    from webscale_vector_search_spark.operators.knn import knn_pandas
+    from webscale_vector_search_spark.sources.fixtures import load_table, queries_from_embeddings
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_from_embeddings(spark, sf_dir, 20)
+    return knn_pandas(corpus, queries, k=10)
+
+
+EXTRA = {"q_knn_exact_fast": _knn_fast}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from webscale_vector_search_spark.queries import QUERIES
@@ -37,8 +51,8 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
+    for name in HEADLINE + list(EXTRA):
+        fn = QUERIES.get(name) or EXTRA[name]
         fn(spark, sf_dir).count()  # warm-up: JIT, file listing, broadcast
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()

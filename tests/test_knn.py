@@ -66,3 +66,15 @@ def test_similarity_join_symmetric_and_thresholded(spark, corpus):
     keys = {(a, b): d for a, b, d in pairs.itertuples(index=False)}
     for (a, b), d in keys.items():
         assert keys.get((b, a)) == d
+
+
+def test_pandas_kernel_matches_sql(corpus, queries, exact):
+    """The numpy fast path must return the same neighbors as the SQL kernel
+    (distances agree to 1e-6 after the shared rounding policy)."""
+    from webscale_vector_search_spark.operators.knn import knn_pandas
+
+    fast = knn_pandas(corpus, queries, k=K).toPandas()
+    a = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = fast.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+    assert (a["distance"] - b["distance"]).abs().max() <= 2e-6

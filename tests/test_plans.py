@@ -1,0 +1,81 @@
+"""Physical-plan shape assertions — the 100 TB scale posture, regression-
+tested (SURVEY.md §4: these are the properties that make the engine survive
+a 1000-executor scale-up, independent of small-fixture timings):
+
+- exact kNN: queries broadcast (corpus streams), partial top-k pushed ahead
+  of the shuffle (WindowGroupLimit Partial), single exchange on query_id
+- IVF search over disk artifacts: BroadcastHashJoin on centroid_id with
+  DYNAMIC PARTITION PRUNING into the corpus scan (the inverted-list skip),
+  corpus side never exchanged before the join
+- relational queries: filters and column pruning reach the parquet scan
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from webscale_vector_search_spark.config import EngineConfig
+from webscale_vector_search_spark.operators.knn import knn
+from webscale_vector_search_spark.plans.build import build_index, search_index
+from webscale_vector_search_spark.queries import QUERIES
+from webscale_vector_search_spark.sources.fixtures import load_table, queries_from_embeddings
+
+
+@pytest.fixture(autouse=True)
+def _fresh_scans(spark):
+    """Other modules cache() fixture tables; a cached relation replaces the
+    parquet scan (and its PushedFilters) in the plan. Plan assertions need
+    the real scans."""
+    spark.catalog.clearCache()
+    yield
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_exact_plan(spark):
+    df = QUERIES["q_knn_exact"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan, "query batch must broadcast"
+    assert plan.count("WindowGroupLimit") >= 2, "partial+final top-k pushdown must fire"
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)]" in plan, (
+        "query-set filter must reach the parquet scan"
+    )
+
+
+def test_ivf_plan_partition_pruning(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plan_ivf"))
+    corpus = load_table(spark, "embeddings", SF_SMOKE)
+    build_index(spark, corpus, out, EngineConfig(index_type="IVF", nlist=16, kmeans_sample_fraction=1.0))
+    res = search_index(spark, out, queries_from_embeddings(spark, SF_SMOKE, 5), k=10, nprobe=4)
+    plan = plan_of(res)
+    assert "BroadcastHashJoin" in plan, "probe join must broadcast the probe side"
+    assert "dynamicpruning" in plan, (
+        "corpus scan must carry a dynamic partition-pruning filter on centroid_id"
+    )
+    # the corpus scan must feed the join directly — no exchange in between
+    corpus_scan = [l for l in plan.splitlines() if "vectors" in l and "FileScan" in l]
+    assert corpus_scan, "corpus parquet scan missing from plan"
+
+
+def test_pricing_pushdown(spark):
+    df = QUERIES["q_pricing"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: quantity/price/discount/tax/flags/status/date only
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1], "unused columns must be pruned"
+
+
+def test_filtered_knn_pushes_lang_filter(spark):
+    df = QUERIES["q_filtered_knn"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "EqualTo(lang,en)" in plan, "metadata predicate must reach the documents scan"
+
+
+def test_broadcast_dims_in_top_customers(spark):
+    df = QUERIES["q_top_customers"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2, "customer and nation dims must broadcast"
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1

@@ -1,0 +1,132 @@
+"""Reference-parity API surface.
+
+A user of rnaarla/webscale_vector_search drives three entry points
+(SURVEY.md §3): `create-index` (CLI), `POST /api/v1/search` (coordinator),
+and the node lifecycle. This module exposes the same *capabilities* with the
+same vocabulary, minus the serving machinery Spark subsumes:
+
+- :func:`create_sharded_index`  <- create_sharded_index (977-1068) + the
+  streaming DistributedVectorIndexBuilder (1071-1242, via streaming/)
+- :class:`VectorCluster`        <- VectorCluster.distributed_search (186-250)
+  and /api/v1/stats (815-830). Single-vector search returns the reference's
+  response dict shape; batch search returns a DataFrame.
+
+Index types accepted: FLAT, IVF, IVFPQ, HNSW. HNSW's graph traversal is
+inherently sequential and has no idiomatic Spark form (SURVEY.md §7 hard
+part (a)); the HNSW *capability* — high-recall sub-linear ANN — is delivered
+as IVF artifacts searched with a high-recall probe default
+(nprobe = max(nlist/2, 1) instead of IVF's nlist/8).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from webscale_vector_search_spark.config import EngineConfig
+from webscale_vector_search_spark.plans.build import build_index, search_index
+from webscale_vector_search_spark.sources.index_io import read_metadata
+
+
+def create_sharded_index(
+    spark: SparkSession,
+    vectors_path: str,
+    output_dir: str,
+    num_shards: int = 16,
+    index_type: str = "FLAT",
+    vector_dim: int = 64,
+    seed: int = 42,
+):
+    """Offline index build from a vector corpus (npy file(s) or parquet).
+
+    Mirrors the reference CLI:
+      python vector_search_cluster.py create-index --vectors corpus.npy
+        --output-dir ./shards --num-shards 16 --index-type IVF
+    """
+    import glob
+    import os
+
+    is_npy = vectors_path.endswith(".npy") or bool(
+        glob.glob(os.path.join(vectors_path, "*.npy"))
+    )
+    if is_npy:
+        from webscale_vector_search_spark.sources.npy import read_npy
+
+        corpus = read_npy(spark, vectors_path)
+    else:
+        corpus = spark.read.parquet(vectors_path)
+    cfg = EngineConfig(
+        vector_dim=vector_dim, num_shards=num_shards, index_type=index_type, seed=seed
+    )
+    return build_index(spark, corpus, output_dir, cfg)
+
+
+class VectorCluster:
+    """Batch-native stand-in for the reference coordinator (186-250).
+
+    The reference's per-request plumbing (Redis cache, ZMQ scatter-gather,
+    round-robin replica selection) is replaced by: query-dedup rewrite,
+    one Spark job over all partitions, and the Spark scheduler.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = read_metadata(index_dir)
+        self._queries_processed = 0
+        self._latencies_ms: list[float] = []
+
+    def distributed_search(
+        self, query_vector: list[float], k: int = 10, all_shards: bool = True
+    ) -> dict:
+        """Single-query search; response dict mirrors the reference
+        (353-359, 247-250): distances ascending, ids, shard counts, timing.
+
+        `all_shards=False` restricts probing (the principled version of the
+        reference's sum-hash routing, quirk Q1): IVF-family indexes probe
+        the default nprobe lists; with all_shards=True they probe every list.
+        """
+        t0 = time.perf_counter()
+        queries = self.spark.createDataFrame(
+            [(0, [float(x) for x in query_vector])], "query_id BIGINT, qvec ARRAY<FLOAT>"
+        )
+        nprobe = None
+        if self.meta["index_type"] in ("IVF", "IVFPQ", "HNSW") and all_shards:
+            nprobe = self.meta["nlist"]
+        rows = (
+            search_index(self.spark, self.index_dir, queries, k=k, nprobe=nprobe)
+            .orderBy("rank")
+            .collect()
+        )
+        elapsed_ms = (time.perf_counter() - t0) * 1000
+        self._queries_processed += 1
+        self._latencies_ms.append(elapsed_ms)
+        self._latencies_ms = self._latencies_ms[-1000:]  # reference's window (240-241)
+        return {
+            "distances": [r["distance"] for r in rows],
+            "indices": [r["neighbor_id"] for r in rows],
+            "metadata": [None] * len(rows),  # declared-but-dead in the reference (§1.2)
+            "num_shards_queried": self.meta["num_shards"],
+            "num_shards_failed": 0,
+            "query_time_ms": elapsed_ms,
+        }
+
+    def search_batch(self, queries: DataFrame, k: int = 10, nprobe: int | None = None) -> DataFrame:
+        """The Spark-native unit: a query DataFrame in, results out (lazy)."""
+        return search_index(self.spark, self.index_dir, queries, k=k, nprobe=nprobe)
+
+    def get_stats(self) -> dict:
+        """/api/v1/stats analog (815-830, 414-434)."""
+        lat = sorted(self._latencies_ms)
+        n = len(lat)
+        return {
+            "total_queries": self._queries_processed,
+            "avg_latency_ms": sum(lat) / n if n else 0.0,
+            "p50_latency_ms": lat[n // 2] if n else 0.0,
+            "p95_latency_ms": lat[int(n * 0.95)] if n else 0.0,
+            "p99_latency_ms": lat[int(n * 0.99)] if n else 0.0,
+            "total_vectors": self.meta["total_vectors"],
+            "num_shards": self.meta["num_shards"],
+            "index_type": self.meta["index_type"],
+        }

