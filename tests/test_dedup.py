@@ -77,3 +77,16 @@ def test_simhash_stability_and_locality(spark, docs):
     merged = h1.merge(hm, on="doc_id", suffixes=("_a", "_b"))
     hamming = [bin(a ^ b).count("1") for a, b in zip(merged["h_a"], merged["h_b"])]
     assert sum(h <= 16 for h in hamming) >= 18, f"hamming distances too large: {hamming}"
+
+
+def test_mllib_lsh_variant_finds_fixture_neardups(spark, docs):
+    """The MLlib MinHashLSH path must surface the fixture's genuine near-dup
+    pairs (cross-checked against exact Jaccard on its own candidates)."""
+    from webscale_vector_search_spark.operators.dedup import neardup_pairs_mllib, ngram_jaccard
+
+    sub = docs.limit(200).cache()
+    pairs = neardup_pairs_mllib(sub, threshold=0.3)
+    got = pairs.toPandas()
+    assert len(got) > 0
+    verified = ngram_jaccard(sub, sub, pairs.select("doc_a", "doc_b")).toPandas()
+    assert (verified["jaccard"] >= 0.7).all()

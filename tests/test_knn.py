@@ -78,3 +78,24 @@ def test_pandas_kernel_matches_sql(corpus, queries, exact):
     b = fast.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
     assert (a["distance"] - b["distance"]).abs().max() <= 2e-6
+
+
+def test_cached_search_roundtrip(spark, corpus, queries, exact, tmp_path_factory):
+    """S8 results table: first run = all misses; second run = all hits; both
+    must equal the direct exact search."""
+    from webscale_vector_search_spark.operators.knn import knn
+    from webscale_vector_search_spark.plans.rewrite import cached_search
+
+    cache_dir = str(tmp_path_factory.mktemp("results_cache"))
+    fn = lambda qs: knn(corpus, qs, k=K)  # noqa: E731
+    want = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    for attempt in ("miss", "hit"):
+        got = (
+            cached_search(spark, cache_dir, queries, fn, k=K)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        cols = ["query_id", "rank", "neighbor_id", "distance"]
+        assert got[cols].equals(want[cols]), f"cached_search diverged on {attempt} pass"

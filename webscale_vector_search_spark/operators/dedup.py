@@ -177,3 +177,38 @@ def embedding_neardup(
     return pairs.filter(F.col("left_id") < F.col("right_id")).select(
         F.col("left_id").alias("vec_a"), F.col("right_id").alias("vec_b"), F.col("distance").alias("cos_dist")
     )
+
+
+def neardup_pairs_mllib(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hash_tables: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X2 (≈ variant) — MLlib MinHashLSH.approxSimilarityJoin over shingle
+    sets, the library twin of the hand-rolled band pipeline above. Checked by
+    the property harness (not the oracle): MLlib's hash seeds are internal.
+
+    Returns (doc_a, doc_b, jaccard_dist) pairs with Jaccard distance below
+    `threshold`.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(sh)
+    vecs = cv.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, threshold, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .distinct()
+    )

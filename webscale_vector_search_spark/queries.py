@@ -908,3 +908,68 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < _EMB_NEARDUP_N)
     return embedding_neardup(emb, threshold=_EMB_NEARDUP_TAU)
+
+
+# ---------------------------------------------------------------------------
+# q_events_cube — §2.7 coverage: CUBE over (event_type, day) with counts and
+# exact-decimal value sums; grouping() flags distinguish subtotal rows.
+# ---------------------------------------------------------------------------
+
+_EVENTS_CUBE_ORACLE = """
+SELECT event_type,
+       date_trunc('day', ts) AS day_ts,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+       CASE WHEN event_type IS NULL THEN 1 ELSE 0 END AS g_type,
+       CASE WHEN date_trunc('day', ts) IS NULL THEN 1 ELSE 0 END AS g_day
+FROM events
+GROUP BY CUBE (event_type, day_ts)
+ORDER BY g_type, g_day, event_type, day_ts
+"""
+
+
+@declare("q_events_cube", _EVENTS_CUBE_ORACLE)
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.cube("event_type", F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        .withColumn("g_type", F.when(F.col("event_type").isNull(), 1).otherwise(0))
+        .withColumn("g_day", F.when(F.col("day_ts").isNull(), 1).otherwise(0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_pivot — §2.7: pivot event types into columns (daily value sums).
+# The oracle expresses the same result as conditional aggregation — which is
+# exactly what Catalyst lowers pivot to.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+_EVENTS_PIVOT_ORACLE = f"""
+SELECT date_trunc('day', ts) AS day_ts,
+       {", ".join(
+           f"round(CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS {t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY day_ts
+ORDER BY day_ts
+"""
+
+
+@declare("q_events_pivot", _EVENTS_PIVOT_ORACLE)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    pivoted = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6))
+    )
+    return pivoted

@@ -53,8 +53,10 @@ class CompareResult:
 
 
 def _values_equal(a, b) -> bool:
-    if a is None and b is None:
-        return True
+    a_na = a is None or (not isinstance(a, (str, list, tuple)) and pd.isna(a))
+    b_na = b is None or (not isinstance(b, (str, list, tuple)) and pd.isna(b))
+    if a_na or b_na:
+        return a_na and b_na  # None / NaN / NaT all count as the same null
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
