@@ -49,7 +49,8 @@ def test_ivf_plan_partition_pruning(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("plan_ivf"))
     corpus = load_table(spark, "embeddings", SF_SMOKE)
     build_index(spark, corpus, out, EngineConfig(index_type="IVF", nlist=16, kmeans_sample_fraction=1.0))
-    res = search_index(spark, out, queries_from_embeddings(spark, SF_SMOKE, 5), k=10, nprobe=4)
+    q5 = queries_from_embeddings(spark, SF_SMOKE, 5)
+    res = search_index(spark, out, q5, k=10, nprobe=4, kernel="sql")
     plan = plan_of(res)
     assert "BroadcastHashJoin" in plan, "probe join must broadcast the probe side"
     assert "dynamicpruning" in plan, (
@@ -58,6 +59,13 @@ def test_ivf_plan_partition_pruning(spark, tmp_path_factory):
     # the corpus scan must feed the join directly — no exchange in between
     corpus_scan = [l for l in plan.splitlines() if "vectors" in l and "FileScan" in l]
     assert corpus_scan, "corpus parquet scan missing from plan"
+
+    # fast path: probes resolved driver-side -> STATIC partition pruning
+    fast_plan = plan_of(search_index(spark, out, q5, k=10, nprobe=4, kernel="pandas"))
+    scan_line = [l for l in fast_plan.splitlines() if "vectors" in l and "FileScan" in l][0]
+    assert "centroid_id" in scan_line and "INSET" in scan_line, (
+        "pandas kernel must statically prune the corpus scan to probed lists"
+    )
 
 
 def test_pricing_pushdown(spark):

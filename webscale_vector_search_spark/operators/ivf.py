@@ -165,3 +165,82 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
     hit = a.join(e, ["query_id", "neighbor_id"]).count()
     total = e.count()
     return hit / total if total else 0.0
+
+
+def ivf_search_pandas(
+    corpus_with_centroid: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K6 fast path — probe-pruned search with NO candidate join.
+
+    Probe selection runs driver-side on the two tiny tables (queries x
+    centroids, numpy). The corpus scan is then:
+      1. statically pruned to the union of probed lists
+         (`centroid_id IN (...)` — a plain partition filter, cheaper than
+         the join + dynamic pruning of :func:`ivf_search`), and
+      2. scored by the same vectorized kernel as knn_pandas, with a
+         (query x centroid) boolean mask zeroing out non-probed pairs.
+
+    The join-based :func:`ivf_search` remains the pure-DataFrame reference
+    form (used by the SQL-determinism tests); this is the bench/scale path —
+    same recall, same results, map-only.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select("query_id", "qvec").collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)
+    c_rows = centroids.orderBy("centroid_id").collect()
+    C = np.stack([r["cvec"] for r in c_rows]).astype(np.float64)
+    c_ids = np.array([r["centroid_id"] for r in c_rows], dtype=np.int64)
+    nq, nlist = len(q_ids), len(c_ids)
+
+    cd = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
+    probe_order = np.argsort(cd, axis=1, kind="stable")[:, : min(nprobe, nlist)]
+    probe_mask = np.zeros((nq, int(c_ids.max()) + 1), dtype=bool)
+    for qi in range(nq):
+        probe_mask[qi, c_ids[probe_order[qi]]] = True
+    probed_lists = sorted({int(c_ids[c]) for row in probe_order for c in row})
+
+    pruned = corpus_with_centroid.filter(F.col("centroid_id").isin(probed_lists))
+    q_sq = (Q * Q).sum(1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            cent = pdf["centroid_id"].to_numpy(dtype=np.int64)
+            dist = q_sq[:, None] - 2.0 * (Q @ V.T) + (V * V).sum(1)[None, :]
+            np.maximum(dist, 0.0, out=dist)
+            dist[~probe_mask[:, cent]] = np.inf  # mask non-probed pairs
+            from webscale_vector_search_spark.operators.knn import batch_topk_rows
+
+            yield pd.DataFrame(batch_topk_rows(dist, ids, q_ids, k))
+
+    partial = pruned.select(id_col, vec_col, "centroid_id").mapInPandas(scan, out_schema)
+    from webscale_vector_search_spark.operators.knn import topk
+
+    ranked = topk(partial, k)
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        "distance",
+    )

@@ -170,6 +170,42 @@ def similarity_join(
     return scored.filter(F.col("distance") < threshold).select("left_id", "right_id", "distance")
 
 
+def batch_topk_rows(dist, ids, q_ids, k: int, tie_margin: int = 64):
+    """Deterministic batch-local top-k for the numpy kernels.
+
+    argpartition alone resolves distance ties arbitrarily at the cut
+    boundary, which would make kernel results differ from the SQL window's
+    (distance, vec_id) total order. So: over-keep k + tie_margin candidates,
+    then lexsort the kept slice by (rounded distance, vec_id) and emit the
+    first k — bit-stable as long as no tie group spans more than tie_margin
+    equal distances across the boundary.
+
+    dist: (nq, n) float64; ids: (n,) int64; returns dict of flat columns.
+    """
+    import numpy as np
+
+    nq, n = dist.shape
+    keep = min(k + tie_margin, n)
+    part = np.argpartition(dist, keep - 1, axis=1)[:, :keep] if keep < n else (
+        np.broadcast_to(np.arange(n), (nq, n)).copy()
+    )
+    d = np.round(np.take_along_axis(dist, part, axis=1), 6)
+    out_q, out_i, out_d = [], [], []
+    take = min(k, keep)
+    for qi in range(nq):
+        cand_ids = ids[part[qi]]
+        order = np.lexsort((cand_ids, d[qi]))[:take]
+        sel = np.isfinite(d[qi][order])
+        out_q.append(np.full(sel.sum(), q_ids[qi], dtype=np.int64))
+        out_i.append(cand_ids[order][sel])
+        out_d.append(d[qi][order][sel])
+    return {
+        "query_id": np.concatenate(out_q),
+        "vec_id": np.concatenate(out_i),
+        "distance": np.concatenate(out_d),
+    }
+
+
 def knn_pandas(
     corpus: DataFrame,
     queries: DataFrame,
@@ -218,15 +254,7 @@ def knn_pandas(
             n = len(ids)
             dist = q_sq[:, None] - 2.0 * (Q @ V.T) + (V * V).sum(axis=1)[None, :]
             np.maximum(dist, 0.0, out=dist)  # clamp -0.0-ish fp residue
-            keep = min(k, n)
-            part = np.argpartition(dist, keep - 1, axis=1)[:, :keep]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(q_ids, keep),
-                    "vec_id": ids[part.ravel()],
-                    "distance": np.round(np.take_along_axis(dist, part, axis=1).ravel(), 6),
-                }
-            )
+            yield pd.DataFrame(batch_topk_rows(dist, ids, q_ids, k))
 
     partial = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
     ranked = topk(partial, k)

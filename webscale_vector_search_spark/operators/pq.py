@@ -183,14 +183,9 @@ def adc_search(
             n = len(ids)
             # dist[q, i] = sum_j lut[q, j, codes[i, j]]
             dist = lut[:, np.arange(m)[None, :], codes[:, :]].sum(axis=2)  # (nq, n)
-            keep = min(k, n)
-            part = np.argpartition(dist, keep - 1, axis=1)[:, :keep]  # (nq, keep)
-            rows = {
-                "query_id": np.repeat(q_ids, keep),
-                "vec_id": ids[part.ravel()],
-                "distance": np.round(np.take_along_axis(dist, part, axis=1).ravel(), 6),
-            }
-            yield pd.DataFrame(rows)
+            from webscale_vector_search_spark.operators.knn import batch_topk_rows
+
+            yield pd.DataFrame(batch_topk_rows(dist, ids, q_ids, k))
 
     partial = codes_df.select(id_col, "codes").mapInPandas(scan, out_schema)
     from webscale_vector_search_spark.operators.knn import topk
