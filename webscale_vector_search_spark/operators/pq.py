@@ -61,15 +61,18 @@ def fit_codebooks(
     rng = np.random.default_rng(seed)
     books = np.zeros((m, n_codes, dsub))
     for j in range(m):
-        sub = X[:, j * dsub : (j + 1) * dsub]
+        sub = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
         centers = sub[rng.choice(n, size=k, replace=False)]
         for _ in range(kmeans_iters):
-            d = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            # assignment via the dot expansion (no n x k x dsub intermediate)
+            d = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ centers.T) + (centers * centers).sum(1)[None, :]
             labels = d.argmin(1)
-            for c in range(k):
-                mask = labels == c
-                if mask.any():
-                    centers[c] = sub[mask].mean(0)
+            # vectorized center update: per-cluster sums via scatter-add
+            sums = np.zeros((k, dsub))
+            np.add.at(sums, labels, sub)
+            counts = np.bincount(labels, minlength=k).astype(np.float64)
+            nonempty = counts > 0
+            centers[nonempty] = sums[nonempty] / counts[nonempty, None]
         books[j, :k] = centers
         if k < n_codes:
             books[j, k:] = centers[0]  # pad unused codes with a valid center
@@ -140,6 +143,8 @@ def adc_search(
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """K8 — asymmetric-distance search over PQ codes.
 
@@ -147,6 +152,12 @@ def adc_search(
     gather-sum over the batch's codes, emit the batch-local top-k per query.
     The final global top-k is the K3 rank window. Corpus IO is codes-only
     (column pruning drops the raw vectors at the scan).
+
+    With `centroids` + `nprobe` given (IVFPQ), probe selection runs
+    driver-side like ivf_search_pandas: the codes scan is statically pruned
+    to the union of probed lists AND each query only scores its own probed
+    lists via the (query x centroid) mask — per-query inverted-list
+    semantics, zero joins.
     """
     m, n_codes, dsub = codebooks.shape
     q_rows = queries.select("query_id", "qvec").collect()
@@ -154,6 +165,23 @@ def adc_search(
     Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)  # (nq, dim)
     books = codebooks
     nq = len(q_ids)
+
+    probe_mask = None
+    scan_cols = [id_col, "codes"]
+    if centroids is not None and nprobe is not None:
+        c_rows = centroids.orderBy("centroid_id").collect()
+        C = np.stack([r["cvec"] for r in c_rows]).astype(np.float64)
+        c_ids = np.array([r["centroid_id"] for r in c_rows], dtype=np.int64)
+        cd = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
+        order = np.argsort(cd, axis=1, kind="stable")[:, : min(nprobe, len(c_ids))]
+        probe_mask = np.zeros((nq, int(c_ids.max()) + 1), dtype=bool)
+        for qi in range(nq):
+            probe_mask[qi, c_ids[order[qi]]] = True
+        probed = sorted({int(c_ids[c]) for row in order for c in row})
+        from pyspark.sql import functions as SF
+
+        codes_df = codes_df.filter(SF.col("centroid_id").isin(probed))
+        scan_cols.append("centroid_id")
 
     # per-query LUT: lut[q, j, c] = ||Q[q, sub_j] - books[j, c]||^2
     lut = np.empty((nq, m, n_codes))
@@ -183,11 +211,14 @@ def adc_search(
             n = len(ids)
             # dist[q, i] = sum_j lut[q, j, codes[i, j]]
             dist = lut[:, np.arange(m)[None, :], codes[:, :]].sum(axis=2)  # (nq, n)
+            if probe_mask is not None:
+                cent = pdf["centroid_id"].to_numpy(dtype=np.int64)
+                dist[~probe_mask[:, cent]] = np.inf
             from webscale_vector_search_spark.operators.knn import batch_topk_rows
 
             yield pd.DataFrame(batch_topk_rows(dist, ids, q_ids, k))
 
-    partial = codes_df.select(id_col, "codes").mapInPandas(scan, out_schema)
+    partial = codes_df.select(*scan_cols).mapInPandas(scan, out_schema)
     from webscale_vector_search_spark.operators.knn import topk
 
     ranked = topk(partial, k)

@@ -125,12 +125,15 @@ def search_index(
         fn = ivf_ops.ivf_search_pandas if kernel == "pandas" else ivf_ops.ivf_search
         return fn(handle.vectors, handle.centroids, queries, k=k, nprobe=nprobe)
 
-    # IVFPQ: restrict codes to probed lists, ADC-scan, optional exact refine
-    probes = ivf_ops.select_probes(queries, handle.centroids, nprobe).select(
-        "query_id", "centroid_id"
+    # IVFPQ: per-query probe-masked ADC over statically pruned code lists
+    adc = pq_ops.adc_search(
+        handle.vectors,
+        handle.codebooks,
+        queries,
+        k=(4 * k if exact_refine else k),
+        centroids=handle.centroids,
+        nprobe=nprobe,
     )
-    candidates = handle.vectors.join(F.broadcast(probes.select("centroid_id").distinct()), "centroid_id")
-    adc = pq_ops.adc_search(candidates, handle.codebooks, queries, k=(4 * k if exact_refine else k))
     if not exact_refine:
         return adc
     cand_ids = adc.select("query_id", F.col("neighbor_id").alias("vec_id"))

@@ -973,3 +973,100 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6))
     )
     return pivoted
+
+
+# ---------------------------------------------------------------------------
+# q_vocab — X5: corpus vocabulary with document frequency (the groundwork
+# table for tf-idf and tokenizer training). Top 100 terms by (df desc, term).
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+  FROM documents
+)
+SELECT term, count(*) AS df
+FROM tok
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 100
+"""
+
+
+@declare("q_vocab", _VOCAB_ORACLE)
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_tfidf — X5: per-(doc, term) tf-idf, the GROUP BY + broadcast-join form
+# (term df is a small table that broadcasts; the doc side never shuffles
+# twice). idf = ln((N + 1) / (df + 1)) + 1 (smooth), tf = count / doc_len.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE doc_id < 50
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS n
+  FROM tok GROUP BY doc_id, term
+),
+doclen AS (SELECT doc_id, sum(n) AS len FROM tf GROUP BY doc_id),
+df AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+    FROM documents WHERE doc_id < 50
+  ) GROUP BY term
+),
+n_docs AS (SELECT count(*) AS n FROM documents WHERE doc_id < 50)
+SELECT tf.doc_id, tf.term,
+       round((CAST(tf.n AS DOUBLE) / doclen.len)
+             * (ln((n_docs.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+FROM tf
+JOIN doclen USING (doc_id)
+JOIN df USING (term)
+CROSS JOIN n_docs
+ORDER BY doc_id, term
+"""
+
+
+@declare("q_tfidf", _TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("n").alias("len"))
+    df = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.count()
+    return (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("n").cast("double") / F.col("len"))
+                * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
