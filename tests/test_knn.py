@@ -99,3 +99,20 @@ def test_cached_search_roundtrip(spark, corpus, queries, exact, tmp_path_factory
         )
         cols = ["query_id", "rank", "neighbor_id", "distance"]
         assert got[cols].equals(want[cols]), f"cached_search diverged on {attempt} pass"
+
+
+def test_salted_count_equals_plain(spark):
+    from webscale_vector_search_spark.operators.shard import salted_count
+    from webscale_vector_search_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    plain = (
+        ev.groupBy("event_type").count().withColumnRenamed("count", "n")
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    salted = (
+        salted_count(ev, ["event_type"], salt_buckets=8)
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    assert plain.equals(salted)

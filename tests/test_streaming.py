@@ -126,3 +126,61 @@ def test_session_windows_batch_shape(spark):
     out = session_windows(events.limit(200), gap="5 minutes").toPandas()
     assert len(out) > 0
     assert (out["session_end"] >= out["session_start"]).all()
+
+
+def test_running_topk_stateful(spark, tmp_path_factory):
+    """applyInPandasWithState running top-k: after draining the stream, the
+    per-group state must equal the batch top-k over all events."""
+    from webscale_vector_search_spark.streaming.stateful import running_topk
+
+    events = load_table(spark, "events", SF_SMOKE).cache()
+    src = str(tmp_path_factory.mktemp("stateful_src"))
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = running_topk(stream, k=5)
+    qname = "running_topk_test"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode appends each refresh; the LAST emission per
+    # group is the final state
+    got = spark.table(qname).toPandas()
+    final = got.groupby("event_type").tail(5)  # last refresh has 5 rows/group
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    want = (
+        events.withColumn(
+            "rank",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "event_type"
+                ).orderBy(F.col("value").asc(), F.col("event_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "value", "event_id")
+        .toPandas()
+    )
+    for etype, grp in want.groupby("event_type"):
+        got_grp = final[final["event_type"] == etype].sort_values("rank")
+        assert got_grp["value"].tolist() == sorted(grp["value"].tolist()), etype
+
+
+def test_export_json_shape(spark):
+    from webscale_vector_search_spark.operators.metrics import export_json
+
+    events = load_table(spark, "events", SF_SMOKE).limit(10)
+    out = export_json(events.select("event_id", "event_type", "value"), ("event_id",)).toPandas()
+    assert list(out.columns) == ["event_id", "payload_json"]
+    import json
+
+    payload = json.loads(out["payload_json"].iloc[0])
+    assert set(payload) == {"event_type", "value"}

@@ -103,3 +103,13 @@ def shard_histogram(df: DataFrame, shard_col: str = "shard_id") -> DataFrame:
         .agg(F.count("*").alias("n_vectors"))
         .withColumn("is_total", F.col(shard_col).isNull())
     )
+
+
+def export_json(df: DataFrame, id_cols: tuple[str, ...] = ()) -> DataFrame:
+    """E5 (encode side) — serialize each row as a JSON document next to its
+    id columns: the result-sink shape for systems consuming JSON payloads
+    (the reference's response bodies, 353-359)."""
+    payload_cols = [c for c in df.columns if c not in id_cols]
+    return df.select(
+        *id_cols, F.to_json(F.struct(*payload_cols)).alias("payload_json")
+    )

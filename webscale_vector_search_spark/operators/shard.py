@@ -53,3 +53,19 @@ def apply_sharding(
     if strategy == "range":
         return range_split(df, num_shards, id_col=id_col, seed=seed)
     raise ValueError(f"unknown sharding strategy {strategy!r}")
+
+
+def salted_count(df: DataFrame, group_cols: list[str], salt_buckets: int = 16) -> DataFrame:
+    """Two-stage aggregation for skewed group keys.
+
+    A hot key (one group holding a large share of 100 TB) turns a plain
+    groupBy into a single overloaded reducer. Salting spreads each key over
+    `salt_buckets` partial groups (stage 1: groupBy(key, salt)), then merges
+    the bounded partials (stage 2: groupBy(key)) — the classic skew-join/agg
+    pattern, complementary to AQE's runtime skew splitting (enabled in
+    session.py). The salt derives from spark_partition_id, so stage 1's
+    partials combine map-side within each task.
+    """
+    salted = df.withColumn("_salt", F.spark_partition_id() % F.lit(salt_buckets))
+    partial = salted.groupBy(*group_cols, "_salt").agg(F.count("*").alias("_partial_n"))
+    return partial.groupBy(*group_cols).agg(F.sum("_partial_n").alias("n"))
