@@ -87,3 +87,25 @@ def test_broadcast_dims_in_top_customers(spark):
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 2, "customer and nation dims must broadcast"
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_bucketed_join_elides_exchange(spark, tmp_path_factory):
+    """Co-bucketed tables must join with no Exchange on either side."""
+    from webscale_vector_search_spark.sources.bucketing import cobucket_join, write_bucketed
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    docs = load_table(spark, "documents", SF_SMOKE)
+    write_bucketed(emb, "b_embeddings", "vec_id", 8)
+    write_bucketed(docs, "b_documents", "doc_id", 8)
+    # tiny fixtures would broadcast (hiding the bucket spec); disable to see
+    # the large-table shape, where co-bucketing is what elides the shuffles
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cobucket_join(spark, "b_embeddings", "b_documents", "vec_id", "doc_id")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
+        assert joined.count() == emb.count()  # 1:1 id overlap at sf0.001
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
