@@ -1070,3 +1070,74 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dot_topk — §1.4 declared metric extension: inner-product top-k (FAISS
+# supports IP; the reference never constructs an IP index — declared, not
+# silently claimed). Score = -dot so ascending-is-better holds everywhere.
+# ---------------------------------------------------------------------------
+
+_DOT_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+terms AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
+         CAST(unnest(e.embedding) AS DOUBLE) AS ex
+  FROM q CROSS JOIN embeddings e
+),
+dots AS (
+  SELECT query_id, vec_id, round(-sum(qx * ex), 6) AS distance
+  FROM terms GROUP BY query_id, vec_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS INT) AS rank,
+       vec_id AS neighbor_id, distance
+FROM dots
+QUALIFY rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@declare("q_dot_topk", _DOT_ORACLE)
+def q_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
+    return knn_ops.knn(corpus, queries, k=K, metric="dot")
+
+
+# ---------------------------------------------------------------------------
+# q_normalize — embedding L2 normalization (the standard preprocessing that
+# turns cosine into dot). Emits the norm and the first component of the
+# normalized vector (scalar projections keep the oracle compare simple).
+# ---------------------------------------------------------------------------
+
+_NORMALIZE_ORACLE = """
+WITH norms AS (
+  SELECT vec_id,
+         sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS l2_norm,
+         first(CAST(x AS DOUBLE) ORDER BY i) AS first_comp
+  FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY vec_id
+)
+SELECT vec_id, round(l2_norm, 6) AS l2_norm,
+       round(first_comp / l2_norm, 6) AS first_normalized
+FROM norms
+ORDER BY vec_id
+"""
+
+
+@declare("q_normalize", _NORMALIZE_ORACLE)
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscale_vector_search_spark.functions.distance import l2_norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    norm = l2_norm(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.col("embedding")[0].cast("double") / norm, 6).alias("first_normalized"),
+    )
