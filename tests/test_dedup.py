@@ -90,3 +90,27 @@ def test_mllib_lsh_variant_finds_fixture_neardups(spark, docs):
     assert len(got) > 0
     verified = ngram_jaccard(sub, sub, pairs.select("doc_a", "doc_b")).toPandas()
     assert (verified["jaccard"] >= 0.7).all()
+
+
+def test_embedding_neardup_ivf_bucketed(spark):
+    """The centroid-bucketed (applyInPandas) near-dup path must find most of
+    the exact form's pairs and introduce none that the exact form rejects."""
+    from tests.conftest import SF_ORACLE
+    from webscale_vector_search_spark.operators.dedup import (
+        embedding_neardup,
+        embedding_neardup_ivf,
+    )
+    from webscale_vector_search_spark.operators.ivf import train_centroids
+    from webscale_vector_search_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", SF_ORACLE).filter(F.col("vec_id") < 200).cache()
+    exact = embedding_neardup(emb, threshold=0.68)
+    exact_pairs = {(a, b) for a, b in exact.select("vec_a", "vec_b").toPandas().itertuples(index=False)}
+    cents = train_centroids(spark, emb, nlist=4, seed=42, sample_fraction=1.0)
+    bucketed = embedding_neardup_ivf(emb, cents, threshold=0.68)
+    got_pairs = {(a, b) for a, b in bucketed.select("vec_a", "vec_b").toPandas().itertuples(index=False)}
+    assert got_pairs <= exact_pairs, "bucketed path must not invent pairs"
+    assert len(exact_pairs) > 0
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"bucket-blocking recall {recall} (boundary-straddling trade)"

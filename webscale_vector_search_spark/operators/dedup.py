@@ -212,3 +212,56 @@ def neardup_pairs_mllib(
         )
         .distinct()
     )
+
+
+def embedding_neardup_ivf(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.65,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup, the scale path: bucket by nearest centroid,
+    then compare pairs only WITHIN each bucket via applyInPandas.
+
+    The exact form (embedding_neardup) cross-joins N x N; this form is
+    N²/nlist-ish per bucket with no global shuffle beyond the centroid
+    groupBy. Near-identical vectors share a centroid by construction, so
+    recall loss is confined to pairs straddling a Voronoi boundary — the
+    standard blocking trade (raise recall by probing 2 nearest centroids).
+    Output: (vec_a, vec_b, cos_dist) with vec_a < vec_b.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from webscale_vector_search_spark.operators.ivf import assign_centroids
+
+    assigned = assign_centroids(emb.select(id_col, vec_col), centroids, vec_col=vec_col)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cos_dist", T.DoubleType()),
+        ]
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_dist": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_dist": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cos = 1.0 - Vn @ Vn.T
+        iu, ju = np.triu_indices(n, k=1)
+        d = np.round(cos[iu, ju], 6)
+        keep = d < threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_dist": d[keep]})
+
+    return assigned.groupBy("centroid_id").applyInPandas(bucket_pairs, out_schema)
