@@ -184,3 +184,44 @@ def test_export_json_shape(spark):
 
     payload = json.loads(out["payload_json"].iloc[0])
     assert set(payload) == {"event_type", "value"}
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark: replaying the same files through the
+    stream must not double-count events with duplicate ids."""
+    from webscale_vector_search_spark.streaming.metrics_stream import streaming_dedup
+
+    events = load_table(spark, "events", SF_SMOKE).limit(300).cache()
+    doubled = events.union(events)  # duplicate every event
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    doubled.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    deduped = streaming_dedup(stream, ["event_id"], "ts", "30 days")
+    qname = "stream_dedup_test"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(qname).toPandas()
+    assert len(got) == 300
+    assert got["event_id"].is_unique
+
+
+def test_validate_vectors_rejects_wrong_dim(spark):
+    import pytest as _pytest
+
+    from webscale_vector_search_spark.schemas import validate_vectors
+
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    with _pytest.raises(ValueError, match="size != 2"):
+        validate_vectors(bad, 2)
+    ok = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    assert validate_vectors(ok, 2) is ok
