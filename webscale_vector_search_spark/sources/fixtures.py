@@ -22,6 +22,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
+    # Declared-query semantics REQUIRE UTC: date_trunc/window and timestamp
+    # literals resolve in the session timezone, and the caller's session
+    # (e.g. the driver's) may default elsewhere — which would shift every
+    # event-time result off the (timezone-naive) DuckDB oracle.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)
