@@ -113,4 +113,6 @@ def test_embedding_neardup_ivf_bucketed(spark):
     assert got_pairs <= exact_pairs, "bucketed path must not invent pairs"
     assert len(exact_pairs) > 0
     recall = len(got_pairs & exact_pairs) / len(exact_pairs)
-    assert recall >= 0.5, f"bucket-blocking recall {recall} (boundary-straddling trade)"
+    # soft 2-assignment recovers nearly all Voronoi-boundary pairs
+    # (measured 0.99 on this fixture vs ~0.5-0.7 under single assignment)
+    assert recall >= 0.9, f"bucket-blocking recall {recall}"

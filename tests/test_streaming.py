@@ -225,3 +225,42 @@ def test_validate_vectors_rejects_wrong_dim(spark):
         validate_vectors(bad, 2)
     ok = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id BIGINT, embedding ARRAY<FLOAT>")
     assert validate_vectors(ok, 2) is ok
+
+
+def test_incremental_ivfpq_codes_equal_batch(spark, corpus, tmp_path_factory):
+    """IVFPQ streaming append under fixed centroids+codebooks must produce
+    the same codes as the batch encoder."""
+    from webscale_vector_search_spark.operators.ivf import assign_centroids, train_centroids
+    from webscale_vector_search_spark.operators.pq import encode, fit_codebooks
+    from webscale_vector_search_spark.streaming.build_stream import incremental_build
+
+    cents = train_centroids(spark, corpus, nlist=8, seed=42, sample_fraction=1.0).cache()
+    books = fit_codebooks(corpus, m=16, seed=42)
+    batch = (
+        encode(assign_centroids(corpus, cents), books)
+        .select("vec_id", "codes")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    src = str(tmp_path_factory.mktemp("ivfpq_stream_src"))
+    inc_dir = str(tmp_path_factory.mktemp("ivfpq_inc"))
+    q = incremental_build(
+        spark,
+        _stream_corpus(spark, corpus, src),
+        inc_dir,
+        EngineConfig(index_type="IVFPQ"),
+        centroids=cents,
+        codebooks=books,
+    )
+    q.awaitTermination(120)
+    inc = (
+        spark.read.parquet(os.path.join(inc_dir, "vectors"))
+        .select("vec_id", "codes")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert batch["vec_id"].tolist() == inc["vec_id"].tolist()
+    assert all((a == b).all() for a, b in zip(batch["codes"], inc["codes"]))

@@ -235,9 +235,12 @@ def embedding_neardup_ivf(
     import pandas as pd
     from pyspark.sql import types as T
 
-    from webscale_vector_search_spark.operators.ivf import assign_centroids
+    from webscale_vector_search_spark.operators.ivf import assign_centroids_multi
 
-    assigned = assign_centroids(emb.select(id_col, vec_col), centroids, vec_col=vec_col)
+    # soft 2-assignment recovers pairs straddling a Voronoi boundary
+    assigned = assign_centroids_multi(
+        emb.select(id_col, vec_col), centroids, n_assign=2, vec_col=vec_col
+    )
 
     out_schema = T.StructType(
         [
@@ -264,4 +267,5 @@ def embedding_neardup_ivf(
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_dist": d[keep]})
 
-    return assigned.groupBy("centroid_id").applyInPandas(bucket_pairs, out_schema)
+    pairs = assigned.groupBy("centroid_id").applyInPandas(bucket_pairs, out_schema)
+    return pairs.dropDuplicates(["vec_a", "vec_b"])

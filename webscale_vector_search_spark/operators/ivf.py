@@ -244,3 +244,43 @@ def ivf_search_pandas(
         F.col("vec_id").alias("neighbor_id"),
         "distance",
     )
+
+
+def assign_centroids_multi(
+    corpus: DataFrame, centroids: DataFrame, n_assign: int = 2, vec_col: str = "embedding"
+) -> DataFrame:
+    """Soft assignment: each vector lands in its `n_assign` nearest lists.
+
+    Used for blocking-style operators (near-dup pair generation) where
+    Voronoi-boundary pairs would be lost under single assignment — the
+    write-side counterpart of read-side multi-probing. Output: one row per
+    (vector, assigned centroid), `assign_rank` 0 = nearest.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = centroids.orderBy("centroid_id").collect()
+    C = np.array([r["cvec"] for r in rows], dtype=np.float64)
+    c_ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    c_sq = (C * C).sum(axis=1)
+    n_assign = min(n_assign, len(c_ids))
+    schema = T.StructType(
+        list(corpus.schema.fields)
+        + [T.StructField("centroid_id", T.IntegerType()), T.StructField("assign_rank", T.IntegerType())]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_assign]
+            out = pdf.loc[pdf.index.repeat(n_assign)].reset_index(drop=True)
+            out["centroid_id"] = c_ids[order.ravel()].astype("int32")
+            out["assign_rank"] = np.tile(np.arange(n_assign, dtype="int32"), len(pdf))
+            yield out
+
+    return corpus.mapInPandas(assign, schema)

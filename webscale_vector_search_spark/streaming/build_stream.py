@@ -35,13 +35,15 @@ def incremental_build(
     out_dir: str,
     config: EngineConfig = EngineConfig(),
     centroids: DataFrame | None = None,
+    codebooks=None,
     checkpoint_dir: str | None = None,
 ):
     """Start a streaming append into an index directory.
 
     `stream_df` must be a streaming DataFrame with (vec_id, embedding).
-    For IVF-type indexes pass the FIXED centroid table from the batch
-    training job. Returns the StreamingQuery (caller awaits/termination).
+    For IVF-family indexes pass the FIXED centroid table (and, for IVFPQ,
+    the fixed codebooks) from the batch training job. Returns the
+    StreamingQuery (caller awaits termination).
     """
     vectors_dir = os.path.join(out_dir, "vectors")
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
@@ -52,7 +54,7 @@ def incremental_build(
             sharded = hash_shard(batch_df, config.num_shards)
             sharded.write.mode("append").partitionBy("shard_id").parquet(vectors_dir)
 
-    elif config.index_type == "IVF":
+    elif config.index_type in ("IVF", "HNSW"):
         if centroids is None:
             raise ValueError("IVF incremental build requires the trained centroid table")
         cents = centroids
@@ -61,8 +63,20 @@ def incremental_build(
             assigned = assign_centroids(batch_df, cents)
             assigned.write.mode("append").partitionBy("centroid_id").parquet(vectors_dir)
 
+    elif config.index_type == "IVFPQ":
+        if centroids is None or codebooks is None:
+            raise ValueError("IVFPQ incremental build requires fixed centroids AND codebooks")
+        cents = centroids
+        books = codebooks
+
+        def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            from webscale_vector_search_spark.operators.pq import encode
+
+            assigned = encode(assign_centroids(batch_df, cents), books)
+            assigned.write.mode("append").partitionBy("centroid_id").parquet(vectors_dir)
+
     else:
-        raise ValueError(f"incremental build supports FLAT/IVF, not {config.index_type!r}")
+        raise ValueError(f"unknown index_type {config.index_type!r}")
 
     return (
         stream_df.writeStream.foreachBatch(process_batch)
