@@ -131,3 +131,34 @@ def test_ivf_end_to_end_artifacts(spark, corpus, queries, exact, tmp_path_factor
     approx = search_index(spark, out, queries, k=10, nprobe=8)
     rec = recall_at_k(approx, exact, k=10)
     assert rec >= 0.85, f"IVF recall@10 {rec}"
+
+
+def test_compact_index_after_streaming_appends(spark, corpus, queries, tmp_path_factory):
+    """Streaming appends leave a file per micro-batch; compaction must cut
+    file count without changing a single search result."""
+    from webscale_vector_search_spark.plans.build import compact_index, index_stats, search_index
+    from webscale_vector_search_spark.streaming.build_stream import incremental_build
+    from webscale_vector_search_spark.sources.index_io import write_metadata, metadata_dict
+
+    src = str(tmp_path_factory.mktemp("compact_src"))
+    idx = str(tmp_path_factory.mktemp("compact_idx"))
+    corpus.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = incremental_build(spark, stream, idx, EngineConfig(index_type="FLAT"))
+    q.awaitTermination(120)
+    write_metadata(idx, metadata_dict(16, "FLAT", 64, corpus.count()))
+
+    before = search_index(spark, idx, queries, k=10).toPandas()
+    stats = compact_index(spark, idx, target_file_mb=256)
+    assert stats["files_after"] < stats["files_before"], stats
+    assert stats["rows"] == corpus.count()
+    after = search_index(spark, idx, queries, k=10).toPandas()
+    cols = ["query_id", "rank", "neighbor_id", "distance"]
+    a = before[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = after[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+    st = index_stats(spark, idx).toPandas()
+    assert st[st["is_total"]]["n_vectors"].iloc[0] == corpus.count()

@@ -152,3 +152,60 @@ def search_index(
         F.col("vec_id").alias("neighbor_id"),
         "distance",
     )
+
+
+def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256) -> dict:
+    """Rewrite index partitions to target-sized files.
+
+    Streaming appends (streaming/build_stream.py) land one file per
+    micro-batch per partition; at scale that degrades scans (listing +
+    footer overhead dominates). Compaction reads the partitioned vectors,
+    re-packs each partition to ~target_file_mb files, and atomically swaps
+    the directory. Partition columns (shard_id / centroid_id) are preserved,
+    so pruning behavior is unchanged.
+
+    Returns {"files_before": n, "files_after": m, "rows": r}.
+    """
+    import glob
+    import shutil
+
+    vectors_dir = os.path.join(index_dir, "vectors")
+    files_before = len(glob.glob(os.path.join(vectors_dir, "**", "*.parquet"), recursive=True))
+    df = spark.read.parquet(vectors_dir)
+    rows = df.count()
+    part_col = "centroid_id" if "centroid_id" in df.columns else "shard_id"
+
+    total_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(vectors_dir, "**", "*.parquet"), recursive=True)
+    )
+    n_parts = max(1, df.select(part_col).distinct().count())
+    files_per_part = max(1, int(total_bytes / (target_file_mb * 1024 * 1024) / n_parts))
+
+    tmp_dir = vectors_dir + "._compact"
+    (
+        df.repartition(n_parts * files_per_part, part_col)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(tmp_dir)
+    )
+    old_dir = vectors_dir + "._old"
+    shutil.move(vectors_dir, old_dir)
+    shutil.move(tmp_dir, vectors_dir)
+    shutil.rmtree(old_dir)
+    files_after = len(glob.glob(os.path.join(vectors_dir, "**", "*.parquet"), recursive=True))
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+
+def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """A7 over the stored artifacts: rows per partition + grand total,
+    joined with the sidecar identity (reference: per-shard ntotal summed,
+    vector_search_cluster.py:1220-1223 and /api/v1/stats 815-830)."""
+    from webscale_vector_search_spark.operators.metrics import shard_histogram
+
+    handle = index_io.open_index(spark, index_dir)
+    part_col = "centroid_id" if "centroid_id" in handle.vectors.columns else "shard_id"
+    hist = shard_histogram(handle.vectors, part_col)
+    return hist.withColumn("index_type", F.lit(handle.meta["index_type"])).withColumn(
+        "vector_dim", F.lit(handle.meta["vector_dim"])
+    )
