@@ -90,5 +90,24 @@ def _neardup_full(spark, sf_dir):
 EXTRA["q_neardup_full"] = _neardup_full
 
 
+def _knn_batch_all(spark, sf_dir):
+    """Bench-only: batch throughput — every embedding queries the whole
+    corpus (numpy kernel). The reference's headline is QPS; the Spark-native
+    analog is query-batch throughput: rows/sec here = QPS at this sf.
+    (The SQL kernel on the same shape measures 55x slower — why the numpy
+    kernel is the batch path.)"""
+    from pyspark.sql import functions as F
+
+    from webscale_vector_search_spark.operators.knn import knn_pandas
+    from webscale_vector_search_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    return knn_pandas(emb, q, k=10)
+
+
+EXTRA["q_knn_batch_all_fast"] = _knn_batch_all
+
+
 if __name__ == "__main__":
     main()
