@@ -54,9 +54,12 @@ def main() -> None:
     for name in HEADLINE + list(EXTRA):
         fn = QUERIES.get(name) or EXTRA[name]
         fn(spark, sf_dir).count()  # warm-up: JIT, file listing, broadcast
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(3):  # min-of-3: local-mode timings are noisy
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     # value = the headline set only; EXTRA entries (fast-kernel variant,
     # full-corpus LSH) are reported per-query for trend tracking
