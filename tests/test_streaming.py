@@ -45,6 +45,16 @@ def test_incremental_flat_equals_batch(spark, corpus, tmp_path_factory):
     )
     q.awaitTermination(120)
 
+    # a purely stream-built index is a complete, searchable index
+    from webscale_vector_search_spark.plans.build import search_index
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+    from webscale_vector_search_spark.streaming.build_stream import refresh_metadata
+
+    meta = refresh_metadata(spark, inc_dir)
+    assert meta["total_vectors"] == corpus.count()
+    res = search_index(spark, inc_dir, queries_from_embeddings(spark, SF_SMOKE, 5), k=10)
+    assert res.count() == 50
+
     a = spark.read.parquet(os.path.join(batch_dir, "vectors")).select(
         "vec_id", "shard_id"
     ).toPandas().sort_values("vec_id").reset_index(drop=True)

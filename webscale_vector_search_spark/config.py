@@ -8,7 +8,21 @@ every job takes; defaults mirror the reference's constants where they exist.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+
+
+def default_nprobe(nlist: int, index_type: str = "IVF") -> int:
+    """The single home of the probe-count rule (used by EngineConfig AND
+    plans/build.py::search_index — keep them from drifting):
+
+    - IVF/IVFPQ: the reference's serving rule min(64, max(1, nlist // 8))
+      (vector_search_cluster.py:549)
+    - HNSW slot: high-recall default standing in for efSearch=64
+      (reference:552) — 3/4 of the lists
+    """
+    if index_type == "HNSW":
+        return max(1, (3 * nlist) // 4)
+    return min(64, max(1, nlist // 8))
 
 
 @dataclass(frozen=True)
@@ -35,9 +49,9 @@ class EngineConfig:
     pq_m: int | None = None  # None -> max(1, dim // 4) as reference:1037
     pq_bits: int = 8  # reference:1038
     seed: int = 42
-    distance: str = "sq_l2"  # canonical metric (§1.4); 'cosine'/'dot' extensions
     kmeans_sample_fraction: float = 0.2  # fix for quirk Q7 (first-batch-only training)
-    use_pandas_kernel: bool = False  # distance kernel: SQL expr (oracle-par) vs numpy
+    # (metric selection lives on the operators — knn(metric=...); kernel
+    # selection on search_index(kernel=...). No silently-dead knobs here.)
 
     def resolved_nlist(self, n_vectors: int) -> int:
         if self.nlist is not None:
@@ -47,7 +61,7 @@ class EngineConfig:
     def resolved_nprobe(self, nlist: int) -> int:
         if self.nprobe is not None:
             return self.nprobe
-        return min(64, max(1, nlist // 8))
+        return default_nprobe(nlist, self.index_type)
 
     def resolved_pq_m(self) -> int:
         if self.pq_m is not None:

@@ -55,7 +55,11 @@ def fingerprint(vec: Column, n_edge: int = 8, decimals: int = 5) -> Column:
     Values are rounded half-away-from-zero in DOUBLE before formatting so the
     printed digits match any engine's printf.
     """
-    edge = F.concat(F.slice(vec, 1, n_edge), F.slice(vec, -n_edge, n_edge))
+    # python v[-8:] on a short vector returns the whole vector; Spark's
+    # slice(vec, -8, 8) returns [] instead — guard to match the reference
+    # (and the DuckDB twin, whose greatest() clamp already matches python)
+    tail = F.when(F.size(vec) >= n_edge, F.slice(vec, -n_edge, n_edge)).otherwise(vec)
+    edge = F.concat(F.slice(vec, 1, n_edge), tail)
     # "+ 0.0" collapses IEEE -0.0 to +0.0 so both engines print "0.00000"
     fmt = F.transform(
         edge,
@@ -82,8 +86,12 @@ def fingerprint_sql(vec_expr: str, n_edge: int = 8, decimals: int = 5) -> str:
 def qvec_hash(vec: Column) -> Column:
     """Exact full-vector hash for query dedup (replaces the Q3 lossy key).
 
-    md5 over the canonical 6-decimal rendering of every component — collision
-    odds are cryptographic, unlike the reference's 16-component fingerprint.
+    md5 over a LOSSLESS rendering of every component: %.17g round-trips any
+    double (and a fortiori any float32), so two vectors hash equal iff they
+    are bitwise-equal as doubles — unlike the reference's 16-component
+    5-decimal fingerprint, and unlike any fixed-decimal rendering (a %.6f
+    key would collide vectors differing below 1e-6 and serve one vector's
+    results for the other).
     """
-    rendered = F.transform(vec, lambda x: F.format_string("%.6f", x.cast("double")))
+    rendered = F.transform(vec, lambda x: F.format_string("%.17g", x.cast("double")))
     return F.md5(F.concat_ws(",", rendered))

@@ -115,11 +115,16 @@ def knn_sharded(
     """
     from webscale_vector_search_spark.functions.hashing import pmod_shard
 
-    base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     if shard_col is None:
-        base = base.withColumn("shard_id", pmod_shard(F.col("vec_id"), num_shards))
+        base = corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ).withColumn("shard_id", pmod_shard(F.col("vec_id"), num_shards))
     else:
-        base = base.withColumn("shard_id", F.col(shard_col))
+        base = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.col(shard_col).alias("shard_id"),
+        )
 
     pairs = base.crossJoin(F.broadcast(queries.select("query_id", "qvec")))
     scored = with_distance(pairs, metric=metric)
@@ -224,8 +229,8 @@ def knn_pandas(
 
     Distances use the dot-product expansion in float64; after round(6) they
     agree with the SQL kernel except at exact rounding boundaries (~1e-13
-    relative), so oracle-checked queries keep the SQL form (config
-    `use_pandas_kernel` selects per job).
+    relative), so oracle-checked queries keep the SQL form
+    (search_index(kernel=...) selects per job).
     """
     import numpy as np
     import pandas as pd

@@ -33,6 +33,12 @@ def range_split(
     ntile(n) over the shuffled order reproduces the reference's
     remainder-spread-over-first-shards fill (1005-1015) exactly: the first
     ``N % n`` shards get one extra row.
+
+    SCALE CAVEAT: exact ntile requires a global total order — one
+    unpartitioned window, i.e. a single-task sort (the reference's own P2 is
+    likewise whole-corpus-on-one-node). Use :func:`hash_shard` as the
+    at-scale default; range_split exists for reference-semantics parity and
+    is oracle-checked on bounded data.
     """
     w = Window.orderBy(seeded_shuffle_key(id_col, seed).asc(), F.col(id_col).asc())
     return df.withColumn(out, (F.ntile(num_shards).over(w) - 1).cast("int"))

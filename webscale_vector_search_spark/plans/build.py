@@ -61,7 +61,9 @@ def build_index(
         assigned = ivf_ops.assign_centroids(base, centroids)
         if config.index_type == "IVFPQ":
             pq_m = config.resolved_pq_m()
-            books = pq_ops.fit_codebooks(base, pq_m, seed=config.seed)
+            books = pq_ops.fit_codebooks(
+                base, pq_m, seed=config.seed, n_codes=2**config.pq_bits
+            )
             index_io.write_codebooks(spark, out_dir, books)
             assigned = pq_ops.encode(assigned, books)
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(vectors_dir)
@@ -115,11 +117,9 @@ def search_index(
 
     nlist = handle.meta["nlist"]
     if nprobe is None:
-        if itype == "HNSW":
-            # high-recall default standing in for efSearch=64 (reference:552)
-            nprobe = max(1, (3 * nlist) // 4)
-        else:
-            nprobe = min(64, max(1, nlist // 8))  # reference rule (549)
+        from webscale_vector_search_spark.config import default_nprobe
+
+        nprobe = default_nprobe(nlist, itype)
 
     if itype in ("IVF", "HNSW"):
         fn = ivf_ops.ivf_search_pandas if kernel == "pandas" else ivf_ops.ivf_search
@@ -183,12 +183,22 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
     files_per_part = max(1, int(total_bytes / (target_file_mb * 1024 * 1024) / n_parts))
 
     tmp_dir = vectors_dir + "._compact"
+    # repartition on (part_col, vec_id-hash-bucket): part_col alone would
+    # funnel each partition VALUE into one task (one giant file regardless
+    # of target size); the secondary bucket spreads a partition's rows over
+    # files_per_part tasks, and partitionBy still lays files out per value.
+    from webscale_vector_search_spark.functions.hashing import det_hash
+
+    bucket = (det_hash(F.col("vec_id")) % F.lit(files_per_part)).cast("int")
     (
-        df.repartition(n_parts * files_per_part, part_col)
+        df.repartition(n_parts * files_per_part, F.col(part_col), bucket)
         .write.mode("overwrite")
         .partitionBy(part_col)
         .parquet(tmp_dir)
     )
+    # swap is two renames — not atomic; concurrent readers on a live index
+    # should go through a transactional table format instead (documented
+    # limitation of plain-directory Parquet at scale)
     old_dir = vectors_dir + "._old"
     shutil.move(vectors_dir, old_dir)
     shutil.move(tmp_dir, vectors_dir)

@@ -84,6 +84,9 @@ def cached_search(
         cached = None
 
     if cached is not None:
+        # concurrent writers may have appended the same key twice; collapse
+        # duplicates on read (append-only idempotency lives HERE, not on write)
+        cached = cached.dropDuplicates(["_qhash", "rank"])
         hits = hashed.join(cached, "_qhash").select(
             "query_id", "rank", "neighbor_id", "distance"
         )

@@ -99,7 +99,11 @@ def validate_vectors(df, dim: int, col: str = "embedding"):
     """
     from pyspark.sql import functions as F
 
-    bad = df.filter(F.size(F.col(col)) != dim).limit(1).count()
+    # size(NULL) is NULL, which a bare != would silently drop — NULL vectors
+    # must fail ingest too, not crash a numpy kernel later
+    bad = df.filter(
+        F.col(col).isNull() | (F.size(F.col(col)) != dim)
+    ).limit(1).count()
     if bad:
-        raise ValueError(f"vector column {col!r} has rows with size != {dim}")
+        raise ValueError(f"vector column {col!r} has NULL rows or rows with size != {dim}")
     return df

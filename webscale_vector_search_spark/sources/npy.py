@@ -25,11 +25,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+_HEADER_PEEK = 64 * 1024  # covers any realistic header (v1 caps at 65535 B)
+
+
 def _npy_row_count(header_bytes: bytes) -> int:
-    """Parse the row count from an npy header (no data read)."""
+    """Parse the row count from an npy header prefix (no data read).
+
+    Dispatches on the format version from the magic bytes — plain 1.0 files
+    have ~70 B headers, but numpy writes 2.0/3.0 when the header dict grows
+    (structured dtypes, very long shapes), and those frame the length as
+    4 bytes instead of 2.
+    """
     import numpy.lib.format as npf
 
-    shape, _, _ = npf.read_array_header_1_0(io.BytesIO(header_bytes[8:]))  # skip magic
+    buf = io.BytesIO(header_bytes)
+    major, _minor = npf.read_magic(buf)
+    reader = {
+        1: npf.read_array_header_1_0,
+        2: npf.read_array_header_2_0,
+        3: getattr(npf, "read_array_header_2_0", None),  # 3.0 frames like 2.0
+    }.get(major)
+    if reader is None:
+        raise ValueError(f"unsupported .npy format version {major}")
+    shape, _, _ = reader(buf)
     return shape[0] if shape else 1
 
 
@@ -44,7 +62,7 @@ def read_npy(spark: SparkSession, path: str, vec_col: str = "embedding") -> Data
     files = spark.read.format("binaryFile").load(path)
     # pass 1 (tiny): header-only row counts -> cumulative base offset per file
     heads = (
-        files.select("path", F.substring("content", 1, 256).alias("head"))
+        files.select("path", F.substring("content", 1, _HEADER_PEEK).alias("head"))
         .orderBy("path")
         .collect()
     )

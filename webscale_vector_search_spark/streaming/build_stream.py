@@ -48,6 +48,26 @@ def incremental_build(
     vectors_dir = os.path.join(out_dir, "vectors")
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
+    # a purely stream-built index must still be open_index-able: seed the
+    # sidecar if the batch job didn't; refresh_metadata() recounts after
+    # the stream drains (foreachBatch can't know the final total)
+    from webscale_vector_search_spark.sources.index_io import (
+        METADATA_FILE,
+        metadata_dict,
+        write_metadata,
+    )
+
+    if not os.path.exists(os.path.join(out_dir, METADATA_FILE)):
+        write_metadata(
+            out_dir,
+            metadata_dict(
+                num_shards=config.num_shards,
+                index_type=config.index_type,
+                vector_dim=config.vector_dim,
+                total_vectors=0,
+            ),
+        )
+
     if config.index_type == "FLAT":
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -84,3 +104,19 @@ def incremental_build(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def refresh_metadata(spark: SparkSession, index_dir: str) -> dict:
+    """Recount the stored vectors and rewrite the sidecar's total_vectors.
+
+    Call after a streaming append drains (or periodically for continuous
+    streams) — the sidecar is driver-side JSON, so foreachBatch epochs can't
+    maintain it transactionally themselves.
+    """
+    from webscale_vector_search_spark.sources.index_io import read_metadata, write_metadata
+
+    meta = read_metadata(index_dir)
+    total = spark.read.parquet(os.path.join(index_dir, "vectors")).count()
+    meta["total_vectors"] = total
+    write_metadata(index_dir, meta)
+    return meta
