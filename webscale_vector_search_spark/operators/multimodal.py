@@ -44,7 +44,7 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         media_type.alias("media_type"),
         content.alias("content"),
-        F.length(content).alias("n_bytes"),
+        F.length(content).cast("bigint").alias("n_bytes"),
         F.md5(content).alias("content_hash"),
     )
 

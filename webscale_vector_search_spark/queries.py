@@ -343,7 +343,7 @@ def q_topk_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_EVENTS_ORACLE = """
 SELECT event_type,
        date_trunc('hour', ts) AS hour_ts,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        count(*) AS n_events
 FROM events
 GROUP BY event_type, hour_ts
@@ -566,8 +566,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         textops.predicted_lang(F.col("text")).alias("predicted_lang"),
-        scores["en"].alias("hits_en"),
-        scores["de"].alias("hits_de"),
+        scores["en"].cast("bigint").alias("hits_en"),
+        scores["de"].cast("bigint").alias("hits_de"),
     )
 
 
@@ -606,9 +606,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return docs.select(
         "doc_id",
-        textops.ws_token_count(F.col("text")).alias("n_ws_tokens"),
-        textops.regex_token_count(F.col("text")).alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars"),
+        textops.ws_token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        textops.regex_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
     )
 
 
@@ -658,7 +658,7 @@ WITH media AS (
 )
 SELECT media_type,
        count(*) AS n_items,
-       sum(n_bytes) AS total_bytes,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        min(n_bytes) AS min_bytes,
        max(n_bytes) AS max_bytes,
        count(DISTINCT content_hash) AS n_distinct
