@@ -21,4 +21,11 @@ __version__ = "0.1.0"
 from webscale_vector_search_spark.config import EngineConfig
 from webscale_vector_search_spark.session import get_spark
 
-__all__ = ["EngineConfig", "get_spark", "__version__"]
+__all__ = [
+    "EngineConfig",
+    "get_spark",
+    "__version__",
+    # convenience re-exports (imported lazily to keep bare import cheap):
+    # webscale_vector_search_spark.api.VectorCluster / create_sharded_index
+    # webscale_vector_search_spark.plans.build.build_index / search_index
+]
