@@ -48,6 +48,11 @@ def build_index(
 
     if config.index_type == "FLAT":
         sharded = hash_shard(base, config.num_shards)
+        # cluster rows by their target directory before the partitioned
+        # write: otherwise every map task writes a file into every shard dir
+        # (tasks x shards small files — measured as the dominant scan
+        # overhead at the 10M tier)
+        sharded = sharded.repartition(config.num_shards, F.col("shard_id"))
         sharded.write.mode("overwrite").partitionBy("shard_id").parquet(vectors_dir)
     elif config.index_type in ("IVF", "IVFPQ", "HNSW"):
         # HNSW capability (high-recall ANN) is delivered as IVF artifacts
@@ -66,6 +71,9 @@ def build_index(
             )
             index_io.write_codebooks(spark, out_dir, books)
             assigned = pq_ops.encode(assigned, books)
+        # one write task per inverted list (see FLAT note above); lists
+        # larger than a split re-chunk at read time via maxPartitionBytes
+        assigned = assigned.repartition(nlist, F.col("centroid_id"))
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(vectors_dir)
     else:
         raise ValueError(f"unknown index_type {config.index_type!r}")
