@@ -30,6 +30,26 @@ from webscale_vector_search_spark.schemas import validate_vectors
 from webscale_vector_search_spark.sources import index_io
 
 
+def _packed_repartition(df: DataFrame, part_col: str, n_values: int) -> DataFrame:
+    """Cluster rows by their target directory for a partitioned write,
+    WITHOUT collapsing to one task per partition value.
+
+    Plain repartition(n, part_col) creates the tasks-x-dirs small-file
+    explosion's dual: one unbounded file per value, write parallelism capped
+    at n_values, and hash collisions leaving ~1/e of tasks empty at large
+    n_values. The secondary bucket spreads each value over `k` tasks sized
+    to the cluster's parallelism; `spark.sql.files.maxRecordsPerFile`
+    (session.py) bounds individual file size independently.
+    """
+    from webscale_vector_search_spark.functions.hashing import det_hash
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    k = max(1, (2 * parallelism) // max(n_values, 1))
+    first_id = df.columns[0]  # vec_id by construction of `base`
+    bucket = (det_hash(F.col(first_id)) % F.lit(k)).cast("int")
+    return df.repartition(n_values * k, F.col(part_col), bucket)
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -52,7 +72,7 @@ def build_index(
         # write: otherwise every map task writes a file into every shard dir
         # (tasks x shards small files — measured as the dominant scan
         # overhead at the 10M tier)
-        sharded = sharded.repartition(config.num_shards, F.col("shard_id"))
+        sharded = _packed_repartition(sharded, "shard_id", config.num_shards)
         sharded.write.mode("overwrite").partitionBy("shard_id").parquet(vectors_dir)
     elif config.index_type in ("IVF", "IVFPQ", "HNSW"):
         # HNSW capability (high-recall ANN) is delivered as IVF artifacts
@@ -71,9 +91,8 @@ def build_index(
             )
             index_io.write_codebooks(spark, out_dir, books)
             assigned = pq_ops.encode(assigned, books)
-        # one write task per inverted list (see FLAT note above); lists
-        # larger than a split re-chunk at read time via maxPartitionBytes
-        assigned = assigned.repartition(nlist, F.col("centroid_id"))
+        # pack each inverted list into few files (see FLAT note above)
+        assigned = _packed_repartition(assigned, "centroid_id", nlist)
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(vectors_dir)
     else:
         raise ValueError(f"unknown index_type {config.index_type!r}")

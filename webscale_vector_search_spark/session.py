@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
+        # bound individual output files (a 64-dim vector row ~ 300 B, so 2M
+        # records ~ 500 MB) — write-task count governs parallelism, this
+        # governs file size; see plans/build.py::_packed_repartition
+        .config("spark.sql.files.maxRecordsPerFile", "2000000")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.showConsoleProgress", "false")
     )

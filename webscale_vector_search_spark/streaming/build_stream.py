@@ -72,27 +72,37 @@ def incremental_build(
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             sharded = hash_shard(batch_df, config.num_shards)
+            # cluster by target dir: without this, every batch writes
+            # tasks x shards files (the small-file drift compact_index
+            # exists to repair — cheaper to avoid per batch)
+            sharded = sharded.repartition(config.num_shards, "shard_id")
             sharded.write.mode("append").partitionBy("shard_id").parquet(vectors_dir)
 
     elif config.index_type in ("IVF", "HNSW"):
         if centroids is None:
             raise ValueError("IVF incremental build requires the trained centroid table")
         cents = centroids
+        cents_count = cents.count()
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            assigned = assign_centroids(batch_df, cents)
+            assigned = assign_centroids(batch_df, cents).repartition(
+                max(1, cents_count), "centroid_id"
+            )
             assigned.write.mode("append").partitionBy("centroid_id").parquet(vectors_dir)
 
     elif config.index_type == "IVFPQ":
         if centroids is None or codebooks is None:
             raise ValueError("IVFPQ incremental build requires fixed centroids AND codebooks")
         cents = centroids
+        cents_count = cents.count()
         books = codebooks
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             from webscale_vector_search_spark.operators.pq import encode
 
-            assigned = encode(assign_centroids(batch_df, cents), books)
+            assigned = encode(assign_centroids(batch_df, cents), books).repartition(
+                max(1, cents_count), "centroid_id"
+            )
             assigned.write.mode("append").partitionBy("centroid_id").parquet(vectors_dir)
 
     else:
