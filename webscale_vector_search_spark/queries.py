@@ -1141,3 +1141,65 @@ def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("l2_norm"),
         F.round(F.col("embedding")[0].cast("double") / norm, 6).alias("first_normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_supplier_regions — X9: suppliers per region (supplier ⋈ nation ⋈ region;
+# covers the remaining star-schema dimension tables).
+# ---------------------------------------------------------------------------
+
+_SUPPLIER_REGIONS_ORACLE = """
+SELECT r.r_name AS region,
+       count(*) AS n_suppliers,
+       round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6) AS avg_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@declare("q_supplier_regions", _SUPPLIER_REGIONS_ORACLE)
+def q_supplier_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        sup.join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("s_acctbal").cast("decimal(14,2)")).cast("double") / F.count("*"), 6
+            ).alias("avg_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_part_brand_stats — X9: part catalog stats by brand (covers `part`).
+# ---------------------------------------------------------------------------
+
+_PART_BRAND_ORACLE = """
+SELECT p_brand,
+       count(*) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+       CAST(max(p_size) AS INT) AS max_size,
+       count(DISTINCT p_type) AS n_types
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@declare("q_part_brand_stats", _PART_BRAND_ORACLE)
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(14,2)")).cast("double").alias("sum_price"),
+        F.max("p_size").cast("int").alias("max_size"),
+        F.count_distinct("p_type").alias("n_types"),
+    )
