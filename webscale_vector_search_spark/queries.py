@@ -1203,3 +1203,41 @@ def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p_size").cast("int").alias("max_size"),
         F.count_distinct("p_type").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_asof_join — custom-operator composition (SURVEY.md policy (a)): for each
+# 'error' event, the most recent preceding 'click' by the same user. Spark
+# has no ASOF JOIN; this is the one-shuffle window composition. The oracle
+# uses the identical window formulation (portable ANSI).
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH relevant AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('error', 'click')
+),
+annotated AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_source_ts,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_source_id
+  FROM relevant
+)
+SELECT event_id, user_id, ts, prev_source_ts, prev_source_id,
+       date_diff('microsecond', prev_source_ts, ts) AS gap_micros
+FROM annotated
+WHERE event_type = 'error'
+ORDER BY event_id
+"""
+
+
+@declare("q_asof_join", _ASOF_ORACLE)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscale_vector_search_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    return asof_join(ev, target_type="error", source_type="click")
