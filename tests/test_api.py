@@ -70,3 +70,19 @@ def test_hnsw_capability_high_recall(spark, tmp_path_factory):
     exact = knn(corpus, queries, k=10)
     approx = search_index(spark, out, queries, k=10)  # default high-recall nprobe
     assert recall_at_k(approx, exact, k=10) >= 0.9
+
+
+def test_hnswlib_path_gates_cleanly(spark):
+    """The optional per-partition hnswlib path must either work (if the lib
+    is installed) or raise a clear NotImplementedError pointing at the IVF
+    fallback — never an ImportError at module import time."""
+    from webscale_vector_search_spark.operators import hnsw_partition
+
+    corpus = load_table(spark, "embeddings", SF_SMOKE)
+    queries = spark.createDataFrame([(0, [0.0] * 64)], "query_id BIGINT, qvec ARRAY<FLOAT>")
+    if hnsw_partition.HAS_HNSWLIB:
+        res = hnsw_partition.hnsw_partition_search(corpus, queries, k=5)
+        assert res.count() == 5
+    else:
+        with pytest.raises(NotImplementedError, match="hnswlib"):
+            hnsw_partition.hnsw_partition_search(corpus, queries, k=5)

@@ -32,7 +32,8 @@ class EngineConfig:
     Defaults trace to the reference:
     - vector_dim 64: fixture dim (reference default 128, vector_search_cluster.py:913)
     - num_shards 16: coordinator default (vector_search_cluster.py:785, 914)
-    - k 10: QueryRequest default (vector_search_cluster.py:763)
+    - (k=10, the QueryRequest default at vector_search_cluster.py:763, is a
+      per-search argument — knn(k=...)/search_index(k=...) — not build config)
     - index_type FLAT|IVF|IVFPQ (argparse choices, vector_search_cluster.py:934;
       HNSW capability is delivered as tuned IVF — SURVEY.md §7 hard-part (a))
     - nprobe: min(64, max(1, nlist // 8)) (vector_search_cluster.py:549)
@@ -42,7 +43,6 @@ class EngineConfig:
 
     vector_dim: int = 64
     num_shards: int = 16
-    k: int = 10
     index_type: str = "FLAT"
     nlist: int | None = None  # None -> max(100, floor(sqrt(n))) as reference:1027
     nprobe: int | None = None  # None -> min(64, max(1, nlist // 8)) as reference:549
