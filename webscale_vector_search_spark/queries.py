@@ -1241,3 +1241,58 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return asof_join(ev, target_type="error", source_type="click")
+
+
+# ---------------------------------------------------------------------------
+# q_ngram_jaccard — X2 verification phase: exact shingle-set Jaccard for the
+# LSH band-collision candidate pairs (first 100 docs). The full two-phase
+# near-dup design — cheap candidates, exact verify — oracle-checked
+# end-to-end.
+# ---------------------------------------------------------------------------
+
+_NGRAM_JACCARD_DOCS = 200  # the fixture's genuine near-dup pairs straddle 100-200
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < {_NGRAM_JACCARD_DOCS}
+),
+shingle_sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - {dedup_ops.SHINGLE_K - 1}, 1) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+         )) AS sh
+  FROM toks
+),
+sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingle_sets),
+hashed AS (
+  SELECT doc_id, seed,
+         substr(md5(concat_ws(':', seed, shingle)), 1, {dedup_ops.HASH_WIDTH}) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {dedup_ops.N_HASHES})) AS seed)
+),
+sigs AS (SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // {dedup_ops.ROWS_PER_BAND} AS INT) AS band,
+         string_agg(minhash, '|' ORDER BY seed) AS band_sig
+  FROM sigs GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM pairs p
+JOIN shingle_sets sa ON p.doc_a = sa.doc_id
+JOIN shingle_sets sb ON p.doc_b = sb.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@declare("q_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _NGRAM_JACCARD_DOCS)
+    pairs = dedup_ops.neardup_candidate_pairs(docs)
+    return dedup_ops.ngram_jaccard(docs, docs, pairs)
