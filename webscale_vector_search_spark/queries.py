@@ -469,18 +469,21 @@ _COSINE_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}
 ),
-terms AS (
-  SELECT q.query_id, e.vec_id,
-         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
-         CAST(unnest(e.embedding) AS DOUBLE) AS ex
-  FROM q CROSS JOIN embeddings e
-),
 dots AS (
-  SELECT query_id, vec_id,
-         sum(qx * ex) AS dot,
-         sqrt(sum(qx * qx)) AS nq,
-         sqrt(sum(ex * ex)) AS ne
-  FROM terms GROUP BY query_id, vec_id
+  -- Per-row list folds, NOT unnest + parallel sum: DuckDB's group-aggregate
+  -- sum() order varies with thread count and can flip a round-6 boundary
+  -- run-to-run (the r1 flake). list_sum evaluates the list sequentially --
+  -- bitwise-identical to Spark's left-fold `aggregate` and thread-invariant
+  -- (verified: 50/50 pairs bit-equal to a python left fold at both threads=1
+  -- and threads=8).
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(generate_series(1, len(q.qvec)),
+                  i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+         sqrt(list_sum(list_transform(q.qvec,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+         sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne
+  FROM q CROSS JOIN embeddings e
 ),
 dists AS (
   SELECT query_id, vec_id, round(1.0 - dot / (nq * ne), 6) AS distance
