@@ -80,14 +80,11 @@ def main() -> None:
 def _neardup_full(spark, sf_dir):
     """Bench-only: LSH banding over the FULL documents table (the declared
     q_neardup_bands caps at 100 docs for oracle speed; this scales with sf)."""
-    from webscale_vector_search_spark.operators.dedup import (
-        band_signatures,
-        minhash_signatures,
-    )
+    from webscale_vector_search_spark.operators.dedup import band_signatures
     from webscale_vector_search_spark.sources.fixtures import load_table
 
     docs = load_table(spark, "documents", sf_dir)
-    return band_signatures(minhash_signatures(docs))
+    return band_signatures(docs)
 
 
 EXTRA["q_neardup_full"] = _neardup_full

@@ -30,6 +30,36 @@ def test_exact_dedup_idempotent(docs):
     assert second.filter(F.col("n_dups") > 1).count() == 0
 
 
+def test_band_signatures_kernels_identical(docs):
+    """The Arrow kernel and the pure-Catalyst expression form must emit
+    bit-identical band signatures (discrete strings — no rounding escape
+    hatch): same md5-derived Kirsch-Mitzenmacher family, same banding."""
+    from webscale_vector_search_spark.operators.dedup import (
+        band_signatures_pandas,
+        band_signatures_sql,
+    )
+
+    sub = docs.filter(F.col("doc_id") < 100)
+    a = band_signatures_sql(sub).toPandas().sort_values(["doc_id", "band"]).reset_index(drop=True)
+    b = band_signatures_pandas(sub).toPandas().sort_values(["doc_id", "band"]).reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_band_signatures_plan_is_map_side(docs):
+    """The signature stage must not shuffle (the r1 form exploded
+    docs x shingles x 32 rows through a groupBy — ~32x the corpus token
+    count at 100 TB). Both kernels: no Exchange anywhere in the plan."""
+    from webscale_vector_search_spark.operators.dedup import (
+        band_signatures_pandas,
+        band_signatures_sql,
+    )
+
+    for fn in (band_signatures_sql, band_signatures_pandas):
+        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{fn.__name__} shuffles:\n{plan}"
+
+
 def test_neardup_pairs_catch_mutated_copies(spark, docs):
     """LSH banding must pair each doc with a near-identical copy of itself.
 

@@ -11,10 +11,15 @@ shuffle-lean DataFrame programs:
 - SimHash: 64-bit weighted-bit fingerprint, hamming-bucket grouping
 - n-gram Jaccard: exact pairwise similarity on LSH-survivor pairs
 
-Portability note: minhashes are hex-prefix strings of md5 (same in Spark and
-DuckDB); lexicographic min over fixed-width hex == numeric min, which keeps
-every step oracle-checkable. At 100 TB swap md5 for xxhash64 (cheaper) —
-same plan shape.
+Hash family: ONE md5 per shingle, split into two u64 halves (h1, h2|1);
+the i-th minhash input is h_i = (h1 + i*h2) mod 2^64 — the Kirsch-
+Mitzenmacher double-hashing construction (their 2006 result: two hashes
+derive k pairwise-good ones without loss for Bloom-filter-class uses).
+At 100 TB this is 32x fewer strong hashes than the naive md5(seed:shingle)
+family, and the whole signature stage is MAP-SIDE: one row per doc, no
+explode, no shuffle (the r1 form shuffled docs x shingles x 32 rows).
+Minhash values render as 16-char zero-padded hex so lexicographic min ==
+numeric min and band sigs stay oracle-checkable strings in any engine.
 """
 
 from __future__ import annotations
@@ -41,48 +46,183 @@ def shingles(text_col, k: int = SHINGLE_K):
     toks = F.split(text_col, " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]))
+        F.transform(idx, lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)]))
+    )
+
+
+_TWO63 = 9223372036854775808
+_TWO64 = 18446744073709551616
+
+
+def _dec_lit(v: int):
+    """Decimal literal Column for values beyond BIGINT range (py4j cannot
+    ship a python int >= 2^63 as a long literal)."""
+    return F.lit(str(v)).cast("decimal(21,0)")
+
+
+def _hash_pairs(shingles_col):
+    """array<struct<h1,h2>> — one md5 per shingle, split into two u64 halves
+    (as DECIMAL(20,0): Spark 4 BIGINT is ANSI-overflow-checked, decimals give
+    exact mod-2^64 arithmetic). h2 is forced odd (h2 + 1 - h2 % 2) so the
+    derived sequence h1 + i*h2 cycles through all residues."""
+
+    def u64(hex16):
+        return F.conv(hex16, 16, 10).cast("decimal(20,0)")
+
+    def pair(s):
+        d = F.md5(s.cast("binary"))
+        h2 = u64(F.substring(d, 17, 16))
+        return F.struct(
+            u64(F.substring(d, 1, 16)).alias("h1"), (h2 + 1 - h2 % 2).alias("h2")
+        )
+
+    return F.transform(shingles_col, pair)
+
+
+def _hex16(v):
+    """Zero-padded 16-char lowercase hex of a mod-2^64 DECIMAL value (via the
+    two's-complement BIGINT it maps to — Spark's hex() of a negative long is
+    the full 16-digit two's-complement form)."""
+    signed = F.when(v >= _dec_lit(_TWO63), v - _dec_lit(_TWO64)).otherwise(v).cast("long")
+    return F.lpad(F.lower(F.hex(signed)), HASH_WIDTH, "0")
+
+
+def minhash_sig_array(pairs_col, n_hashes: int = N_HASHES):
+    """Column builder: array<string> of n minhashes from a `_hash_pairs`
+    column — Kirsch-Mitzenmacher derivation, entirely map-side.
+
+    For seed i: min over shingles of (h1 + i*h2) mod 2^64, rendered as fixed
+    width hex. Nothing explodes, nothing shuffles; the r1 form (explode
+    shingles x explode seeds -> groupBy) materialized docs x shingles x 32
+    rows through a shuffle — ~32x the corpus token count at 100 TB.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: _hex16(
+            F.array_min(
+                F.transform(
+                    pairs_col,
+                    lambda p: (p["h1"] + i.cast("decimal(10,0)") * p["h2"]) % _dec_lit(_TWO64),
+                )
+            )
+        ),
     )
 
 
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """Per-doc minhash signature: for seed i, min over shingles of
-    substr(md5(i || ':' || shingle), 1, 16). Output: (doc_id, seed, minhash)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col))).alias("shingle")
-    )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    hashed = sh.select(
-        "doc_id",
-        seeds,
-        "shingle",
-    ).withColumn(
-        "h",
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")).cast("binary")),
-            1,
-            HASH_WIDTH,
-        ),
-    )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    """Per-doc minhash signature rows: (doc_id, seed, minhash).
 
-
-def band_signatures(signatures: DataFrame) -> DataFrame:
-    """Fold minhashes into per-band signatures: (doc_id, band, band_sig).
-
-    The signature concatenates minhashes in seed order (struct-sort on seed;
-    collect_list order is nondeterministic and must not leak into the sig).
+    Map-side (posexplode of :func:`minhash_sig_array`) — zero shuffles; the
+    rows form is kept for API parity, band folding uses the array directly.
     """
-    sig_in_seed_order = F.transform(
-        F.array_sort(F.collect_list(F.struct("seed", "minhash"))), lambda x: x["minhash"]
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _hash_pairs(shingles(F.col(text_col))).alias("_hp")
     )
-    return (
-        signatures.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", sig_in_seed_order).alias("band_sig"))
+    return base.select(
+        "doc_id", F.posexplode(minhash_sig_array(F.col("_hp"), n_hashes)).alias("seed", "minhash")
     )
+
+
+def band_signatures_sql(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Per-band LSH signatures: (doc_id, band, band_sig) — pure-Catalyst form.
+
+    Map-side end to end: slice the minhash array into contiguous bands and
+    concat_ws each — no groupBy/collect_list (the r1 form shuffled twice:
+    once for signatures, once to fold bands). The hash-pair and signature
+    arrays are projected into their own columns so the band lambdas share
+    one computation instead of inlining the 32-hash expression per band
+    (CollapseProject keeps non-cheap multi-referenced projections separate).
+
+    Interpreted higher-order functions make this ~10x slower per row than
+    :func:`band_signatures_pandas`, which is the default engine path; this
+    form exists as the no-Python variant and the property-test anchor.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _hash_pairs(shingles(F.col(text_col))).alias("_hp")
+    )
+    with_sig = base.select("doc_id", minhash_sig_array(F.col("_hp"), n_hashes).alias("_sig"))
+    n_bands = n_hashes // ROWS_PER_BAND
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.concat_ws("|", F.slice(F.col("_sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND)),
+    )
+    return with_sig.select("doc_id", F.posexplode(bands).alias("band", "band_sig"))
+
+
+def band_signatures_pandas(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Per-band LSH signatures via an Arrow kernel — the default engine path.
+
+    Same map-side shape as :func:`band_signatures_sql` (one pass, no
+    shuffle) but the per-shingle md5 runs through hashlib (C) and the 32
+    derived hashes + mins are one vectorized uint64 numpy op per doc
+    (unsigned wraparound == mod 2^64). Bit-identical output to the SQL form
+    (discrete strings — no float rounding anywhere), property-tested.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_bands = n_hashes // ROWS_PER_BAND
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_sig", T.StringType()),
+        ]
+    )
+    seeds = np.arange(n_hashes, dtype=np.uint64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            band_nos: list = []
+            sigs: list = []
+            for doc_id, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+                toks = text.split(" ")
+                hi = max(len(toks) - SHINGLE_K, 0)
+                sh = {" ".join(toks[i : i + SHINGLE_K]) for i in range(hi + 1)}
+                h1 = np.empty(len(sh), dtype=np.uint64)
+                h2 = np.empty(len(sh), dtype=np.uint64)
+                for j, s in enumerate(sh):
+                    d = hashlib.md5(s.encode()).digest()
+                    h1[j] = int.from_bytes(d[:8], "big")
+                    h2[j] = int.from_bytes(d[8:], "big") | 1
+                mins = (h1[:, None] + seeds[None, :] * h2[:, None]).min(axis=0)
+                mh = [format(v, "016x") for v in mins]
+                for b in range(n_bands):
+                    ids.append(doc_id)
+                    band_nos.append(b)
+                    sigs.append("|".join(mh[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "band": np.asarray(band_nos, dtype=np.int32),
+                    "band_sig": sigs,
+                }
+            )
+
+    return docs.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(gen, out_schema)
+
+
+def band_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    kernel: str = "pandas",
+) -> DataFrame:
+    """Per-band LSH signatures: (doc_id, band, band_sig); kernel selects the
+    Arrow numpy path (default) or the pure-Catalyst expression form."""
+    fn = band_signatures_pandas if kernel == "pandas" else band_signatures_sql
+    return fn(docs, id_col, text_col, n_hashes)
 
 
 def neardup_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -92,7 +232,7 @@ def neardup_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: s
     at 100 TB the band signature is the shuffle key and bucket sizes stay
     small for non-pathological corpora (salt oversized buckets if needed).
     """
-    bands = band_signatures(minhash_signatures(docs, id_col, text_col))
+    bands = band_signatures(docs, id_col, text_col)
     left = bands.alias("a")
     right = bands.alias("b")
     pairs = (

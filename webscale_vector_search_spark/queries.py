@@ -436,17 +436,25 @@ sh AS (
          ))) AS shingle
   FROM toks
 ),
-hashed AS (
-  SELECT doc_id, seed,
-         substr(md5(concat_ws(':', seed, shingle)), 1, {dedup_ops.HASH_WIDTH}) AS h
-  FROM sh CROSS JOIN (SELECT unnest(range(0, {dedup_ops.N_HASHES})) AS seed)
+hp AS (
+  -- Kirsch-Mitzenmacher: one md5 per shingle, two u64 halves; seed-i hash
+  -- = (h1 + i*h2odd) mod 2^64 in exact HUGEINT arithmetic (integer min is
+  -- order-independent -- no float-accumulation flakiness possible here)
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(shingle), 1, 16) AS UBIGINT) AS HUGEINT) AS h1,
+         CAST(CAST('0x' || substr(md5(shingle), 17, 16) AS UBIGINT) AS HUGEINT) AS h2r
+  FROM sh
 ),
 sigs AS (
-  SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY doc_id, seed
+  SELECT doc_id, seed,
+         min((h1 + seed * (h2r + 1 - h2r % 2)) % {2**64}) AS mh
+  FROM hp CROSS JOIN (SELECT unnest(range(0, {dedup_ops.N_HASHES})) AS seed)
+  GROUP BY doc_id, seed
 )
 SELECT doc_id,
        CAST(seed // {dedup_ops.ROWS_PER_BAND} AS INT) AS band,
-       string_agg(minhash, '|' ORDER BY seed) AS band_sig
+       string_agg(lower(lpad(hex(CAST(mh AS UBIGINT)), {dedup_ops.HASH_WIDTH}, '0')),
+                  '|' ORDER BY seed) AS band_sig
 FROM sigs
 GROUP BY doc_id, band
 ORDER BY doc_id, band
@@ -456,8 +464,7 @@ ORDER BY doc_id, band
 @declare("q_neardup_bands", _NEARDUP_ORACLE)
 def q_neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _NEARDUP_DOCS)
-    sigs = dedup_ops.minhash_signatures(docs)
-    return dedup_ops.band_signatures(sigs)
+    return dedup_ops.band_signatures(docs)
 
 
 # ---------------------------------------------------------------------------
