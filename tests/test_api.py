@@ -52,8 +52,8 @@ def test_create_index_from_npy_and_search(spark, npy_corpus_path, tmp_path_facto
 
 
 def test_hnsw_capability_high_recall(spark, tmp_path_factory):
-    """index_type=HNSW builds IVF artifacts searched at a high-recall probe
-    default; recall@10 must clear the bar that makes it 'the HNSW slot'."""
+    """index_type=HNSW serves through the per-partition graph path;
+    recall@10 must clear the bar that makes it 'the HNSW slot'."""
     from webscale_vector_search_spark.operators.ivf import recall_at_k
     from webscale_vector_search_spark.operators.knn import knn
     from webscale_vector_search_spark.plans.build import search_index
@@ -68,21 +68,61 @@ def test_hnsw_capability_high_recall(spark, tmp_path_factory):
     )
     queries = queries_from_embeddings(spark, SF_SMOKE, 20)
     exact = knn(corpus, queries, k=10)
-    approx = search_index(spark, out, queries, k=10)  # default high-recall nprobe
+    approx = search_index(spark, out, queries, k=10)  # graph path (PyHNSW here)
     assert recall_at_k(approx, exact, k=10) >= 0.9
 
 
-def test_hnswlib_path_gates_cleanly(spark):
-    """The optional per-partition hnswlib path must either work (if the lib
-    is installed) or raise a clear NotImplementedError pointing at the IVF
-    fallback — never an ImportError at module import time."""
+def test_hnsw_graph_path_works_without_hnswlib(spark):
+    """The per-partition graph path must run with either backend (hnswlib
+    if installed, PyHNSW otherwise) — never an ImportError, never a stub."""
     from webscale_vector_search_spark.operators import hnsw_partition
+    from webscale_vector_search_spark.operators.ivf import recall_at_k
+    from webscale_vector_search_spark.operators.knn import knn
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
 
     corpus = load_table(spark, "embeddings", SF_SMOKE)
-    queries = spark.createDataFrame([(0, [0.0] * 64)], "query_id BIGINT, qvec ARRAY<FLOAT>")
-    if hnsw_partition.HAS_HNSWLIB:
-        res = hnsw_partition.hnsw_partition_search(corpus, queries, k=5)
-        assert res.count() == 5
-    else:
-        with pytest.raises(NotImplementedError, match="hnswlib"):
-            hnsw_partition.hnsw_partition_search(corpus, queries, k=5)
+    queries = queries_from_embeddings(spark, SF_SMOKE, 10)
+    res = hnsw_partition.hnsw_partition_search(corpus, queries, k=5)
+    assert res.count() == 50
+    exact = knn(corpus, queries, k=5)
+    assert recall_at_k(res, exact, k=5) >= 0.9
+
+
+def test_pyhnsw_recall_and_sublinear_cost():
+    """The cost-class assertion the r1 '75%-of-lists' mapping failed: the
+    graph search must hit high recall while evaluating distances to a
+    bounded, sub-linearly-growing fraction of the corpus (beam cost
+    saturates near ef*2M nodes regardless of n). Measured here directly on
+    PyHNSW's dist_evals counter (hnswlib doesn't expose one)."""
+    import duckdb
+
+    from webscale_vector_search_spark.operators.hnsw_partition import PyHNSW
+
+    con = duckdb.connect()
+    emb = con.execute(
+        "SELECT embedding FROM read_parquet('/root/testdata/sf0.1/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchdf()
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    nq = 50
+
+    def run(n):
+        X, Q = V[:n], V[:nq]
+        idx = PyHNSW(X.shape[1], M=16, ef_construction=64)
+        idx.add_items(X)
+        idx.dist_evals = 0
+        labels, _ = idx.knn_query(Q, k=10, ef=64)
+        evals_per_q = idx.dist_evals / nq
+        dist = (Q**2).sum(1)[:, None] - 2.0 * Q @ X.T + (X**2).sum(1)[None, :]
+        exact = np.argsort(dist, axis=1, kind="stable")[:, :10]
+        recall = sum(len(set(labels[i]) & set(exact[i])) for i in range(nq)) / (nq * 10)
+        return evals_per_q, recall
+
+    e_small, r_small = run(500)
+    e_big, r_big = run(2000)
+    assert r_small >= 0.95 and r_big >= 0.95, (r_small, r_big)
+    # measured: ~1000 evals/q at n=2000 (50%) vs 98% exact-equivalent scans
+    # for the r1 IVF mapping; the ratio keeps falling as n grows (saturates
+    # at ~ef * 2M evals regardless of corpus size)
+    assert e_big <= 0.6 * 2000, e_big
+    assert e_big / e_small <= 2.5, (e_small, e_big)  # corpus grew 4x

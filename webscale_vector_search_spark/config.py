@@ -17,8 +17,11 @@ def default_nprobe(nlist: int, index_type: str = "IVF") -> int:
 
     - IVF/IVFPQ: the reference's serving rule min(64, max(1, nlist // 8))
       (vector_search_cluster.py:549)
-    - HNSW slot: high-recall default standing in for efSearch=64
-      (reference:552) — 3/4 of the lists
+    - HNSW slot: only reached by the kernel='sql' fallback (the default
+      HNSW serving path is the per-partition graph —
+      operators/hnsw_partition.py). The 3/4-of-lists probe is a deliberate
+      near-exact scan: right answers for the no-Python form, explicitly NOT
+      the sub-linear cost class the graph path provides.
     """
     if index_type == "HNSW":
         return max(1, (3 * nlist) // 4)
@@ -50,8 +53,14 @@ class EngineConfig:
     pq_bits: int = 8  # reference:1038
     seed: int = 42
     kmeans_sample_fraction: float = 0.2  # fix for quirk Q7 (first-batch-only training)
-    # (metric selection lives on the operators — knn(metric=...); kernel
-    # selection on search_index(kernel=...). No silently-dead knobs here.)
+    # metric: "sq_l2" (the reference's only metric) or "cosine" — cosine
+    # indexes L2-normalize vectors at build time (unit vectors make sq_l2
+    # rank identically to cosine), recorded in the sidecar so search_index
+    # normalizes queries symmetrically. Extension beyond the reference
+    # (LLM pipelines are cosine-first).
+    metric: str = "sq_l2"
+    # (per-search metric selection stays on the operators — knn(metric=...);
+    # kernel selection on search_index(kernel=...). No silently-dead knobs.)
 
     def resolved_nlist(self, n_vectors: int) -> int:
         if self.nlist is not None:

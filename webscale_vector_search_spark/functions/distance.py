@@ -64,3 +64,20 @@ def cosine_distance(a: Column, b: Column) -> Column:
 def round_distance(d: Column, decimals: int = 6) -> Column:
     """The §5.2 float policy: distances are emitted rounded to 6 decimals."""
     return F.round(d, decimals)
+
+
+def with_l2_normalized(df, vec_col: str = "embedding"):
+    """L2-normalize an array column in place (metric='cosine' support).
+
+    On unit vectors squared L2 == 2*(1 - cos), so every L2 kernel in the
+    engine (IVF probe pruning, ADC, the numpy scans) ranks identically to
+    cosine after this one map-side pass — the standard normalize-at-build
+    trade. The norm is projected into its own column first so the per-element
+    divide shares one norm computation (CollapseProject keeps non-cheap
+    multi-referenced projections separate); output stays ARRAY<FLOAT>.
+    """
+    base = df.withColumn("_l2n", l2_norm(F.col(vec_col)))
+    normalized = F.transform(
+        F.col(vec_col), lambda x: (x.cast("double") / F.col("_l2n")).cast("float")
+    )
+    return base.withColumn(vec_col, normalized).drop("_l2n")

@@ -61,6 +61,13 @@ def build_index(
     """End-to-end build. Returns an opened handle on the written artifacts."""
     validate_vectors(corpus, config.vector_dim, vec_col)
     base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    if config.metric == "cosine":
+        # unit vectors make every sq_l2 kernel downstream rank as cosine
+        from webscale_vector_search_spark.functions.distance import with_l2_normalized
+
+        base = with_l2_normalized(base, "embedding")
+    elif config.metric != "sq_l2":
+        raise ValueError(f"unknown metric {config.metric!r}")
     n_total = base.count()
 
     nlist = pq_m = None
@@ -75,9 +82,11 @@ def build_index(
         sharded = _packed_repartition(sharded, "shard_id", config.num_shards)
         sharded.write.mode("overwrite").partitionBy("shard_id").parquet(vectors_dir)
     elif config.index_type in ("IVF", "IVFPQ", "HNSW"):
-        # HNSW capability (high-recall ANN) is delivered as IVF artifacts
-        # searched with a high-recall probe default — graph traversal has no
-        # idiomatic Spark form (SURVEY.md §7 hard part (a)).
+        # HNSW shares the IVF artifact layout (vectors partitioned by
+        # centroid_id); serving builds one graph per partition at query time
+        # (operators/hnsw_partition.py) — the partition layout bounds each
+        # graph to a task, and centroids keep the artifacts searchable by
+        # every other kernel too.
         nlist = config.resolved_nlist(n_total)
         centroids = ivf_ops.train_centroids(
             spark, base, nlist, seed=config.seed, sample_fraction=config.kmeans_sample_fraction
@@ -106,6 +115,7 @@ def build_index(
             total_vectors=n_total,
             nlist=nlist,
             pq_m=pq_m,
+            metric=config.metric,
         ),
     )
     return index_io.open_index(spark, out_dir)
@@ -128,6 +138,13 @@ def search_index(
     - IVFPQ  -> probe-pruned ADC over codes (K8); with exact_refine, the
                 ADC top-4k candidates are re-ranked with exact distances
                 (standard two-stage PQ serving)
+    - HNSW   -> per-partition graph search (K9, operators/hnsw_partition.py:
+                hnswlib when installed, the PyHNSW numpy implementation
+                otherwise) over the centroid-partitioned artifacts — real
+                sub-linear cost (visits ~ef*M nodes per query regardless of
+                list size). kernel='sql' falls back to IVF probing at the
+                high-recall nprobe default (a near-exact scan: right answers,
+                wrong cost class — kept only as the no-Python form).
 
     kernel='pandas' (default) uses the vectorized Arrow/numpy kernels —
     identical results to kernel='sql' (the tie-stable batch top-k makes both
@@ -138,6 +155,13 @@ def search_index(
 
     handle = index_io.open_index(spark, index_dir)
     itype = handle.meta["index_type"]
+    if handle.meta.get("metric", "sq_l2") == "cosine":
+        # the stored vectors are unit-normalized; normalizing the query batch
+        # makes every sq_l2 kernel below rank as cosine (distance emitted is
+        # the normalized-space squared L2 == 2 * cosine distance)
+        from webscale_vector_search_spark.functions.distance import with_l2_normalized
+
+        queries = with_l2_normalized(queries, "qvec")
     if itype == "FLAT":
         fn = knn_pandas if kernel == "pandas" else knn
         return fn(handle.vectors, queries, k=k)
@@ -147,6 +171,11 @@ def search_index(
         from webscale_vector_search_spark.config import default_nprobe
 
         nprobe = default_nprobe(nlist, itype)
+
+    if itype == "HNSW" and kernel == "pandas":
+        from webscale_vector_search_spark.operators.hnsw_partition import hnsw_partition_search
+
+        return hnsw_partition_search(handle.vectors, queries, k=k)
 
     if itype in ("IVF", "HNSW"):
         fn = ivf_ops.ivf_search_pandas if kernel == "pandas" else ivf_ops.ivf_search

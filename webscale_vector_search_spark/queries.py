@@ -532,6 +532,66 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_ann_ivfpq — K7/K8: product-quantized codes + probe-masked ADC search
+# (train centroids + codebooks, encode, asymmetric-distance scan over codes).
+# Deterministic (seeded) but KMeans/Lloyd are not SQL-expressible -> rows-only
+# driver check; ADC==reconstruction and recall properties live in
+# tests/test_index.py.
+# ---------------------------------------------------------------------------
+
+
+@declare("q_ann_ivfpq")  # no oracle: approximate operator (§2.9 exclusion)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscale_vector_search_spark.operators import ivf as ivf_ops
+    from webscale_vector_search_spark.operators import pq as pq_ops
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
+    cents = ivf_ops.train_centroids(spark, corpus, nlist=16, seed=42, sample_fraction=1.0)
+    assigned = ivf_ops.assign_centroids(corpus, cents)
+    books = pq_ops.fit_codebooks(corpus, m=16, seed=42)
+    codes = pq_ops.encode(assigned, books)
+    return pq_ops.adc_search(codes, books, queries, k=K, centroids=cents, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
+# q_ann_hnsw — K9: per-partition HNSW graph search (hnswlib when installed,
+# the PyHNSW numpy implementation otherwise). Graph construction is
+# randomized-by-seeded-RNG and inherently non-SQL -> rows-only driver check;
+# recall + sub-linear-cost assertions live in tests/test_api.py.
+# ---------------------------------------------------------------------------
+
+
+@declare("q_ann_hnsw")  # no oracle: approximate operator (§2.9 exclusion)
+def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscale_vector_search_spark.operators.hnsw_partition import hnsw_partition_search
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
+    return hnsw_partition_search(corpus, queries, k=K)
+
+
+# ---------------------------------------------------------------------------
+# q_ann_ivf_cosine — K6 with metric=cosine: vectors and queries L2-normalized
+# (unit vectors make squared-L2 rank identically to cosine), then the same
+# probe-pruned IVF search. Rows-only (KMeans); the recall gate vs the exact
+# cosine answer (q_cosine_topk's form) lives in tests/test_index.py.
+# ---------------------------------------------------------------------------
+
+
+@declare("q_ann_ivf_cosine")  # no oracle: approximate operator (§2.9 exclusion)
+def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscale_vector_search_spark.functions.distance import with_l2_normalized
+    from webscale_vector_search_spark.operators import ivf as ivf_ops
+
+    corpus = with_l2_normalized(load_table(spark, "embeddings", sf_dir), "embedding")
+    queries = with_l2_normalized(queries_from_embeddings(spark, sf_dir, N_QUERIES), "qvec")
+    cents = ivf_ops.train_centroids(spark, corpus, nlist=16, seed=42, sample_fraction=1.0)
+    assigned = ivf_ops.assign_centroids(corpus, cents)
+    return ivf_ops.ivf_search_pandas(assigned, cents, queries, k=K, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
 # Text-analysis queries (X5 + §2.8): language ID, quality scoring, token
 # counting, document fingerprinting — all over `documents`, all exact.
 # ---------------------------------------------------------------------------

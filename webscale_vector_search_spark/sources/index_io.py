@@ -45,6 +45,7 @@ def metadata_dict(
     total_vectors: int,
     nlist: int | None = None,
     pq_m: int | None = None,
+    metric: str = "sq_l2",
 ) -> dict:
     return {
         "num_shards": num_shards,
@@ -54,6 +55,7 @@ def metadata_dict(
         "created_at": time.strftime("%Y-%m-%d %H:%M:%S"),
         "nlist": nlist,
         "pq_m": pq_m,
+        "metric": metric,
     }
 
 
