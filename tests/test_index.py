@@ -181,3 +181,37 @@ def test_compact_index_after_streaming_appends(spark, corpus, queries, tmp_path_
 
     st = index_stats(spark, idx).toPandas()
     assert st[st["is_total"]]["n_vectors"].iloc[0] == corpus.count()
+
+
+def test_compact_index_versioned_swap_keeps_inflight_readers(
+    spark, corpus, queries, tmp_path_factory
+):
+    """Compaction commits by flipping the sidecar pointer to a fresh
+    vectors.v{N} directory; a reader opened BEFORE the flip must keep
+    resolving its complete old directory (kept one version back), and a
+    reader opened after must see the new one."""
+    import os
+
+    from webscale_vector_search_spark.plans.build import build_index, compact_index
+    from webscale_vector_search_spark.sources.index_io import open_index, read_metadata
+
+    idx = str(tmp_path_factory.mktemp("versioned_idx"))
+    build_index(spark, corpus, idx, EngineConfig(index_type="FLAT"))
+    n = corpus.count()
+
+    pre = open_index(spark, idx)  # lazy reader bound to the original `vectors`
+    stats1 = compact_index(spark, idx, target_file_mb=256)
+    assert stats1["vectors_dir"] == "vectors.v1"
+    assert read_metadata(idx)["vectors_dir"] == "vectors.v1"
+    # the pre-flip reader's directory survives the commit, and it still scans
+    assert os.path.isdir(os.path.join(idx, "vectors"))
+    assert pre.vectors.count() == n
+
+    mid = open_index(spark, idx)  # bound to vectors.v1
+    stats2 = compact_index(spark, idx, target_file_mb=256)
+    assert stats2["vectors_dir"] == "vectors.v2"
+    # keep = {v2, v1}; the twice-stale original is garbage-collected
+    assert os.path.isdir(os.path.join(idx, "vectors.v1"))
+    assert not os.path.isdir(os.path.join(idx, "vectors"))
+    assert mid.vectors.count() == n
+    assert open_index(spark, idx).vectors.count() == n

@@ -100,7 +100,8 @@ def assign_centroids_sql(
     crossJoin + min_by). Used by tests to cross-check the numpy kernel;
     the groupBy re-shuffles the corpus, so the kernel is the scale path."""
     paired = corpus.crossJoin(F.broadcast(centroids))
-    scored = with_distance(paired, left="cvec", right=vec_col, out="_cdist")
+    # unrounded: must tie-break identically to the numpy kernel's argmin
+    scored = with_distance(paired, left="cvec", right=vec_col, out="_cdist", decimals=None)
     return (
         scored.groupBy(*corpus.columns)
         .agg(F.min_by("centroid_id", F.struct("_cdist", "centroid_id")).alias("centroid_id"))
@@ -115,7 +116,9 @@ def select_probes(
     Output: (query_id, qvec, centroid_id) — one row per probed list.
     """
     paired = queries.crossJoin(F.broadcast(centroids))
-    scored = with_distance(paired, left="qvec", right="cvec", out="_cdist")
+    # unrounded: matches the driver-side unrounded probe selection in the
+    # pandas/ADC kernels (round-6 could pick a different centroid on a tie)
+    scored = with_distance(paired, left="qvec", right="cvec", out="_cdist", decimals=None)
     probes = topk(
         scored,
         nprobe,

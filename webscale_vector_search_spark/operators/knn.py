@@ -39,13 +39,20 @@ def with_distance(
     right: str = "embedding",
     metric: str = "sq_l2",
     out: str = "distance",
-    decimals: int = 6,
+    decimals: int | None = 6,
 ) -> DataFrame:
-    """Attach the rounded distance column (float policy §5.2)."""
+    """Attach the rounded distance column (float policy §5.2).
+
+    decimals=None skips rounding — for internal rankings that must tie-break
+    identically to the unrounded numpy kernels (centroid assignment / probe
+    selection); round-6 can flip an argmin on a rounding-boundary tie.
+    """
     dist = _METRICS[metric](F.col(left), F.col(right))
     if metric == "dot":
         dist = -dist  # larger dot = better -> keep ascending-is-better ordering
-    return df.withColumn(out, F.round(dist, decimals))
+    if decimals is not None:
+        dist = F.round(dist, decimals)
+    return df.withColumn(out, dist)
 
 
 def topk(

@@ -215,17 +215,24 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
 
     Streaming appends (streaming/build_stream.py) land one file per
     micro-batch per partition; at scale that degrades scans (listing +
-    footer overhead dominates). Compaction reads the partitioned vectors,
-    re-packs each partition to ~target_file_mb files, and atomically swaps
-    the directory. Partition columns (shard_id / centroid_id) are preserved,
-    so pruning behavior is unchanged.
+    footer overhead dominates). Compaction reads the current vectors
+    directory, re-packs each partition to ~target_file_mb files into a NEW
+    `vectors.v{N}` directory, then commits by flipping the `vectors_dir`
+    pointer in the metadata sidecar (an atomic os.replace). Readers resolve
+    through the pointer (index_io.vectors_path), so one opened before the
+    flip keeps reading its complete old directory and one opened after sees
+    the complete new one — no rename race. The immediately-previous version
+    is kept for such in-flight readers; anything older is garbage-collected.
+    Partition columns (shard_id / centroid_id) are preserved, so pruning
+    behavior is unchanged.
 
-    Returns {"files_before": n, "files_after": m, "rows": r}.
+    Returns {"files_before": n, "files_after": m, "rows": r, "vectors_dir": name}.
     """
     import glob
     import shutil
 
-    vectors_dir = os.path.join(index_dir, "vectors")
+    meta = index_io.read_metadata(index_dir)
+    vectors_dir = index_io.vectors_path(index_dir, meta)
     files_before = len(glob.glob(os.path.join(vectors_dir, "**", "*.parquet"), recursive=True))
     df = spark.read.parquet(vectors_dir)
     rows = df.count()
@@ -238,7 +245,12 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
     n_parts = max(1, df.select(part_col).distinct().count())
     files_per_part = max(1, int(total_bytes / (target_file_mb * 1024 * 1024) / n_parts))
 
-    tmp_dir = vectors_dir + "._compact"
+    versions = sorted(
+        int(os.path.basename(d).rsplit(".v", 1)[1])
+        for d in glob.glob(os.path.join(index_dir, "vectors.v*"))
+        if os.path.basename(d).rsplit(".v", 1)[1].isdigit()
+    )
+    next_dir = os.path.join(index_dir, f"vectors.v{(versions[-1] + 1) if versions else 1}")
     # repartition on (part_col, vec_id-hash-bucket): part_col alone would
     # funnel each partition VALUE into one task (one giant file regardless
     # of target size); the secondary bucket spreads a partition's rows over
@@ -250,17 +262,25 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
         df.repartition(n_parts * files_per_part, F.col(part_col), bucket)
         .write.mode("overwrite")
         .partitionBy(part_col)
-        .parquet(tmp_dir)
+        .parquet(next_dir)
     )
-    # swap is two renames — not atomic; concurrent readers on a live index
-    # should go through a transactional table format instead (documented
-    # limitation of plain-directory Parquet at scale)
-    old_dir = vectors_dir + "._old"
-    shutil.move(vectors_dir, old_dir)
-    shutil.move(tmp_dir, vectors_dir)
-    shutil.rmtree(old_dir)
-    files_after = len(glob.glob(os.path.join(vectors_dir, "**", "*.parquet"), recursive=True))
-    return {"files_before": files_before, "files_after": files_after, "rows": rows}
+    # commit: flip the sidecar pointer (atomic), then GC all versions except
+    # the one just written and its immediate predecessor
+    meta["vectors_dir"] = os.path.basename(next_dir)
+    index_io.write_metadata(index_dir, meta)
+    keep = {next_dir, vectors_dir}
+    for d in glob.glob(os.path.join(index_dir, "vectors.v*")) + [
+        os.path.join(index_dir, "vectors")
+    ]:
+        if d not in keep and os.path.isdir(d):
+            shutil.rmtree(d)
+    files_after = len(glob.glob(os.path.join(next_dir, "**", "*.parquet"), recursive=True))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+        "vectors_dir": os.path.basename(next_dir),
+    }
 
 
 def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:

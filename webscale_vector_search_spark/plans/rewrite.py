@@ -79,29 +79,24 @@ def cached_search(
     hashed = queries.withColumn("_qhash", qvec_hash(F.col("qvec"))).cache()
     cache_path = os.path.join(cache_dir, f"k={k}", f"index={index_version}")
     try:
-        cached = spark.read.parquet(cache_path)
-    except Exception:  # first run: empty cache
-        cached = None
+        try:
+            prior_keys = spark.read.parquet(cache_path).select("_qhash").distinct()
+        except Exception:  # first run: empty cache
+            prior_keys = None
 
-    if cached is not None:
-        # concurrent writers may have appended the same key twice; collapse
-        # duplicates on read (append-only idempotency lives HERE, not on write)
-        cached = cached.dropDuplicates(["_qhash", "rank"])
-        hits = hashed.join(cached, "_qhash").select(
-            "query_id", "rank", "neighbor_id", "distance"
+        miss_queries = (
+            hashed.join(prior_keys, "_qhash", "left_anti")
+            if prior_keys is not None
+            else hashed
         )
-        miss_queries = hashed.join(cached.select("_qhash").distinct(), "_qhash", "left_anti")
-    else:
-        hits = None
-        miss_queries = hashed
-
-    miss_results = None
-    if miss_queries.limit(1).count() > 0:
+        # The append below is the ONLY action in this function: the miss plan
+        # stays lazy until the write executes it. An all-hit batch appends an
+        # empty part file — harmless, and cheaper than probing emptiness with
+        # a separate count job first. Dedup against concurrent writers is
+        # append-only-idempotent: duplicate keys collapse on read.
         miss_results = search_with_query_dedup(
             miss_queries.select("query_id", "qvec"), search_fn
         )
-        # persist the new entries keyed by qhash (dedup against concurrent
-        # writers is append-only-idempotent: duplicate keys collapse on read)
         new_entries = (
             miss_results.join(
                 F.broadcast(miss_queries.select("query_id", "_qhash")), "query_id"
@@ -111,8 +106,15 @@ def cached_search(
         )
         new_entries.write.mode("append").parquet(cache_path)
 
-    if hits is not None and miss_results is not None:
-        return hits.unionByName(miss_results.select("query_id", "rank", "neighbor_id", "distance"))
-    if miss_results is not None:
-        return miss_results.select("query_id", "rank", "neighbor_id", "distance")
-    return hits
+        # Serve EVERY query (hit or miss) from the now-complete results table:
+        # one broadcast-able join instead of a hits/misses union, and the
+        # search never re-executes when the caller materializes the result.
+        table = spark.read.parquet(cache_path).dropDuplicates(["_qhash", "rank"])
+        return hashed.join(table, "_qhash").select(
+            "query_id", "rank", "neighbor_id", "distance"
+        )
+    finally:
+        # The returned DataFrame re-derives _qhash lazily (a cheap map-side
+        # hash over the query batch); holding the cached blocks past the write
+        # would leak storage across repeated calls in one session.
+        hashed.unpersist()

@@ -27,15 +27,37 @@ METADATA_FILE = "shards_metadata.json"
 
 
 def write_metadata(out_dir: str, meta: dict) -> None:
-    """S5 — same fields as the reference sidecar (1056-1066) + index params."""
+    """S5 — same fields as the reference sidecar (1056-1066) + index params.
+
+    Written via temp-file + os.replace: the sidecar doubles as the commit
+    pointer for versioned vectors directories (compact_index), so a reader
+    must never observe a torn write.
+    """
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, METADATA_FILE), "w") as f:
+    final = os.path.join(out_dir, METADATA_FILE)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
+    os.replace(tmp, final)
 
 
 def read_metadata(index_dir: str) -> dict:
     with open(os.path.join(index_dir, METADATA_FILE)) as f:
         return json.load(f)
+
+
+def vectors_path(index_dir: str, meta: dict | None = None) -> str:
+    """Resolve the CURRENT vectors directory through the sidecar pointer.
+
+    compact_index writes each compaction to a fresh `vectors.v{N}` directory
+    and flips `vectors_dir` in the sidecar (an atomic os.replace), so a
+    reader that resolves through here always sees one complete directory —
+    never a half-swapped one. Indexes that were never compacted have no
+    pointer and resolve to the original `vectors`.
+    """
+    if meta is None:
+        meta = read_metadata(index_dir)
+    return os.path.join(index_dir, meta.get("vectors_dir", "vectors"))
 
 
 def metadata_dict(
@@ -95,7 +117,7 @@ class IndexHandle:
 
 def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
     meta = read_metadata(index_dir)
-    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    vectors = spark.read.parquet(vectors_path(index_dir, meta))
     centroids = None
     codebooks = None
     if meta["index_type"] in ("IVF", "IVFPQ", "HNSW"):

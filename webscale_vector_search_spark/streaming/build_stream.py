@@ -45,7 +45,6 @@ def incremental_build(
     the fixed codebooks) from the batch training job. Returns the
     StreamingQuery (caller awaits termination).
     """
-    vectors_dir = os.path.join(out_dir, "vectors")
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
     # a purely stream-built index must still be open_index-able: seed the
@@ -54,6 +53,7 @@ def incremental_build(
     from webscale_vector_search_spark.sources.index_io import (
         METADATA_FILE,
         metadata_dict,
+        vectors_path,
         write_metadata,
     )
 
@@ -67,6 +67,9 @@ def incremental_build(
                 total_vectors=0,
             ),
         )
+    # append into the CURRENT version directory (compact_index may have
+    # flipped the sidecar pointer away from the original `vectors`)
+    vectors_dir = vectors_path(out_dir)
 
     if config.index_type == "FLAT":
 
@@ -123,10 +126,14 @@ def refresh_metadata(spark: SparkSession, index_dir: str) -> dict:
     streams) — the sidecar is driver-side JSON, so foreachBatch epochs can't
     maintain it transactionally themselves.
     """
-    from webscale_vector_search_spark.sources.index_io import read_metadata, write_metadata
+    from webscale_vector_search_spark.sources.index_io import (
+        read_metadata,
+        vectors_path,
+        write_metadata,
+    )
 
     meta = read_metadata(index_dir)
-    total = spark.read.parquet(os.path.join(index_dir, "vectors")).count()
+    total = spark.read.parquet(vectors_path(index_dir, meta)).count()
     meta["total_vectors"] = total
     write_metadata(index_dir, meta)
     return meta
