@@ -113,6 +113,38 @@ def test_pq_adc_matches_reconstruction(spark, corpus, queries):
     assert diff <= 2e-6, f"ADC vs reconstruction max diff {diff}"
 
 
+def test_residual_adc_matches_reconstruction(spark, corpus, queries):
+    """Residual ADC (codes encode v - C[centroid]) == exact distance to the
+    reconstruction C[centroid] + decode(codes), computed independently in
+    numpy. This is the FAISS IVFPQ by_residual contract."""
+    cents = train_centroids(spark, corpus, nlist=4, seed=42, sample_fraction=1.0).cache()
+    assigned = assign_centroids(corpus, cents).filter(F.col("vec_id") < 50).cache()
+    books = fit_codebooks(assigned, m=16, seed=42, centroids=cents)
+    codes = encode(assigned, books, centroids=cents).cache()
+    q1 = queries.filter(F.col("query_id") < 3).cache()
+
+    adc = adc_search(
+        codes, books, q1, k=50, centroids=cents, nprobe=4, residual=True
+    ).toPandas()
+
+    # independent reconstruction: C[centroid] + concat_j books[j, code_j]
+    C = {r["centroid_id"]: np.array(r["cvec"], dtype=np.float64) for r in cents.collect()}
+    rows = {
+        r["vec_id"]: (r["centroid_id"], np.array(r["codes"]))
+        for r in codes.select("vec_id", "centroid_id", "codes").collect()
+    }
+    Q = {r["query_id"]: np.array(r["qvec"], dtype=np.float64) for r in q1.collect()}
+    m, _, dsub = books.shape
+    max_diff = 0.0
+    for _, row in adc.iterrows():
+        cid, cc = rows[row["neighbor_id"]]
+        recon = C[cid] + np.concatenate([books[j, cc[j]] for j in range(m)])
+        d = float(((Q[row["query_id"]] - recon) ** 2).sum())
+        max_diff = max(max_diff, abs(d - row["distance"]))
+    assert len(adc) > 0
+    assert max_diff <= 2e-6, f"residual ADC vs reconstruction max diff {max_diff}"
+
+
 def test_ivfpq_end_to_end_recall(spark, corpus, queries, exact, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("ivfpq_idx"))
     cfg = EngineConfig(index_type="IVFPQ", nlist=16, pq_m=16, kmeans_sample_fraction=1.0)
@@ -131,6 +163,16 @@ def test_ivf_end_to_end_artifacts(spark, corpus, queries, exact, tmp_path_factor
     approx = search_index(spark, out, queries, k=10, nprobe=8)
     rec = recall_at_k(approx, exact, k=10)
     assert rec >= 0.85, f"IVF recall@10 {rec}"
+
+    # serving path: an opened handle (cached centroid arrays) must return
+    # exactly what the open-per-call path returns
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    handle = open_index(spark, out)
+    via_handle = search_index(spark, handle, queries, k=10, nprobe=8)
+    a = approx.orderBy("query_id", "rank").collect()
+    b = via_handle.orderBy("query_id", "rank").collect()
+    assert a == b
 
 
 def test_cosine_index_end_to_end(spark, corpus, queries, tmp_path_factory):

@@ -170,6 +170,53 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
     return hit / total if total else 0.0
 
 
+class DriverProbes:
+    """Driver-side probe selection shared by the numpy search kernels
+    (ivf_search_pandas, pq.adc_search). Both tables are tiny (a query batch
+    and <= ~65k centroids), so the queries x centroids argsort runs in
+    milliseconds on the driver and ships to tasks as closure arrays."""
+
+    def __init__(
+        self,
+        queries: DataFrame,
+        centroids: DataFrame | None,
+        nprobe: int,
+        centroid_np: tuple | None = None,
+    ):
+        import numpy as np
+
+        q_rows = queries.select("query_id", "qvec").collect()
+        self.q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        self.Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)
+        if centroid_np is not None:  # handle-cached arrays (IndexHandle.centroid_arrays)
+            self.c_ids, self.C = centroid_np
+        else:
+            c_rows = centroids.orderBy("centroid_id").collect()
+            self.C = np.stack([r["cvec"] for r in c_rows]).astype(np.float64)
+            self.c_ids = np.array([r["centroid_id"] for r in c_rows], dtype=np.int64)
+        nq, nlist = len(self.q_ids), len(self.c_ids)
+        # qc2[q, l] = ||Q[q] - C[l]||^2 — probe ranking here, and the
+        # coarse term of the residual ADC decomposition in pq.adc_search
+        self.qc2 = (
+            (self.Q * self.Q).sum(1)[:, None]
+            - 2.0 * (self.Q @ self.C.T)
+            + (self.C * self.C).sum(1)[None, :]
+        )
+        order = np.argsort(self.qc2, axis=1, kind="stable")[:, : min(nprobe, nlist)]
+        self.probe_mask = np.zeros((nq, int(self.c_ids.max()) + 1), dtype=bool)
+        for qi in range(nq):
+            self.probe_mask[qi, self.c_ids[order[qi]]] = True
+        self.probed_lists = sorted({int(self.c_ids[c]) for row in order for c in row})
+        # centroid_id -> row index in C (ids are dense in practice, but the
+        # slot map keeps the kernels correct for any id set)
+        self.slot_of = np.full(int(self.c_ids.max()) + 1, -1, dtype=np.int64)
+        self.slot_of[self.c_ids] = np.arange(nlist)
+
+    def prune(self, corpus_with_centroid: DataFrame) -> DataFrame:
+        """Static partition pruning to the union of probed lists."""
+        return corpus_with_centroid.filter(F.col("centroid_id").isin(self.probed_lists))
+
+
 def ivf_search_pandas(
     corpus_with_centroid: DataFrame,
     centroids: DataFrame,
@@ -178,6 +225,7 @@ def ivf_search_pandas(
     nprobe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_np: tuple | None = None,
 ) -> DataFrame:
     """K6 fast path — probe-pruned search with NO candidate join.
 
@@ -186,8 +234,13 @@ def ivf_search_pandas(
       1. statically pruned to the union of probed lists
          (`centroid_id IN (...)` — a plain partition filter, cheaper than
          the join + dynamic pruning of :func:`ivf_search`), and
-      2. scored by the same vectorized kernel as knn_pandas, with a
-         (query x centroid) boolean mask zeroing out non-probed pairs.
+      2. scored one inverted list at a time: each Arrow batch (usually a
+         single centroid_id — the index is written partitioned by it) runs
+         a sub-GEMM of ONLY the queries probing that list. Compute is
+         therefore ~nprobe/nlist of the exact scan even when a diverse
+         query batch forces the IO union wide — the masked-full-GEMM form
+         this replaces paid exact-scan FLOPs whenever the batch's probed
+         union covered most lists.
 
     The join-based :func:`ivf_search` remains the pure-DataFrame reference
     form (used by the SQL-determinism tests); this is the bench/scale path —
@@ -197,22 +250,9 @@ def ivf_search_pandas(
     import pandas as pd
     from pyspark.sql import types as T
 
-    q_rows = queries.select("query_id", "qvec").collect()
-    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-    Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)
-    c_rows = centroids.orderBy("centroid_id").collect()
-    C = np.stack([r["cvec"] for r in c_rows]).astype(np.float64)
-    c_ids = np.array([r["centroid_id"] for r in c_rows], dtype=np.int64)
-    nq, nlist = len(q_ids), len(c_ids)
-
-    cd = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
-    probe_order = np.argsort(cd, axis=1, kind="stable")[:, : min(nprobe, nlist)]
-    probe_mask = np.zeros((nq, int(c_ids.max()) + 1), dtype=bool)
-    for qi in range(nq):
-        probe_mask[qi, c_ids[probe_order[qi]]] = True
-    probed_lists = sorted({int(c_ids[c]) for row in probe_order for c in row})
-
-    pruned = corpus_with_centroid.filter(F.col("centroid_id").isin(probed_lists))
+    probes = DriverProbes(queries, centroids, nprobe, centroid_np=centroid_np)
+    q_ids, Q, probe_mask = probes.q_ids, probes.Q, probes.probe_mask
+    pruned = probes.prune(corpus_with_centroid)
     q_sq = (Q * Q).sum(1)
 
     out_schema = T.StructType(
@@ -224,18 +264,30 @@ def ivf_search_pandas(
     )
 
     def scan(batches):
+        from webscale_vector_search_spark.operators.knn import batch_topk_rows
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             ids = pdf[id_col].to_numpy()
             cent = pdf["centroid_id"].to_numpy(dtype=np.int64)
-            dist = q_sq[:, None] - 2.0 * (Q @ V.T) + (V * V).sum(1)[None, :]
-            np.maximum(dist, 0.0, out=dist)
-            dist[~probe_mask[:, cent]] = np.inf  # mask non-probed pairs
-            from webscale_vector_search_spark.operators.knn import batch_topk_rows
-
-            yield pd.DataFrame(batch_topk_rows(dist, ids, q_ids, k))
+            parts = []
+            for cv in np.unique(cent):
+                qsel = np.where(probe_mask[:, cv])[0]
+                if qsel.size == 0:
+                    continue
+                rows = np.where(cent == cv)[0]
+                Vc = V[rows]
+                d = (
+                    q_sq[qsel][:, None]
+                    - 2.0 * (Q[qsel] @ Vc.T)
+                    + (Vc * Vc).sum(1)[None, :]
+                )
+                np.maximum(d, 0.0, out=d)
+                parts.append(batch_topk_rows(d, ids[rows], q_ids[qsel], k))
+            if parts:
+                yield pd.concat([pd.DataFrame(p) for p in parts])
 
     partial = pruned.select(id_col, vec_col, "centroid_id").mapInPandas(scan, out_schema)
     from webscale_vector_search_spark.operators.knn import topk

@@ -95,11 +95,18 @@ def build_index(
         assigned = ivf_ops.assign_centroids(base, centroids)
         if config.index_type == "IVFPQ":
             pq_m = config.resolved_pq_m()
+            # codebooks fit + codes computed on RESIDUALS v - C[centroid_id]
+            # (FAISS IVFPQ semantics; raw-vector codebooks cannot rank within
+            # a cluster on clustered corpora — see pq.fit_codebooks)
             books = pq_ops.fit_codebooks(
-                base, pq_m, seed=config.seed, n_codes=2**config.pq_bits
+                assigned,
+                pq_m,
+                seed=config.seed,
+                n_codes=2**config.pq_bits,
+                centroids=centroids,
             )
             index_io.write_codebooks(spark, out_dir, books)
-            assigned = pq_ops.encode(assigned, books)
+            assigned = pq_ops.encode(assigned, books, centroids=centroids)
         # pack each inverted list into few files (see FLAT note above)
         assigned = _packed_repartition(assigned, "centroid_id", nlist)
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(vectors_dir)
@@ -116,6 +123,7 @@ def build_index(
             nlist=nlist,
             pq_m=pq_m,
             metric=config.metric,
+            pq_residual=config.index_type == "IVFPQ",
         ),
     )
     return index_io.open_index(spark, out_dir)
@@ -123,21 +131,29 @@ def build_index(
 
 def search_index(
     spark: SparkSession,
-    index_dir: str,
+    index_dir: str | index_io.IndexHandle,
     queries: DataFrame,
     k: int = 10,
     nprobe: int | None = None,
     exact_refine: bool = True,
+    refine_factor: int = 10,
     kernel: str = "pandas",
 ) -> DataFrame:
     """Search previously-built artifacts (the online path of §3.1, batch form).
+
+    `index_dir` may be an already-opened IndexHandle: a serving process
+    opens the index once (metadata read + file listing + codebook load) and
+    amortizes that across query batches — per-batch cost is then only the
+    pruned scan. Passing a path re-opens per call (fine for one-shots).
 
     - FLAT   -> exact brute-force (K1/K3)
     - IVF    -> probe-pruned exact distances (K6); nprobe defaults to the
                 reference's min(64, max(1, nlist // 8)) rule (549)
     - IVFPQ  -> probe-pruned ADC over codes (K8); with exact_refine, the
-                ADC top-4k candidates are re-ranked with exact distances
-                (standard two-stage PQ serving)
+                ADC top-(refine_factor*k) candidates are re-ranked with
+                exact distances (standard two-stage PQ serving; the refine
+                IO is candidates-only — |queries| * refine_factor * k rows
+                via a broadcast semi-join over the probed lists)
     - HNSW   -> per-partition graph search (K9, operators/hnsw_partition.py:
                 hnswlib when installed, the PyHNSW numpy implementation
                 otherwise) over the centroid-partitioned artifacts — real
@@ -153,7 +169,11 @@ def search_index(
     """
     from webscale_vector_search_spark.operators.knn import knn, knn_pandas
 
-    handle = index_io.open_index(spark, index_dir)
+    handle = (
+        index_dir
+        if isinstance(index_dir, index_io.IndexHandle)
+        else index_io.open_index(spark, index_dir)
+    )
     itype = handle.meta["index_type"]
     if handle.meta.get("metric", "sq_l2") == "cosine":
         # the stored vectors are unit-normalized; normalizing the query batch
@@ -178,23 +198,40 @@ def search_index(
         return hnsw_partition_search(handle.vectors, queries, k=k)
 
     if itype in ("IVF", "HNSW"):
-        fn = ivf_ops.ivf_search_pandas if kernel == "pandas" else ivf_ops.ivf_search
-        return fn(handle.vectors, handle.centroids, queries, k=k, nprobe=nprobe)
+        if kernel == "pandas":
+            return ivf_ops.ivf_search_pandas(
+                handle.vectors,
+                handle.centroids,
+                queries,
+                k=k,
+                nprobe=nprobe,
+                centroid_np=handle.centroid_arrays(),
+            )
+        return ivf_ops.ivf_search(handle.vectors, handle.centroids, queries, k=k, nprobe=nprobe)
 
     # IVFPQ: per-query probe-masked ADC over statically pruned code lists
+    from webscale_vector_search_spark.operators.ivf import DriverProbes
+
+    probes = DriverProbes(
+        queries, handle.centroids, nprobe, centroid_np=handle.centroid_arrays()
+    )
     adc = pq_ops.adc_search(
         handle.vectors,
         handle.codebooks,
         queries,
-        k=(4 * k if exact_refine else k),
-        centroids=handle.centroids,
-        nprobe=nprobe,
+        k=(refine_factor * k if exact_refine else k),
+        probes=probes,
+        residual=bool(handle.meta.get("pq_residual")),
     )
     if not exact_refine:
         return adc
     cand_ids = adc.select("query_id", F.col("neighbor_id").alias("vec_id"))
+    # candidates all come from probed lists, so the raw-vector re-read can
+    # partition-prune the same way as the code scan did (without this the
+    # vec_id semi-join scans every list's embeddings)
     refine = (
-        handle.vectors.select("vec_id", "embedding")
+        probes.prune(handle.vectors)
+        .select("vec_id", "embedding")
         .join(F.broadcast(cand_ids), "vec_id")
         .join(F.broadcast(queries.select("query_id", "qvec")), "query_id")
     )

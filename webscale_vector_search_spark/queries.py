@@ -549,9 +549,13 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
     cents = ivf_ops.train_centroids(spark, corpus, nlist=16, seed=42, sample_fraction=1.0)
     assigned = ivf_ops.assign_centroids(corpus, cents)
-    books = pq_ops.fit_codebooks(corpus, m=16, seed=42)
-    codes = pq_ops.encode(assigned, books)
-    return pq_ops.adc_search(codes, books, queries, k=K, centroids=cents, nprobe=8)
+    # residual codes (the build_index default): codebooks fit on and codes
+    # encoding v - C[centroid_id], searched with the residual ADC expansion
+    books = pq_ops.fit_codebooks(assigned, m=16, seed=42, centroids=cents)
+    codes = pq_ops.encode(assigned, books, centroids=cents)
+    return pq_ops.adc_search(
+        codes, books, queries, k=K, centroids=cents, nprobe=8, residual=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,7 @@ def metadata_dict(
     nlist: int | None = None,
     pq_m: int | None = None,
     metric: str = "sq_l2",
+    pq_residual: bool = False,
 ) -> dict:
     return {
         "num_shards": num_shards,
@@ -78,6 +79,10 @@ def metadata_dict(
         "nlist": nlist,
         "pq_m": pq_m,
         "metric": metric,
+        # True when codes encode v - C[centroid_id] (FAISS-style residual
+        # PQ, the build_index default for IVFPQ); readers pick the matching
+        # ADC decomposition. Absent/False in pre-r2 indexes = raw-vector codes.
+        "pq_residual": pq_residual,
     }
 
 
@@ -113,6 +118,19 @@ class IndexHandle:
     vectors: DataFrame
     centroids: DataFrame | None = None
     codebooks: np.ndarray | None = None
+    _centroid_np: tuple | None = None
+
+    def centroid_arrays(self) -> tuple:
+        """(c_ids int64, C float64) numpy views of the centroid table,
+        collected once and cached on the handle — probe selection runs per
+        query batch, re-reading the (tiny) centroid parquet every batch is
+        pure overhead in a serving loop."""
+        if self._centroid_np is None:
+            rows = self.centroids.orderBy("centroid_id").collect()
+            c_ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+            C = np.stack([r["cvec"] for r in rows]).astype(np.float64)
+            self._centroid_np = (c_ids, C)
+        return self._centroid_np
 
 
 def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
