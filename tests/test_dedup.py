@@ -146,3 +146,75 @@ def test_embedding_neardup_ivf_bucketed(spark):
     # soft 2-assignment recovers nearly all Voronoi-boundary pairs
     # (measured 0.99 on this fixture vs ~0.5-0.7 under single assignment)
     assert recall >= 0.9, f"bucket-blocking recall {recall}"
+
+
+def test_dedup_clusters_transitive_and_minimal(spark):
+    """Connected components: a~b and b~c must land a, b, c in ONE cluster
+    labeled by the min id, even when (a, c) was never a candidate pair —
+    the exact case pairwise keep-the-smaller dedup gets wrong."""
+    from webscale_vector_search_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id BIGINT")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4, 6: 6, 7: 7}
+
+
+def test_dedup_clusters_chain_converges(spark):
+    """A path-shaped component (worst diameter) must still fully converge."""
+    from webscale_vector_search_spark.operators.dedup import dedup_clusters
+
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id BIGINT")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = dedup_clusters(docs, pairs).collect()
+    assert all(r["cluster_id"] == 0 for r in got) and len(got) == n
+
+
+def test_decontaminate_plants_and_misses(spark):
+    """A training doc embedding a benchmark 8-gram verbatim is flagged with
+    the right overlap count; unrelated docs are absent from the result."""
+    from webscale_vector_search_spark.operators.dedup import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then " + bench_text + " trailing words"),
+            (2, "completely unrelated text with no overlap at all here"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r["n_overlap"] for r in decontaminate(train, bench, k=8).collect()}
+    # bench text has 9 tokens -> 2 distinct 8-grams; both appear in doc 1
+    assert got == {1: 2}
+
+
+def test_stratified_sample_monotone_and_deterministic(spark):
+    from tests.conftest import SF_ORACLE
+    from webscale_vector_search_spark.operators.sampling import (
+        holdout_split,
+        stratified_sample,
+    )
+    from webscale_vector_search_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "documents", SF_ORACLE).cache()
+    small = stratified_sample(docs, {"en": 0.2}, stratum_col="lang")
+    big = stratified_sample(docs, {"en": 0.6}, stratum_col="lang")
+    small_ids = {r["doc_id"] for r in small.select("doc_id").collect()}
+    big_ids = {r["doc_id"] for r in big.select("doc_id").collect()}
+    assert small_ids <= big_ids, "turning a mix weight up must only ADD rows"
+    # unlisted strata are dropped entirely
+    assert small.filter(F.col("lang") != "en").count() == 0
+    # rate lands near target on the en stratum (hash uniformity)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert abs(len(big_ids) / n_en - 0.6) < 0.15
+    # identical second run (determinism) and disjoint-exhaustive holdout
+    assert {r["doc_id"] for r in stratified_sample(docs, {"en": 0.2}, stratum_col="lang").select("doc_id").collect()} == small_ids
+    train, hold = holdout_split(docs, holdout_rate=0.1)
+    assert train.count() + hold.count() == docs.count()
+    assert train.join(hold, "doc_id").count() == 0

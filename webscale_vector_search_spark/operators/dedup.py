@@ -409,3 +409,110 @@ def embedding_neardup_ivf(
 
     pairs = assigned.groupBy("centroid_id").applyInPandas(bucket_pairs, out_schema)
     return pairs.dropDuplicates(["vec_a", "vec_b"])
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTER ASSIGNMENT: connected components over candidate
+    pairs, cluster_id = min doc_id in the component (singletons cluster to
+    themselves). The step after pair generation in every production dedup
+    pipeline — keep one representative per cluster, not per pair (pairwise
+    keep-the-smaller drops too much when A~B and B~C but A!~C).
+
+    Algorithm: hash-min label propagation — labels start at doc_id; each
+    round every node takes the min label among itself and its neighbors;
+    converges in <= component-diameter rounds (near-dup components are
+    shallow: LSH pairs are mostly cliques of rewrites). Each round is one
+    bounded shuffle of |pairs| rows joined against the label table; the
+    corpus-sized docs table is touched once (label init). The driver loop
+    only checks a 0/1 convergence flag per round — no corpus data ever
+    reaches the driver. max_iter bounds adversarial chain-shaped components.
+
+    Returns (doc_id, cluster_id) for EVERY input doc, deterministic.
+    """
+    if pairs is None:
+        pairs = neardup_candidate_pairs(docs, id_col=id_col)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).cache()
+    # localCheckpoint, not cache: each round references the previous label
+    # table TWICE (neighbor join + convergence check), so lineage doubles
+    # per round — the logical plan goes exponential and the driver OOMs
+    # planning round ~10+. Checkpointing truncates the plan to the
+    # materialized result (on a real cluster, checkpoint to reliable
+    # storage if executor loss during the loop must be survivable).
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("dst"), F.col("cluster_id").alias("dst_label")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), "cluster_id")
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any token k-gram
+    with a held-out benchmark set (the standard pre-training hygiene check;
+    k=8..13 windows are the common published choice).
+
+    Scale shape: the benchmark side is always tiny relative to the corpus
+    (eval suites are MBs, corpora are TBs), so its distinct k-gram set
+    BROADCASTS; the training side explodes its per-doc distinct k-grams in
+    the map task, survives the broadcast-hash semi-join only on actual
+    overlaps, and the single shuffle aggregates hit-counts for matched docs
+    only — the clean corpus never reaches an exchange.
+
+    Returns (doc_id, n_overlap) — one row per CONTAMINATED training doc,
+    n_overlap = number of distinct shared k-grams.
+    """
+    bench_grams = benchmark.select(
+        F.explode(shingles(F.col(text_col), k)).alias("gram")
+    ).distinct()
+    train_grams = train.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("gram")
+    )
+    hits = train_grams.join(F.broadcast(bench_grams), "gram")
+    # shingles() is per-doc distinct, so plain count == distinct-gram count
+    return hits.groupBy(id_col).agg(F.count("*").alias("n_overlap"))

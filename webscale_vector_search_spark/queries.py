@@ -600,6 +600,7 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counting, document fingerprinting — all over `documents`, all exact.
 # ---------------------------------------------------------------------------
 
+from webscale_vector_search_spark.operators import sampling as sampling_ops  # noqa: E402
 from webscale_vector_search_spark.operators import textops  # noqa: E402
 
 
@@ -1370,3 +1371,127 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _NGRAM_JACCARD_DOCS)
     pairs = dedup_ops.neardup_candidate_pairs(docs)
     return dedup_ops.ngram_jaccard(docs, docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_clusters — X2 cluster assignment: connected components over the
+# LSH candidate pairs (hash-min label propagation), cluster_id = min doc_id
+# in the component. Oracle: the same KM-minhash pair generation as
+# q_neardup_bands, then min-reachable-id per node via a recursive CTE —
+# connected components IS expressible in ANSI SQL at oracle scale, so this
+# iterative Spark operator still gets a full hash-checked gate.
+# ---------------------------------------------------------------------------
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < {_NEARDUP_DOCS}
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {dedup_ops.SHINGLE_K - 1}, 1) + 1),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+         ))) AS shingle
+  FROM toks
+),
+hp AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(shingle), 1, 16) AS UBIGINT) AS HUGEINT) AS h1,
+         CAST(CAST('0x' || substr(md5(shingle), 17, 16) AS UBIGINT) AS HUGEINT) AS h2r
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, seed,
+         min((h1 + seed * (h2r + 1 - h2r % 2)) % {2**64}) AS mh
+  FROM hp CROSS JOIN (SELECT unnest(range(0, {dedup_ops.N_HASHES})) AS seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // {dedup_ops.ROWS_PER_BAND} AS INT) AS band,
+         string_agg(lower(lpad(hex(CAST(mh AS UBIGINT)), {dedup_ops.HASH_WIDTH}, '0')),
+                    '|' ORDER BY seed) AS band_sig
+  FROM sigs GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM toks
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@declare("q_dedup_clusters", _DEDUP_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _NEARDUP_DOCS)
+    return dedup_ops.dedup_clusters(docs)
+
+
+# ---------------------------------------------------------------------------
+# q_sample_mix — deterministic stratified sampling / data mixing: keep each
+# document of language s at rate MIX_WEIGHTS[s], decided by a portable hash
+# threshold on doc_id (reproducible across runs/engines — no rand()).
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.1}
+
+_SAMPLE_MIX_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {sampling_ops.stratified_sample_sql(MIX_WEIGHTS, stratum_col="lang", id_col="doc_id")}
+ORDER BY doc_id
+"""
+
+
+@declare("q_sample_mix", _SAMPLE_MIX_ORACLE)
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    kept = sampling_ops.stratified_sample(docs, MIX_WEIGHTS, stratum_col="lang")
+    return kept.select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# q_decontaminate — benchmark decontamination: training docs sharing any
+# token 8-gram with the held-out benchmark subset (doc_id % 10 == 7), with
+# the count of distinct shared 8-grams. The benchmark gram set broadcasts.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_K = 8
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {_DECONTAM_K - 1}, 1) + 1),
+           i -> concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(_DECONTAM_K))})
+         ))) AS gram
+  FROM toks
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 7),
+train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 != 7)
+SELECT t.doc_id, count(*) AS n_overlap
+FROM train t JOIN bench b USING (gram)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+@declare("q_decontaminate", _DECONTAM_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    train = docs.filter(F.col("doc_id") % 10 != 7)
+    return dedup_ops.decontaminate(train, bench, k=_DECONTAM_K)
