@@ -103,3 +103,31 @@ def test_oracle_sql_is_ansi_parseable_by_duckdb():
             con.execute(f"EXPLAIN {sql}")
         except Exception as e:  # noqa: BLE001
             pytest.fail(f"{name} oracle not DuckDB-parseable: {e}")
+
+
+def test_repetition_signals_separate_repetitive_docs(spark):
+    """A heavily repeated phrase must score low TTR / high repetition; a
+    distinct-token doc must sit at the clean extreme (TTR 1, rep3 0)."""
+    from pyspark.sql import functions as F
+
+    from webscale_vector_search_spark.operators.textops import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(["spam ham eggs"] * 20)),
+            (1, " ".join(f"tok{i}" for i in range(60))),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    sig = repetition_signals(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *[c.alias(n) for n, c in sig.items()]).collect()
+    }
+    spammy, clean = rows[0], rows[1]
+    assert spammy["n_tokens"] == 60 and clean["n_tokens"] == 60
+    assert spammy["type_token_ratio"] == pytest.approx(3 / 60)
+    assert clean["type_token_ratio"] == 1.0
+    assert spammy["rep3_frac"] == 1.0  # every trigram window recurs
+    assert clean["rep3_frac"] == 0.0
+    assert spammy["top_bigram_frac"] > 0.3 > clean["top_bigram_frac"]

@@ -113,3 +113,45 @@ def winnow_fingerprint(text: Column, k: int = 5) -> Column:
         idx, lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)])
     )
     return F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))
+
+
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Repetition-based quality signals (Gopher-rule analogs adapted to the
+    fixture's line-less token streams): heavily repetitive documents are the
+    classic low-quality / machine-generated tell.
+
+    - type_token_ratio: distinct tokens / tokens (low = repetitive)
+    - top_bigram_frac: occurrences of the most frequent token bigram over
+      all bigram positions
+    - rep3_frac: fraction of trigram positions whose trigram occurs more
+      than once in the document
+
+    All three are pure per-row expressions over the document's OWN tokens —
+    map-side, zero shuffle at any corpus size (the O(distinct x n) inner
+    scans are over one document, not the corpus). Rounded to 6 per the
+    float policy.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+
+    def grams(k: int) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)])
+        )
+
+    bg, tg = grams(2), grams(3)
+    top_bigram = F.array_max(
+        F.transform(F.array_distinct(bg), lambda b: F.size(F.filter(bg, lambda x: x == b)))
+    )
+    rep3 = F.size(F.filter(tg, lambda t: F.size(F.filter(tg, lambda x: x == t)) > 1))
+    return {
+        "n_tokens": n.cast("int"),
+        "type_token_ratio": F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.greatest(n, F.lit(1)), 6
+        ),
+        "top_bigram_frac": F.round(
+            top_bigram.cast("double") / F.greatest(F.size(bg), F.lit(1)), 6
+        ),
+        "rep3_frac": F.round(rep3.cast("double") / F.greatest(F.size(tg), F.lit(1)), 6),
+    }

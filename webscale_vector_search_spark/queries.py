@@ -1340,15 +1340,25 @@ shingle_sets AS (
   FROM toks
 ),
 sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingle_sets),
-hashed AS (
-  SELECT doc_id, seed,
-         substr(md5(concat_ws(':', seed, shingle)), 1, {dedup_ops.HASH_WIDTH}) AS h
-  FROM sh CROSS JOIN (SELECT unnest(range(0, {dedup_ops.N_HASHES})) AS seed)
+hp AS (
+  -- the same Kirsch-Mitzenmacher family as the engine's band_signatures
+  -- (and q_neardup_bands' oracle): one md5 per shingle, seed-i hash
+  -- derived as (h1 + i*h2odd) mod 2^64 in exact HUGEINT arithmetic
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(shingle), 1, 16) AS UBIGINT) AS HUGEINT) AS h1,
+         CAST(CAST('0x' || substr(md5(shingle), 17, 16) AS UBIGINT) AS HUGEINT) AS h2r
+  FROM sh
 ),
-sigs AS (SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY doc_id, seed),
+sigs AS (
+  SELECT doc_id, seed,
+         min((h1 + seed * (h2r + 1 - h2r % 2)) % {2**64}) AS mh
+  FROM hp CROSS JOIN (SELECT unnest(range(0, {dedup_ops.N_HASHES})) AS seed)
+  GROUP BY doc_id, seed
+),
 bands AS (
   SELECT doc_id, CAST(seed // {dedup_ops.ROWS_PER_BAND} AS INT) AS band,
-         string_agg(minhash, '|' ORDER BY seed) AS band_sig
+         string_agg(lower(lpad(hex(CAST(mh AS UBIGINT)), {dedup_ops.HASH_WIDTH}, '0')),
+                    '|' ORDER BY seed) AS band_sig
   FROM sigs GROUP BY doc_id, band
 ),
 pairs AS (
@@ -1495,3 +1505,44 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 10 == 7)
     train = docs.filter(F.col("doc_id") % 10 != 7)
     return dedup_ops.decontaminate(train, bench, k=_DECONTAM_K)
+
+
+# ---------------------------------------------------------------------------
+# q_repetition — X5 repetition-quality signals (Gopher-rule analogs):
+# type-token ratio, top-bigram fraction, repeated-trigram fraction. Pure
+# per-row expressions over each document's own tokens — map-side at any
+# corpus size.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, t,
+         list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                        i -> concat_ws(' ', t[i], t[i+1])) AS bg,
+         list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                        i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS tg
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(t) AS INT) AS n_tokens,
+       round(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1), 6)
+         AS type_token_ratio,
+       round(CAST(list_max(list_transform(list_distinct(bg),
+                   b -> len(list_filter(bg, x -> x = b)))) AS DOUBLE)
+             / greatest(len(bg), 1), 6) AS top_bigram_frac,
+       round(CAST(len(list_filter(tg, t3 -> len(list_filter(tg, x -> x = t3)) > 1))
+                  AS DOUBLE) / greatest(len(tg), 1), 6) AS rep3_frac
+FROM g ORDER BY doc_id
+"""
+
+
+@declare("q_repetition", _REPETITION_ORACLE)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sig = textops.repetition_signals(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in sig.items()]
+    )
