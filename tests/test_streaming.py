@@ -239,15 +239,18 @@ def test_validate_vectors_rejects_wrong_dim(spark):
 
 def test_incremental_ivfpq_codes_equal_batch(spark, corpus, tmp_path_factory):
     """IVFPQ streaming append under fixed centroids+codebooks must produce
-    the same codes as the batch encoder."""
+    the same codes as the batch encoder — including the RESIDUAL encoding
+    (the build_index default): a stream that appended raw codes to a
+    residual index would silently mis-score every appended vector."""
     from webscale_vector_search_spark.operators.ivf import assign_centroids, train_centroids
     from webscale_vector_search_spark.operators.pq import encode, fit_codebooks
     from webscale_vector_search_spark.streaming.build_stream import incremental_build
 
     cents = train_centroids(spark, corpus, nlist=8, seed=42, sample_fraction=1.0).cache()
-    books = fit_codebooks(corpus, m=16, seed=42)
+    assigned = assign_centroids(corpus, cents).cache()
+    books = fit_codebooks(assigned, m=16, seed=42, centroids=cents)
     batch = (
-        encode(assign_centroids(corpus, cents), books)
+        encode(assigned, books, centroids=cents)
         .select("vec_id", "codes")
         .toPandas()
         .sort_values("vec_id")
@@ -274,3 +277,59 @@ def test_incremental_ivfpq_codes_equal_batch(spark, corpus, tmp_path_factory):
     )
     assert batch["vec_id"].tolist() == inc["vec_id"].tolist()
     assert all((a == b).all() for a, b in zip(batch["codes"], inc["codes"]))
+
+
+def test_incremental_append_to_batch_ivfpq_index(spark, corpus, tmp_path_factory):
+    """Appending a stream into a build_index-built IVFPQ directory must
+    resolve the encoding from the SIDECAR (residual), so searches over the
+    merged index rank appended vectors identically to batch-built ones."""
+    from webscale_vector_search_spark.plans.build import build_index, search_index
+    from webscale_vector_search_spark.sources.index_io import open_index, read_codebooks
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+    from webscale_vector_search_spark.streaming.build_stream import (
+        incremental_build,
+        refresh_metadata,
+    )
+    from tests.conftest import SF_ORACLE
+
+    first = corpus.filter(F.col("vec_id") % 2 == 0)
+    rest = corpus.filter(F.col("vec_id") % 2 == 1)
+    out = str(tmp_path_factory.mktemp("ivfpq_mixed"))
+    cfg = EngineConfig(index_type="IVFPQ", nlist=8, pq_m=16, kmeans_sample_fraction=1.0)
+    build_index(spark, first, out, cfg)
+    handle = open_index(spark, out)
+    assert handle.meta["pq_residual"] is True
+
+    src = str(tmp_path_factory.mktemp("ivfpq_mixed_src"))
+    q = incremental_build(
+        spark,
+        _stream_corpus(spark, rest, src),
+        out,
+        cfg,
+        centroids=handle.centroids,
+        codebooks=read_codebooks(spark, out),
+    )
+    q.awaitTermination(120)
+    refresh_metadata(spark, out)
+
+    # reference: one batch build over the SAME corpus with the same
+    # centroids/codebooks (train set = first half, like the mixed index)
+    ref_dir = str(tmp_path_factory.mktemp("ivfpq_ref"))
+    from webscale_vector_search_spark.operators.ivf import assign_centroids
+    from webscale_vector_search_spark.operators.pq import encode
+
+    assigned = assign_centroids(corpus, handle.centroids)
+    codes = encode(assigned, read_codebooks(spark, out), centroids=handle.centroids)
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(ref_dir, "vectors")
+    )
+    import shutil
+
+    shutil.copy(os.path.join(out, "shards_metadata.json"), ref_dir)
+    shutil.copytree(os.path.join(out, "centroids"), os.path.join(ref_dir, "centroids"))
+    shutil.copytree(os.path.join(out, "codebooks"), os.path.join(ref_dir, "codebooks"))
+
+    queries = queries_from_embeddings(spark, SF_ORACLE, 10)
+    mixed = search_index(spark, out, queries, k=5, nprobe=8).orderBy("query_id", "rank")
+    ref = search_index(spark, ref_dir, queries, k=5, nprobe=8).orderBy("query_id", "rank")
+    assert mixed.collect() == ref.collect()

@@ -96,17 +96,18 @@ def build_index(
         if config.index_type == "IVFPQ":
             pq_m = config.resolved_pq_m()
             # codebooks fit + codes computed on RESIDUALS v - C[centroid_id]
-            # (FAISS IVFPQ semantics; raw-vector codebooks cannot rank within
-            # a cluster on clustered corpora — see pq.fit_codebooks)
+            # by default (FAISS IVFPQ semantics; raw-vector codebooks cannot
+            # rank within a cluster on clustered corpora — see pq.fit_codebooks)
+            pq_cents = centroids if config.pq_residual else None
             books = pq_ops.fit_codebooks(
                 assigned,
                 pq_m,
                 seed=config.seed,
                 n_codes=2**config.pq_bits,
-                centroids=centroids,
+                centroids=pq_cents,
             )
             index_io.write_codebooks(spark, out_dir, books)
-            assigned = pq_ops.encode(assigned, books, centroids=centroids)
+            assigned = pq_ops.encode(assigned, books, centroids=pq_cents)
         # pack each inverted list into few files (see FLAT note above)
         assigned = _packed_repartition(assigned, "centroid_id", nlist)
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(vectors_dir)
@@ -123,7 +124,7 @@ def build_index(
             nlist=nlist,
             pq_m=pq_m,
             metric=config.metric,
-            pq_residual=config.index_type == "IVFPQ",
+            pq_residual=config.index_type == "IVFPQ" and config.pq_residual,
         ),
     )
     return index_io.open_index(spark, out_dir)

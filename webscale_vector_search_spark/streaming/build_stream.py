@@ -65,8 +65,15 @@ def incremental_build(
                 index_type=config.index_type,
                 vector_dim=config.vector_dim,
                 total_vectors=0,
+                pq_residual=config.index_type == "IVFPQ" and config.pq_residual,
             ),
         )
+    # the appended codes MUST match the sidecar's encoding: a residual
+    # index (build_index default) streamed raw codes would silently
+    # mis-score every appended vector under the residual ADC expansion
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+
+    pq_residual = bool(read_metadata(out_dir).get("pq_residual"))
     # append into the CURRENT version directory (compact_index may have
     # flipped the sidecar pointer away from the original `vectors`)
     vectors_dir = vectors_path(out_dir)
@@ -103,9 +110,11 @@ def incremental_build(
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             from webscale_vector_search_spark.operators.pq import encode
 
-            assigned = encode(assign_centroids(batch_df, cents), books).repartition(
-                max(1, cents_count), "centroid_id"
-            )
+            assigned = encode(
+                assign_centroids(batch_df, cents),
+                books,
+                centroids=cents if pq_residual else None,
+            ).repartition(max(1, cents_count), "centroid_id")
             assigned.write.mode("append").partitionBy("centroid_id").parquet(vectors_dir)
 
     else:
