@@ -81,16 +81,21 @@ def assign_centroids(
     schema = T.StructType(list(corpus.schema.fields) + [T.StructField("centroid_id", T.IntegerType())])
 
     def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
-            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
-            pdf = pdf.copy()
-            pdf["centroid_id"] = d.argmin(axis=1).astype("int32")
-            yield pdf
+        import pyarrow as pa
 
-    return corpus.mapInPandas(assign, schema)
+        from webscale_vector_search_spark.operators.knn import list_matrix
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = list_matrix(batch, vec_col, dtype=np.float64)  # (n, dim)
+            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+            labels = d.argmin(axis=1).astype(np.int32)
+            yield batch.append_column(
+                pa.field("centroid_id", pa.int32()), pa.array(labels, pa.int32())
+            )
+
+    return corpus.mapInArrow(assign, schema)
 
 
 def assign_centroids_sql(
@@ -247,7 +252,6 @@ def ivf_search_pandas(
     same recall, same results, map-only.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     probes = DriverProbes(queries, centroids, nprobe, centroid_np=centroid_np)
@@ -264,20 +268,24 @@ def ivf_search_pandas(
     )
 
     def scan(batches):
-        from webscale_vector_search_spark.operators.knn import batch_topk_rows
+        from webscale_vector_search_spark.operators.knn import (
+            batch_topk_rows,
+            list_matrix,
+            segment_iter,
+            topk_record_batch,
+        )
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            ids = pdf[id_col].to_numpy()
-            cent = pdf["centroid_id"].to_numpy(dtype=np.int64)
+            V = list_matrix(batch, vec_col, dtype=np.float64)
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy()
+            cent = batch.column(batch.schema.get_field_index("centroid_id")).to_numpy()
             parts = []
-            for cv in np.unique(cent):
+            for cv, rows in segment_iter(cent.astype(np.int64, copy=False)):
                 qsel = np.where(probe_mask[:, cv])[0]
                 if qsel.size == 0:
                     continue
-                rows = np.where(cent == cv)[0]
                 Vc = V[rows]
                 d = (
                     q_sq[qsel][:, None]
@@ -287,9 +295,9 @@ def ivf_search_pandas(
                 np.maximum(d, 0.0, out=d)
                 parts.append(batch_topk_rows(d, ids[rows], q_ids[qsel], k))
             if parts:
-                yield pd.concat([pd.DataFrame(p) for p in parts])
+                yield topk_record_batch(parts)
 
-    partial = pruned.select(id_col, vec_col, "centroid_id").mapInPandas(scan, out_schema)
+    partial = pruned.select(id_col, vec_col, "centroid_id").mapInArrow(scan, out_schema)
     from webscale_vector_search_spark.operators.knn import topk
 
     ranked = topk(partial, k)
@@ -325,17 +333,26 @@ def assign_centroids_multi(
     )
 
     def assign(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        from webscale_vector_search_spark.operators.knn import list_matrix
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = list_matrix(batch, vec_col, dtype=np.float64)
             d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
             order = np.argsort(d, axis=1, kind="stable")[:, :n_assign]
-            out = pdf.loc[pdf.index.repeat(n_assign)].reset_index(drop=True)
-            out["centroid_id"] = c_ids[order.ravel()].astype("int32")
-            out["assign_rank"] = np.tile(np.arange(n_assign, dtype="int32"), len(pdf))
+            n = len(V)
+            out = batch.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), n_assign)))
+            out = out.append_column(
+                pa.field("centroid_id", pa.int32()),
+                pa.array(c_ids[order.ravel()].astype(np.int32), pa.int32()),
+            )
+            out = out.append_column(
+                pa.field("assign_rank", pa.int32()),
+                pa.array(np.tile(np.arange(n_assign, dtype=np.int32), n), pa.int32()),
+            )
             yield out
 
-    return corpus.mapInPandas(assign, schema)
+    return corpus.mapInArrow(assign, schema)

@@ -182,6 +182,60 @@ def similarity_join(
     return scored.filter(F.col("distance") < threshold).select("left_id", "right_id", "distance")
 
 
+def list_matrix(batch, col: str, dtype=None):
+    """(n, width) numpy matrix from a fixed-width list<primitive> column of a
+    pyarrow RecordBatch — near-zero-copy via Arrow value-buffer flatten.
+
+    The pandas route (``np.stack(pdf[col].to_numpy())``) rebuilds the matrix
+    from n per-row object arrays — measured ~50x slower than flattening the
+    Arrow child buffer (0.64 s vs 0.012 s on a 400k x 16 codes column). All
+    engine list columns are fixed-width (schema invariant: size(vec) = dim),
+    so the reshape is exact; ``flatten()`` honors slice offsets.
+    """
+    import numpy as np
+
+    arr = batch.column(batch.schema.get_field_index(col))
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    width = flat.size // n if n else 0
+    out = flat.reshape(n, width)
+    return out if dtype is None else out.astype(dtype, copy=False)
+
+
+def segment_iter(values):
+    """Yield (value, row_index_array) per distinct value via ONE argsort.
+
+    Replaces the per-list ``np.unique`` + ``np.where(values == v)`` pattern,
+    which rescans the whole batch once per distinct value (O(lists x rows));
+    this is O(rows log rows) total. Iteration order is ascending by value —
+    deterministic, matching np.unique.
+    """
+    import numpy as np
+
+    order = np.argsort(values, kind="stable")
+    sorted_vals = values[order]
+    starts = np.flatnonzero(np.r_[True, sorted_vals[1:] != sorted_vals[:-1]])
+    bounds = np.r_[starts, sorted_vals.size]
+    for i, s in enumerate(starts):
+        yield sorted_vals[s], order[s : bounds[i + 1]]
+
+
+def topk_record_batch(parts):
+    """Assemble per-list batch_topk_rows dicts into one output RecordBatch."""
+    import numpy as np
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_pydict(
+        {
+            key: np.concatenate([p[key] for p in parts])
+            for key in ("query_id", "vec_id", "distance")
+        },
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()), ("distance", pa.float64())]
+        ),
+    )
+
+
 def batch_topk_rows(dist, ids, q_ids, k: int, tie_margin: int = 64):
     """Deterministic batch-local top-k for the numpy kernels.
 
@@ -240,14 +294,12 @@ def knn_pandas(
     (search_index(kernel=...) selects per job).
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     q_rows = queries.select("query_id", "qvec").collect()
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)  # (nq, dim)
     q_sq = (Q * Q).sum(axis=1)
-    nq = len(q_ids)
 
     out_schema = T.StructType(
         [
@@ -258,17 +310,16 @@ def knn_pandas(
     )
 
     def scan(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
-            ids = pdf[id_col].to_numpy()
-            n = len(ids)
+            V = list_matrix(batch, vec_col, dtype=np.float64)  # (n, dim)
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy()
             dist = q_sq[:, None] - 2.0 * (Q @ V.T) + (V * V).sum(axis=1)[None, :]
             np.maximum(dist, 0.0, out=dist)  # clamp -0.0-ish fp residue
-            yield pd.DataFrame(batch_topk_rows(dist, ids, q_ids, k))
+            yield topk_record_batch([batch_topk_rows(dist, ids, q_ids, k)])
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    partial = corpus.select(id_col, vec_col).mapInArrow(scan, out_schema)
     ranked = topk(partial, k)
     return ranked.select(
         "query_id",

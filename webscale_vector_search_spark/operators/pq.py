@@ -121,12 +121,17 @@ def encode(
     C_arr = _centroid_array(centroids) if centroids is not None else None
 
     def enc(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import pyarrow as pa
+
+        from webscale_vector_search_spark.operators.knn import list_matrix
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            V = list_matrix(batch, vec_col, dtype=np.float64)
             if C_arr is not None:
-                V = V - C_arr[pdf["centroid_id"].to_numpy(dtype=np.int64)]
+                cent_idx = batch.schema.get_field_index("centroid_id")
+                V = V - C_arr[batch.column(cent_idx).to_numpy().astype(np.int64)]
             n = len(V)
             codes = np.empty((n, m), dtype=np.int16)
             for j in range(m):
@@ -134,11 +139,11 @@ def encode(
                 cb = books[j]
                 d = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ cb.T) + (cb * cb).sum(1)[None, :]
                 codes[:, j] = d.argmin(1)
-            pdf = pdf.copy()
-            pdf["codes"] = list(codes)
-            yield pdf
+            offsets = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+            codes_arr = pa.ListArray.from_arrays(offsets, pa.array(codes.ravel()))
+            yield batch.append_column(pa.field("codes", pa.list_(pa.int16())), codes_arr)
 
-    return corpus.mapInPandas(enc, schema)
+    return corpus.mapInArrow(enc, schema)
 
 
 def adc_distances_sql(codes_df: DataFrame, codebooks: np.ndarray, queries: DataFrame, spark) -> DataFrame:
@@ -263,26 +268,29 @@ def adc_search(
     j_idx = np.arange(m)[None, :]
 
     def scan(batches):
-        import pandas as pd
+        from webscale_vector_search_spark.operators.knn import (
+            batch_topk_rows,
+            list_matrix,
+            segment_iter,
+            topk_record_batch,
+        )
 
-        from webscale_vector_search_spark.operators.knn import batch_topk_rows
-
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
-            ids = pdf[id_col].to_numpy()
+            codes = list_matrix(batch, "codes").astype(np.int64, copy=False)  # (n, m)
+            ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy()
             if probes is None:
                 dist = lut[:, j_idx, codes[:, :]].sum(axis=2)  # (nq, n)
-                yield pd.DataFrame(batch_topk_rows(dist, ids, q_ids, k))
+                yield topk_record_batch([batch_topk_rows(dist, ids, q_ids, k)])
                 continue
-            cent = pdf["centroid_id"].to_numpy(dtype=np.int64)
+            cent = batch.column(batch.schema.get_field_index("centroid_id")).to_numpy()
             parts = []
-            for cv in np.unique(cent):  # one inverted list at a time
+            # one inverted list at a time (segment sort, not per-list rescans)
+            for cv, rows in segment_iter(cent.astype(np.int64, copy=False)):
                 qsel = np.where(probe_mask[:, cv])[0]
                 if qsel.size == 0:
                     continue
-                rows = np.where(cent == cv)[0]
                 cc = codes[rows]  # (nc, m)
                 if residual:
                     qterm = qdot[qsel][:, j_idx, cc].sum(axis=2)  # (nqsel, nc)
@@ -295,9 +303,9 @@ def adc_search(
                     d = lut[qsel][:, j_idx, cc].sum(axis=2)
                 parts.append(batch_topk_rows(d, ids[rows], q_ids[qsel], k))
             if parts:
-                yield pd.concat([pd.DataFrame(p) for p in parts])
+                yield topk_record_batch(parts)
 
-    partial = codes_df.select(*scan_cols).mapInPandas(scan, out_schema)
+    partial = codes_df.select(*scan_cols).mapInArrow(scan, out_schema)
     from webscale_vector_search_spark.operators.knn import topk
 
     ranked = topk(partial, k)
