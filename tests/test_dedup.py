@@ -218,3 +218,43 @@ def test_stratified_sample_monotone_and_deterministic(spark):
     train, hold = holdout_split(docs, holdout_rate=0.1)
     assert train.count() + hold.count() == docs.count()
     assert train.join(hold, "doc_id").count() == 0
+
+
+def test_dup_span_stats_planted_duplicates(spark):
+    """A shared 8-token span is flagged in both carriers and nowhere else."""
+    from webscale_vector_search_spark.operators.dedup import dup_span_stats
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, f"{span} unique tail zero zero0 zero1 zero2 zero3"),
+        (1, f"prefix one one0 one1 one2 one3 {span}"),
+        (2, "totally different words here nothing shared at all nine ten"),
+        (3, "short doc"),  # < w tokens: excluded entirely
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in dup_span_stats(docs, w=8).collect()}
+    assert set(out) == {0, 1, 2}  # doc 3 has no 8-gram
+    # each carrier holds exactly one copy of the duplicated span
+    assert out[0]["dup_grams"] == 1 and out[1]["dup_grams"] == 1
+    assert out[2]["dup_grams"] == 0 and out[2]["dup_fraction"] == 0.0
+    # coverage ratio = 1 / n_grams
+    assert out[0]["dup_fraction"] == round(1 / out[0]["n_grams"], 6)
+
+
+def test_bigram_lm_counts_and_rank(spark):
+    """Conditional probabilities on a hand-checkable corpus."""
+    from webscale_vector_search_spark.operators.textops import bigram_lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a c"), (1, "a b x y")], "doc_id BIGINT, text STRING"
+    )
+    # bigrams: doc0 = ab, ba, ab, ba, ac ; doc1 = ab, bx, xy
+    out = bigram_lm(docs, top_n=2, min_left=4).collect()
+    by_key = {(r["w1"], r["w2"]): r for r in out}
+    # only w1='a' reaches left_count >= 4 (c(a,*) = 4)
+    assert set(r["w1"] for r in out) == {"a"}
+    ab = by_key[("a", "b")]
+    assert ab["pair_count"] == 3 and ab["left_count"] == 4
+    assert ab["cond_p"] == 0.75 and ab["rank"] == 1
+    ac = by_key[("a", "c")]
+    assert ac["pair_count"] == 1 and ac["rank"] == 2

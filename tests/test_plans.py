@@ -109,3 +109,13 @@ def test_bucketed_join_elides_exchange(spark, tmp_path_factory):
         assert joined.count() == emb.count()  # 1:1 id overlap at sf0.001
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_inactive_customers_broadcast_anti(spark):
+    """The NOT-EXISTS form plans as a broadcast left-anti hash join: the
+    filtered urgent-order key set broadcasts; customers never shuffle."""
+    from webscale_vector_search_spark.queries import QUERIES
+
+    df = QUERIES["q_inactive_customers"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

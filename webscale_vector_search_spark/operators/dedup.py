@@ -516,3 +516,62 @@ def decontaminate(
     hits = train_grams.join(F.broadcast(bench_grams), "gram")
     # shingles() is per-doc distinct, so plain count == distinct-gram count
     return hits.groupBy(id_col).agg(F.count("*").alias("n_overlap"))
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span statistics — the distributed analog of
+    exact-substring training-data dedup (suffix-array ExactSubstr family):
+    for every w-token window position, is that window's text repeated in any
+    OTHER document?
+
+    Shape: per-doc w-gram positions explode in the map task; one shuffle
+    aggregates each gram's distinct-doc count; grams seen in >= 2 docs join
+    back to positions (second shuffle, duplicated grams only); a final
+    per-doc count yields coverage. The gram key travels as a 16-hex-char
+    md5 prefix, not the raw window text, so shuffle width is constant no
+    matter how long the windows are — at corpus scale this is the same
+    partition-by-fingerprint plan the published Spark/BigQuery substring
+    dedup pipelines use (a distributed suffix array would need a global
+    sort of every token position; the fixed-w windowed form is the
+    shuffle-bounded approximation).
+
+    Returns (doc_id, n_grams, dup_grams, dup_fraction): window count,
+    windows whose gram appears in >= 2 distinct docs, and their ratio.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - w)  # empty when size < w
+    grams = docs.filter(F.size(toks) >= w).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(idx, lambda i: F.substring(
+                F.md5(F.concat_ws(" ", *[toks[i + j] for j in range(w)]).cast("binary")),
+                1, HASH_WIDTH,
+            ))
+        ).alias("gram_hash"),
+    )
+    dup_grams = (
+        grams.groupBy("gram_hash")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram_hash")
+    )
+    per_doc = grams.join(dup_grams, "gram_hash").groupBy(id_col).agg(
+        F.count("*").alias("dup_grams")
+    )
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+            F.round(
+                F.coalesce("dup_grams", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("dup_fraction"),
+        )
+    )

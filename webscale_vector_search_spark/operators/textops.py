@@ -155,3 +155,59 @@ def repetition_signals(text: Column) -> dict[str, Column]:
         ),
         "rep3_frac": F.round(rep3.cast("double") / F.greatest(F.size(tg), F.lit(1)), 6),
     }
+
+
+def bigram_lm(
+    docs,
+    top_n: int = 3,
+    min_left: int = 20,
+    text_col: str = "text",
+):
+    """Count-based bigram language model: for each left token w1, the top_n
+    most likely next tokens with conditional probability c(w1,w2) / c(w1,*).
+
+    The corpus-statistics workhorse of data-quality work (n-gram LM scoring,
+    contamination fingerprints, boilerplate discovery) expressed as the
+    canonical Spark two-stage shape:
+
+    - bigram positions explode map-side and partial-aggregate before the
+      ONE shuffle on (w1, w2) — the exchange carries distinct pairs, not
+      token positions;
+    - c(w1,*) is a window sum over the already-aggregated pairs (input is
+      |distinct pairs|, so the hot-token skew of a positions-level groupBy
+      on w1 never materializes);
+    - the top-n cut is the same rank window as top-k search, partial-limit
+      pushed (WindowGroupLimit) before its exchange.
+
+    min_left drops rare left-tokens (noise floor). Ordering inside a w1 is
+    (pair_count DESC, w2 ASC) — fully deterministic. Returns
+    (w1, w2, pair_count, left_count, cond_p, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    pairs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.struct(toks[i].alias("w1"), toks[i + 1].alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    left_w = Window.partitionBy("w1")
+    rank_w = Window.partitionBy("w1").orderBy(F.desc("pair_count"), F.asc("w2"))
+    return (
+        counts.withColumn("left_count", F.sum("pair_count").over(left_w))
+        .filter(F.col("left_count") >= min_left)
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "left_count",
+            F.round(F.col("pair_count") / F.col("left_count"), 6).alias("cond_p"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1546,3 +1546,130 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", *[c.alias(name) for name, c in sig.items()]
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dup_spans — X2 extension: cross-document duplicated w-token spans (the
+# shuffle-bounded analog of suffix-array ExactSubstr dedup). Two shuffles:
+# gram-hash doc-count, then duplicated-grams join back for per-doc coverage.
+# ---------------------------------------------------------------------------
+
+_DUP_SPAN_W = 8
+
+_DUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_DUP_SPAN_W}
+),
+grams AS (
+  SELECT doc_id,
+         substr(md5(array_to_string(t[pos:pos+{_DUP_SPAN_W - 1}], ' ')), 1, 16)
+           AS gram_hash
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {_DUP_SPAN_W} + 1)) AS pos
+        FROM toks)
+),
+dup AS (
+  SELECT gram_hash FROM grams GROUP BY gram_hash
+  HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS dup_grams
+  FROM grams g JOIN dup USING (gram_hash) GROUP BY g.doc_id
+),
+totals AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(p.dup_grams, 0) AS BIGINT) AS dup_grams,
+       round(CAST(coalesce(p.dup_grams, 0) AS DOUBLE) / t.n_grams, 6)
+         AS dup_fraction
+FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@declare("q_dup_spans", _DUP_SPANS_ORACLE)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup_ops.dup_span_stats(docs, w=_DUP_SPAN_W).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_bigram_lm — X5 extension: count-based bigram next-token table (corpus
+# n-gram LM statistics). One pair-count shuffle; c(w1,*) and the top-n cut
+# are windows over the aggregated pairs.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_TOP_N = 3
+_BIGRAM_MIN_LEFT = 20
+
+_BIGRAM_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT string_split(lower(text), ' ') AS t FROM documents
+),
+pos AS (
+  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+  WHERE len(t) >= 2
+),
+counts AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS pair_count
+  FROM pos GROUP BY 1, 2
+),
+scored AS (
+  SELECT w1, w2, pair_count,
+         CAST(sum(pair_count) OVER (PARTITION BY w1) AS BIGINT) AS left_count
+  FROM counts
+)
+SELECT w1, w2, pair_count, left_count,
+       round(CAST(pair_count AS DOUBLE) / left_count, 6) AS cond_p,
+       CAST(row_number() OVER (PARTITION BY w1 ORDER BY pair_count DESC, w2)
+            AS INT) AS rank
+FROM scored
+WHERE left_count >= {_BIGRAM_MIN_LEFT}
+QUALIFY rank <= {_BIGRAM_TOP_N}
+ORDER BY w1, rank
+"""
+
+
+@declare("q_bigram_lm", _BIGRAM_LM_ORACLE)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textops.bigram_lm(
+        docs, top_n=_BIGRAM_TOP_N, min_left=_BIGRAM_MIN_LEFT
+    ).orderBy("w1", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q_inactive_customers — X9: anti-join (NOT EXISTS) — customers with no
+# urgent-priority order. The orders side aggregates to its distinct custkeys
+# before the join; Spark plans a broadcast LEFT ANTI against the filtered
+# key set, so the customer scan never shuffles.
+# ---------------------------------------------------------------------------
+
+_INACTIVE_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+"""
+
+
+@declare("q_inactive_customers", _INACTIVE_ORACLE)
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    urgent = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(
+            F.broadcast(urgent), cust["c_custkey"] == urgent["o_custkey"], "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
