@@ -333,3 +333,47 @@ def test_incremental_append_to_batch_ivfpq_index(spark, corpus, tmp_path_factory
     mixed = search_index(spark, out, queries, k=5, nprobe=8).orderBy("query_id", "rank")
     ref = search_index(spark, ref_dir, queries, k=5, nprobe=8).orderBy("query_id", "rank")
     assert mixed.collect() == ref.collect()
+
+
+def test_streaming_serve_equals_batch(spark, corpus, tmp_path_factory):
+    """T4: a query stream served via foreachBatch returns exactly the batch
+    engine's results — every micro-batch is one batched search."""
+    from webscale_vector_search_spark.plans.build import build_index, search_index
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+    from webscale_vector_search_spark.sources.index_io import open_index
+    from webscale_vector_search_spark.streaming.serve_stream import serve_queries_stream
+
+    idx_dir = str(tmp_path_factory.mktemp("serve_idx"))
+    build_index(spark, corpus, idx_dir, EngineConfig(index_type="IVF", nlist=8))
+    handle = open_index(spark, idx_dir)
+
+    queries = queries_from_embeddings(spark, SF_SMOKE, 12)
+    src = str(tmp_path_factory.mktemp("serve_src"))
+    queries.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    out_dir = str(tmp_path_factory.mktemp("serve_out"))
+    q = serve_queries_stream(spark, stream, handle, out_dir, k=10, nprobe=4)
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .select("query_id", "rank", "neighbor_id", "distance")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        search_index(spark, handle, queries, k=10, nprobe=4)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), "streamed serving diverged from batch search"
+    # every query answered exactly once (k rows each)
+    assert (got.groupby("query_id").size() == 10).all()
