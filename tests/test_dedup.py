@@ -258,3 +258,23 @@ def test_bigram_lm_counts_and_rank(spark):
     assert ab["cond_p"] == 0.75 and ab["rank"] == 1
     ac = by_key[("a", "c")]
     assert ac["pair_count"] == 1 and ac["rank"] == 2
+
+
+def test_pack_sequences_contiguous_streams(spark):
+    """Packing invariants: per-shard offsets are gapless and start at 0;
+    seq bookkeeping is consistent with the integer arithmetic."""
+    from webscale_vector_search_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    ctx = 256
+    out = pack_sequences(docs, ctx_len=ctx, num_shards=4).toPandas()
+    assert len(out) == docs.count()
+    for _, g in out.groupby("shard"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        ends = g["start_offset"] + g["n_tokens"]
+        assert g["start_offset"].iloc[0] == 0
+        assert (g["start_offset"].iloc[1:].to_numpy() == ends.iloc[:-1].to_numpy()).all()
+    assert (out["seq_id"] == out["start_offset"] // ctx).all()
+    assert (out["seq_pos"] == out["start_offset"] % ctx).all()
+    expected_cross = (out["start_offset"] + out["n_tokens"] - 1) // ctx > out["seq_id"]
+    assert (out["crosses_boundary"] == expected_cross).all()

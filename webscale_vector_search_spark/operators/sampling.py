@@ -85,3 +85,57 @@ def holdout_split(
     thr = int(round(holdout_rate * RATE_DENOM))
     draw = det_hash(F.col(id_col), seed) % RATE_DENOM
     return df.filter(draw >= thr), df.filter(draw < thr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 2048,
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end to end in token
+    space and cut fixed ctx_len training sequences — the standard pretraining
+    batch-assembly step (every doc lands at a deterministic token offset;
+    sequences are chunks of the concatenated stream).
+
+    A single global stream would serialize on one ordered window (a global
+    sort — dead at 100 TB), so packing is per-shard, the way production
+    pipelines run one packer per output file: docs hash to num_shards
+    deterministic shards (det_hash — reproducible, engine-portable), and the
+    running token offset is a cumulative window sum WITHIN each shard,
+    ordered by doc id. The only exchange is the hash partition by shard;
+    each shard's stream is independent, so shards scale horizontally and a
+    re-run reproduces byte-identical placement.
+
+    Returns one row per doc: (doc_id, shard, n_tokens, start_offset,
+    seq_id, seq_pos, crosses_boundary) where seq_id = start_offset / ctx_len
+    and crosses_boundary marks docs split across two training sequences.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.lower(F.col(text_col)), " "))
+    sharded = docs.select(
+        F.col(id_col),
+        (det_hash(F.col(id_col)) % num_shards).cast("int").alias("shard"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_end = sharded.withColumn("_end", F.sum("n_tokens").over(w))
+    # integer `div`, not float division + cast: exact at any stream offset
+    return with_end.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("_end") - F.col("n_tokens")).alias("start_offset"),
+        F.expr(f"(_end - n_tokens) div {ctx_len}").alias("seq_id"),
+        ((F.col("_end") - F.col("n_tokens")) % ctx_len).alias("seq_pos"),
+        (
+            F.expr(f"(_end - 1) div {ctx_len}")
+            > F.expr(f"(_end - n_tokens) div {ctx_len}")
+        ).alias("crosses_boundary"),
+    )

@@ -1673,3 +1673,43 @@ def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pack_sequences — X16: concat-and-chunk sequence packing (per-shard token
+# streams; the pretraining batch-assembly step). The only exchange is the
+# hash partition by shard; offsets are a within-shard cumulative window.
+# ---------------------------------------------------------------------------
+
+_PACK_CTX = 512
+_PACK_SHARDS = 8
+
+_PACK_ORACLE = f"""
+WITH sharded AS (
+  SELECT doc_id,
+         CAST(({det_hash_sql('doc_id')}) % {_PACK_SHARDS} AS INT) AS shard,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS e
+  FROM sharded
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(e - n_tokens AS BIGINT) AS start_offset,
+       CAST((e - n_tokens) // {_PACK_CTX} AS BIGINT) AS seq_id,
+       CAST((e - n_tokens) % {_PACK_CTX} AS BIGINT) AS seq_pos,
+       ((e - 1) // {_PACK_CTX}) > ((e - n_tokens) // {_PACK_CTX})
+         AS crosses_boundary
+FROM offs ORDER BY doc_id
+"""
+
+
+@declare("q_pack_sequences", _PACK_ORACLE)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return sampling_ops.pack_sequences(
+        docs, ctx_len=_PACK_CTX, num_shards=_PACK_SHARDS
+    ).orderBy("doc_id")
