@@ -278,3 +278,27 @@ def test_pack_sequences_contiguous_streams(spark):
     assert (out["seq_pos"] == out["start_offset"] % ctx).all()
     expected_cross = (out["start_offset"] + out["n_tokens"] - 1) // ctx > out["seq_id"]
     assert (out["crosses_boundary"] == expected_cross).all()
+
+
+def test_filter_funnel_monotone_cumulative(spark):
+    """Funnel invariants: each stage's entering equals the previous stage's
+    passing, counts never increase, and stage order is preserved."""
+    from webscale_vector_search_spark.operators.textops import filter_funnel
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    stages = [
+        ("a", F.col("n_chars") > 200),
+        ("b", F.col("lang") == "en"),
+        ("c", F.col("doc_id") % 2 == 0),
+    ]
+    out = filter_funnel(docs, stages).orderBy("stage").collect()
+    assert [r["name"] for r in out] == ["a", "b", "c"]
+    assert out[0]["entering"] == docs.count()
+    for prev, cur in zip(out, out[1:]):
+        assert cur["entering"] == prev["passing"]
+        assert cur["passing"] <= cur["entering"]
+    # cumulative conjunction, independently computed
+    expect_c = docs.filter(
+        (F.col("n_chars") > 200) & (F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)
+    ).count()
+    assert out[2]["passing"] == expect_c

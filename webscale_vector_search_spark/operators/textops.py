@@ -211,3 +211,43 @@ def bigram_lm(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def filter_funnel(docs, stages):
+    """Quality-gate funnel report: how many documents survive each stage of
+    an ordered filter chain — the per-stage rejection accounting every
+    production data pipeline publishes next to its output.
+
+    `stages` is an ordered list of (name, boolean Column); a document passes
+    stage i iff it passes stages 0..i (cumulative conjunction, matching how
+    a real pipeline short-circuits). ONE pass over the corpus: all stage
+    counters are conditional counts inside a single global aggregate (Spark
+    computes them map-side-partial; the exchange carries one row per task),
+    then the single result row unpivots to (stage, name, entering, passing,
+    pass_rate) via stack.
+    """
+    conds = []
+    acc = None
+    for name, cond in stages:
+        acc = cond if acc is None else (acc & cond)
+        conds.append((name, acc))
+    aggs = [F.count("*").alias("n_input")] + [
+        F.count_if(c).alias(f"_p{i}") for i, (_, c) in enumerate(conds)
+    ]
+    row = docs.agg(*aggs)
+    cells, prev = [], "n_input"
+    for i, (name, _) in enumerate(conds):
+        cells.append(f"{i}, '{name}', {prev}, _p{i}")
+        prev = f"_p{i}"
+    unpivoted = row.selectExpr(
+        f"stack({len(cells)}, {', '.join(cells)}) AS (stage, name, entering, passing)"
+    )
+    return unpivoted.select(
+        F.col("stage").cast("int").alias("stage"),
+        "name",
+        "entering",
+        "passing",
+        F.round(
+            F.col("passing") / F.greatest(F.col("entering"), F.lit(1)), 6
+        ).alias("pass_rate"),
+    )

@@ -1713,3 +1713,69 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling_ops.pack_sequences(
         docs, ctx_len=_PACK_CTX, num_shards=_PACK_SHARDS
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_filter_funnel — X17: per-stage quality-gate survival counts (pipeline
+# observability). One corpus pass: every stage counter is a conditional
+# count in a single global aggregate, unpivoted to rows.
+# ---------------------------------------------------------------------------
+
+_QUALITY_EXPR_SQL = """
+0.4 * least(1.0, len(string_split(lower(text), ' ')) / 50.0)
++ 0.3 * (len(list_filter(string_split(lower(text), ' '), w -> regexp_full_match(w, '[a-z]+')))
+         / greatest(len(string_split(lower(text), ' ')), 1))
++ 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+         / greatest(length(text), 1))
+"""
+
+_FUNNEL_ORACLE = f"""
+WITH base AS (
+  SELECT text, string_split(lower(text), ' ') AS tk,
+       {_LANG_SCORE_COLS}
+  FROM documents
+),
+flags AS (
+  SELECT (len(tk) BETWEEN 20 AND 1000) AS f_len,
+         ((CASE WHEN {_LANG_BEST} > 0 THEN {_LANG_CASE} ELSE 'und' END) = 'en') AS f_lang,
+         (round({_QUALITY_EXPR_SQL}, 6) >= 0.5) AS f_qual,
+         (round(CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1), 6) >= 0.4)
+           AS f_rep
+  FROM base
+),
+cum AS (
+  SELECT f_len AS c0, f_len AND f_lang AS c1,
+         f_len AND f_lang AND f_qual AS c2,
+         f_len AND f_lang AND f_qual AND f_rep AS c3
+  FROM flags
+),
+agg AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE c0) AS p0,
+         count(*) FILTER (WHERE c1) AS p1,
+         count(*) FILTER (WHERE c2) AS p2,
+         count(*) FILTER (WHERE c3) AS p3
+  FROM cum
+)
+SELECT * FROM (
+  SELECT 0 AS stage, 'length' AS name, n AS entering, p0 AS passing,
+         round(CAST(p0 AS DOUBLE) / greatest(n, 1), 6) AS pass_rate FROM agg
+  UNION ALL SELECT 1, 'lang', p0, p1, round(CAST(p1 AS DOUBLE) / greatest(p0, 1), 6) FROM agg
+  UNION ALL SELECT 2, 'quality', p1, p2, round(CAST(p2 AS DOUBLE) / greatest(p1, 1), 6) FROM agg
+  UNION ALL SELECT 3, 'repetition', p2, p3, round(CAST(p3 AS DOUBLE) / greatest(p2, 1), 6) FROM agg
+) ORDER BY stage
+"""
+
+
+@declare("q_filter_funnel", _FUNNEL_ORACLE)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_toks = textops.ws_token_count(F.col("text"))
+    ttr = textops.repetition_signals(F.col("text"))["type_token_ratio"]
+    stages = [
+        ("length", (n_toks >= 20) & (n_toks <= 1000)),
+        ("lang", textops.predicted_lang(F.col("text")) == "en"),
+        ("quality", textops.quality_score(F.col("text")) >= 0.5),
+        ("repetition", ttr >= 0.4),
+    ]
+    return textops.filter_funnel(docs, stages).orderBy("stage")
