@@ -174,6 +174,16 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     pq_sec, pq = timed(
         lambda: search_index(spark, pq_handle, queries, k=k, nprobe=nprobe)
     )
+    # stage decomposition: ADC-only (codes scan, no exact-refine second pass).
+    # The refined number above pays TWO scans (codes + probed embeddings for
+    # the refine join) — on a scan-based engine the refine IO is the same
+    # class as IVF search itself, so at this fixture size refined IVFPQ
+    # tracks IVF + ADC; the ADC-only row shows the 8x-smaller first stage.
+    pq_adc_sec, pq_adc = timed(
+        lambda: search_index(
+            spark, pq_handle, queries, k=k, nprobe=nprobe, exact_refine=False
+        )
+    )
     # single-query latency: the low-latency serving shape, where probe
     # pruning cuts IO 250x (4 of 1000 lists) instead of the batch union
     flat1_sec, _ = timed(lambda: knn_pandas(corpus, query1, k=k))
@@ -190,6 +200,8 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         "ivf_recall": round(recall_at_k(ivf, exact, k=k), 4),
         "ivfpq_sec": pq_sec,
         "ivfpq_recall": round(recall_at_k(pq, exact, k=k), 4),
+        "ivfpq_adc_sec": pq_adc_sec,
+        "ivfpq_adc_recall": round(recall_at_k(pq_adc, exact, k=k), 4),
         "flat_1q_sec": flat1_sec,
         "ivf_1q_sec": ivf1_sec,
         "build_sec": build_secs,

@@ -208,6 +208,14 @@ def adc_search(
     form: r2[j,c], qdot[q,j,c], cdot[l,j,c] (centroid table restricted to
     the probed union, so its size is bounded by the query batch's probes,
     not nlist).
+
+    The code tables are built PER TASK inside the kernel, not driver-side:
+    at nq=100/m=16 the precomputed tables are ~11 MB (qdot 3.3 MB + cdot
+    7+ MB of doubles) and Spark serializes the closure into every task
+    binary — measured as the dominant cost of the 1M-corpus IVFPQ search.
+    The closure now ships only Q + codebooks + the probed centroid block
+    (<1 MB); rebuilding the tables is a handful of (nq x dsub)@(dsub x 256)
+    GEMMs — microseconds against a per-task scan of thousands of codes.
     """
     m, n_codes, dsub = codebooks.shape
     books = codebooks
@@ -224,39 +232,20 @@ def adc_search(
         codes_df = probes.prune(codes_df)
         scan_cols.append("centroid_id")
         probe_mask = probes.probe_mask
+        # probed centroid block + centroid_id -> block-row map (small: the
+        # query batch's probed union, never nlist x dim)
+        probed_ids = np.array(probes.probed_lists, dtype=np.int64)
+        Cp = probes.C[probes.slot_of[probed_ids]]  # (n_probed, dim)
+        probed_row = np.full(probes.slot_of.shape[0], -1, dtype=np.int64)
+        probed_row[probed_ids] = np.arange(len(probed_ids))
+        use_probes = True
     else:
         q_rows = queries.select("query_id", "qvec").collect()
         q_ids = np.array([r["query_id"] for r in q_rows])
         Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)  # (nq, dim)
-    nq = len(q_ids)
-
-    # subspace-code tables; all per-(query|centroid) x (m x 256) doubles
-    r2 = np.empty((m, n_codes))  # ||books[j,c]||^2
-    qdot = np.empty((nq, m, n_codes))  # Q[q]_subj . books[j,c]
-    for j in range(m):
-        cb = books[j]  # (256, dsub)
-        r2[j] = (cb * cb).sum(1)
-        qdot[:, j, :] = Q[:, j * dsub : (j + 1) * dsub] @ cb.T
-    if residual:
-        # coarse terms, restricted to the probed union of lists
-        qc2 = probes.qc2  # (nq, nlist-slots)
-        slot_of = probes.slot_of
-        probed_slots = slot_of[np.array(probes.probed_lists, dtype=np.int64)]
-        Cp = probes.C[probed_slots]  # (n_probed, dim)
-        cdot = np.empty((len(probed_slots), m, n_codes))
-        for j in range(m):
-            cdot[:, j, :] = Cp[:, j * dsub : (j + 1) * dsub] @ books[j].T
-        # centroid_id -> row in cdot
-        probed_row = np.full(slot_of.shape[0], -1, dtype=np.int64)
-        probed_row[np.array(probes.probed_lists, dtype=np.int64)] = np.arange(
-            len(probed_slots)
-        )
-    else:
-        # plain ADC LUT: lut[q, j, c] = ||Q[q]_subj - books[j,c]||^2
-        lut = np.empty((nq, m, n_codes))
-        for j in range(m):
-            qs = Q[:, j * dsub : (j + 1) * dsub]
-            lut[:, j, :] = (qs * qs).sum(1)[:, None] - 2.0 * qdot[:, j, :] + r2[j][None, :]
+        probe_mask = probed_row = Cp = None
+        use_probes = False
+    probes = None  # keep the DriverProbes object (qc2/C/slot_of) out of the closure
 
     out_schema = T.StructType(
         [
@@ -265,7 +254,6 @@ def adc_search(
             T.StructField("distance", T.DoubleType()),
         ]
     )
-    j_idx = np.arange(m)[None, :]
 
     def scan(batches):
         from webscale_vector_search_spark.operators.knn import (
@@ -275,12 +263,38 @@ def adc_search(
             topk_record_batch,
         )
 
+        # per-task table build (see docstring): r2/qdot/cdot/lut stay
+        # worker-local instead of riding the serialized closure
+        j_idx = np.arange(m)[None, :]
+        r2 = np.empty((m, n_codes))  # ||books[j,c]||^2
+        qdot = np.empty((len(q_ids), m, n_codes))  # Q[q]_subj . books[j,c]
+        for j in range(m):
+            cb = books[j]  # (256, dsub)
+            r2[j] = (cb * cb).sum(1)
+            qdot[:, j, :] = Q[:, j * dsub : (j + 1) * dsub] @ cb.T
+        if residual:
+            cdot = np.empty((len(Cp), m, n_codes))
+            for j in range(m):
+                cdot[:, j, :] = Cp[:, j * dsub : (j + 1) * dsub] @ books[j].T
+            # qcp2[q, row] = ||q - C_probed[row]||^2 (coarse term)
+            qcp2 = (
+                (Q * Q).sum(1)[:, None] - 2.0 * (Q @ Cp.T) + (Cp * Cp).sum(1)[None, :]
+            )
+        else:
+            # plain ADC LUT: lut[q, j, c] = ||Q[q]_subj - books[j,c]||^2
+            lut = np.empty((len(q_ids), m, n_codes))
+            for j in range(m):
+                qs = Q[:, j * dsub : (j + 1) * dsub]
+                lut[:, j, :] = (
+                    (qs * qs).sum(1)[:, None] - 2.0 * qdot[:, j, :] + r2[j][None, :]
+                )
+
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             codes = list_matrix(batch, "codes").astype(np.int64, copy=False)  # (n, m)
             ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy()
-            if probes is None:
+            if not use_probes:
                 dist = lut[:, j_idx, codes[:, :]].sum(axis=2)  # (nq, n)
                 yield topk_record_batch([batch_topk_rows(dist, ids, q_ids, k)])
                 continue
@@ -297,7 +311,7 @@ def adc_search(
                     base = r2[j_idx, cc].sum(axis=1) + 2.0 * cdot[probed_row[cv]][
                         j_idx, cc
                     ].sum(axis=1)  # (nc,)
-                    d = qc2[qsel, slot_of[cv]][:, None] + base[None, :] - 2.0 * qterm
+                    d = qcp2[qsel, probed_row[cv]][:, None] + base[None, :] - 2.0 * qterm
                     np.maximum(d, 0.0, out=d)
                 else:
                     d = lut[qsel][:, j_idx, cc].sum(axis=2)
