@@ -251,3 +251,149 @@ def filter_funnel(docs, stages):
             F.col("passing") / F.greatest(F.col("entering"), F.lit(1)), 6
         ).alias("pass_rate"),
     )
+
+
+def bm25_search(
+    docs,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 top-k keyword retrieval (Lucene/Okapi form): score(q, d) =
+    sum over distinct query terms of idf(t) * tf*(k1+1) / (tf + k1*(1 - b +
+    b*dl/avgdl)), idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    `queries` is (query_id BIGINT, terms ARRAY<STRING>); terms are treated
+    as a SET (duplicates ignored). Scale shape: the distinct query-term set
+    is tiny and BROADCASTS onto the exploded token stream, so the only
+    corpus-wide shuffle carries matching postings (doc, term) -- the
+    standard impact-ordered-postings trade, no inverted index needed. df
+    and the (N, sum dl) corpus scalars are aggregates over the matched
+    postings / a count-only pass; the final per-(query, doc) sum and top-k
+    rank are windows over candidate rows only.
+
+    Float policy: per-term scores round to 12 decimals and accumulate as
+    DECIMAL (order-independent -- parallel double sums are not), the
+    ranking key rounds to 6. Ties break (score DESC, doc_id ASC). Output:
+    (query_id, rank, doc_id, score, n_terms_hit).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("dl"), toks.alias("_tk"))
+    # exact corpus scalars: long sum / long count, single tiny row, broadcast
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qterms = queries.select(F.explode(F.array_distinct("terms")).alias("term")).distinct()
+    postings = (
+        base.select("doc_id", "dl", F.explode("_tk").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(F.count("*").alias("df"))
+    scored = postings.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    tf_part = (tf_d * (k1 + 1.0)) / (tf_d + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    per_term = scored.select(
+        "term",
+        "doc_id",
+        F.round(idf * tf_part, 12).cast("decimal(24,12)").alias("_s"),
+    )
+    qx = queries.select(
+        "query_id", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    agg = (
+        per_term.join(F.broadcast(qx), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_s").alias("_sdec"), F.count("*").alias("n_terms_hit"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("_sdec").cast("double"), 6).alias("score"),
+            F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score", "n_terms_hit")
+    )
+
+
+def lm_cross_entropy(
+    docs,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document bigram-LM cross-entropy against the CORPUS language
+    model -- the CCNet/KenLM-style quality signal: low cross-entropy =
+    looks like the corpus, high = outlier/noise.
+
+    H(d) = -(1/|bigrams(d)|) * sum over bigram positions of
+           ln( (c(w1,w2) + alpha) / (c(w1,*) + alpha*V) )
+    with corpus counts c, add-alpha smoothing, V = corpus distinct-token
+    vocabulary. Docs with < 2 tokens are excluded (no bigrams to score).
+
+    Scale shape: one exploded-bigram pass feeds BOTH the per-doc pair
+    counts and the corpus pair counts (two aggregates over the same
+    map-side stream); scoring joins per-doc pairs against the aggregated
+    LM tables on (w1, w2) / (w1) -- unique-keyed aggregated right sides,
+    so the joins are shuffle-bounded by distinct pairs, never token
+    positions (AQE handles hot-pair skew). The ln terms accumulate as
+    round-12 DECIMAL weighted by the doc's pair multiplicity --
+    order-independent, so the round-6 result is engine-stable.
+
+    Output: (doc_id, n_bigrams, cross_entropy).
+    """
+    toks = tokens(F.col(text_col))
+    pos = docs.filter(F.size(toks) >= 2).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.struct(toks[i].alias("w1"), toks[i + 1].alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    doc_pairs = pos.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c_doc"))
+    pair_counts = pos.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    left_counts = pair_counts.groupBy("w1").agg(F.sum("pair_count").alias("left_count"))
+    vocab = docs.select(F.explode(tokens(F.col(text_col))).alias("w")).agg(
+        F.count_distinct("w").alias("v_size")
+    )
+    joined = (
+        doc_pairs.join(pair_counts, ["w1", "w2"])
+        .join(left_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    # every doc pair exists in the corpus counts by construction (the corpus
+    # includes the doc), so the joins are inner; alpha still matters for the
+    # smoothed denominator and for scoring held-out text via the same tables
+    lp = F.log(
+        (F.col("pair_count") + F.lit(alpha))
+        / (F.col("left_count") + F.lit(alpha) * F.col("v_size"))
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum(
+            (F.round(lp, 12).cast("decimal(24,12)")) * F.col("c_doc").cast("decimal(10,0)")
+        ).alias("_lpsum"),
+        F.sum("c_doc").alias("n_bigrams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-(F.col("_lpsum").cast("double")) / F.col("n_bigrams"), 6).alias(
+            "cross_entropy"
+        ),
+    )

@@ -1779,3 +1779,111 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("repetition", ttr >= 0.4),
     ]
     return textops.filter_funnel(docs, stages).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# q_bm25 — X18: BM25 top-k keyword retrieval (Lucene idf form) over the
+# documents table for a fixed keyword-query batch. The distinct query-term
+# set broadcasts onto the exploded token stream; the only corpus-wide
+# shuffle carries matching postings. Oracle-checked exactly (per-term
+# scores accumulate as round-12 DECIMAL in both engines).
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["vector", "scan", "fast"]),
+    (2, ["customer", "order"]),
+    (3, ["spark", "data", "big", "slow"]),
+]
+_BM25_K = 10
+
+_BM25_ORACLE = f"""
+WITH q(query_id, terms) AS (VALUES
+  {", ".join(f"({qid}, {terms})" for qid, terms in _BM25_QUERIES)}),
+d AS (
+  SELECT doc_id, len(tk) AS dl, tk
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)
+),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+postings AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM d)
+  WHERE term IN (SELECT DISTINCT unnest(terms) FROM q)
+  GROUP BY doc_id, dl, term
+),
+df_t AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+per_term AS (
+  -- expression order mirrors the Spark build exactly (python pre-folds
+  -- k1+1 -> 2.2 and 1-b -> 0.25): idf * (tf*2.2 / (tf + 1.2*(0.25 + 0.75*dl/avgdl)))
+  SELECT p.doc_id, p.term,
+         CAST(round(
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * ((p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))),
+         12) AS DECIMAL(24,12)) AS s
+  FROM postings p JOIN df_t f USING (term) CROSS JOIN stats s
+),
+qx AS (SELECT query_id, unnest(terms) AS term FROM q),
+agg AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(s) AS DOUBLE), 6) AS score,
+         CAST(count(*) AS INT) AS n_terms_hit
+  FROM per_term JOIN qx USING (term)
+  GROUP BY query_id, doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, score, n_terms_hit
+FROM agg
+QUALIFY rank <= {_BM25_K}
+ORDER BY query_id, rank
+"""
+
+
+@declare("q_bm25", _BM25_ORACLE)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    kw = spark.createDataFrame(_BM25_QUERIES, "query_id BIGINT, terms ARRAY<STRING>")
+    return textops.bm25_search(docs, kw, k=_BM25_K).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q_lm_score — X19: per-document bigram-LM cross-entropy against the corpus
+# LM (CCNet/KenLM-style quality signal). One exploded-bigram pass feeds the
+# per-doc AND corpus aggregates; scoring joins on aggregated (unique-key)
+# LM tables. Oracle-checked exactly (round-12 DECIMAL log-prob accumulation).
+# ---------------------------------------------------------------------------
+
+_LM_ALPHA = 0.5
+
+_LM_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+pos AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM d WHERE len(tk) >= 2)
+),
+doc_pairs AS (SELECT doc_id, w1, w2, count(*) AS c_doc FROM pos GROUP BY doc_id, w1, w2),
+pair_counts AS (SELECT w1, w2, count(*) AS pair_count FROM pos GROUP BY w1, w2),
+left_counts AS (SELECT w1, sum(pair_count) AS left_count FROM pair_counts GROUP BY w1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(tk) AS w FROM d)),
+j AS (
+  SELECT dp.doc_id, dp.c_doc,
+         CAST(round(ln((pc.pair_count + {_LM_ALPHA}) / (lc.left_count + {_LM_ALPHA} * v.v)), 12)
+              AS DECIMAL(24,12)) AS lp
+  FROM doc_pairs dp
+  JOIN pair_counts pc USING (w1, w2)
+  JOIN left_counts lc USING (w1)
+  CROSS JOIN vocab v
+)
+SELECT doc_id, sum(c_doc) AS n_bigrams,
+       round(-CAST(sum(lp * c_doc) AS DOUBLE) / sum(c_doc), 6) AS cross_entropy
+FROM j
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@declare("q_lm_score", _LM_ORACLE)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textops.lm_cross_entropy(docs, alpha=_LM_ALPHA).orderBy("doc_id")
