@@ -397,3 +397,45 @@ def lm_cross_entropy(
             "cross_entropy"
         ),
     )
+
+
+def corpus_card(docs, group_col: str = "source", text_col: str = "text"):
+    """Per-source corpus report card -- the accounting table every production
+    corpus publishes next to a release: volume, token budget, language mix,
+    quality, and exact-duplicate rate, one row per source.
+
+    ONE aggregate pass over the corpus: every per-doc signal (token count,
+    predicted language, round-6 quality score, content hash) is a map-side
+    expression, and the group aggregate carries count/sum/count_distinct
+    partials through a single exchange on the group key. Quality means
+    accumulate as DECIMAL (per-doc scores are round-6 already, so the sum is
+    exact and order-independent); the duplicate rate is within-group:
+    (n_docs - distinct content hashes) / n_docs.
+
+    Output: (source, n_docs, total_tokens, avg_tokens, pct_en, mean_quality,
+    dup_rate), ordered by source.
+    """
+    t = F.col(text_col)
+    enriched = docs.select(
+        F.col(group_col),
+        ws_token_count(t).alias("_nt"),
+        (predicted_lang(t) == "en").alias("_en"),
+        quality_score(t).cast("decimal(18,6)").alias("_q"),
+        F.md5(t.cast("binary")).alias("_h"),
+    )
+    agg = enriched.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.count_if(F.col("_en")).alias("_n_en"),
+        F.sum("_q").alias("_qsum"),
+        F.count_distinct("_h").alias("_n_uniq"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 6).alias("avg_tokens"),
+        F.round(F.col("_n_en") / F.col("n_docs"), 6).alias("pct_en"),
+        F.round(F.col("_qsum").cast("double") / F.col("n_docs"), 6).alias("mean_quality"),
+        F.round((F.col("n_docs") - F.col("_n_uniq")) / F.col("n_docs"), 6).alias("dup_rate"),
+    )

@@ -1887,3 +1887,59 @@ ORDER BY doc_id
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return textops.lm_cross_entropy(docs, alpha=_LM_ALPHA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_card — X20: per-source corpus report card (volume, token budget,
+# language mix, mean quality, exact-dup rate) in ONE aggregate pass.
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = f"""
+WITH base AS (
+  SELECT source, text, string_split(lower(text), ' ') AS tk,
+       {_LANG_SCORE_COLS}
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(tk) AS nt,
+         ((CASE WHEN {_LANG_BEST} > 0 THEN {_LANG_CASE} ELSE 'und' END) = 'en') AS is_en,
+         CAST(round({_QUALITY_EXPR_SQL}, 6) AS DECIMAL(18,6)) AS q,
+         md5(text) AS h
+  FROM base
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(nt) AS total_tokens,
+       round(sum(nt) / count(*), 6) AS avg_tokens,
+       round(count(*) FILTER (WHERE is_en) / count(*), 6) AS pct_en,
+       round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_quality,
+       round((count(*) - count(DISTINCT h)) / count(*), 6) AS dup_rate
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@declare("q_corpus_card", _CARD_ORACLE)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textops.corpus_card(docs).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_project_knn — X21: two-stage kNN through a seeded Johnson-Lindenstrauss
+# random projection (coarse candidates at proj_dim, exact refine at full
+# dim). Deterministic given the seed but Box-Muller/GEMM are not
+# SQL-expressible -> rows-only driver check; distance-preservation and
+# clustered-corpus recall properties live in tests/test_projection.py.
+# ---------------------------------------------------------------------------
+
+
+@declare("q_project_knn")  # no oracle: approximate operator (§2.9 exclusion)
+def q_project_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webscale_vector_search_spark.operators.projection import projected_knn
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
+    return projected_knn(corpus, queries, k=K, proj_dim=16, coarse_k=100)
