@@ -62,8 +62,13 @@ def cosine_distance(a: Column, b: Column) -> Column:
 
 
 def round_distance(d: Column, decimals: int = 6) -> Column:
-    """The §5.2 float policy: distances are emitted rounded to 6 decimals."""
-    return F.round(d, decimals)
+    """The §5.2 float policy: distances are emitted rounded to 6 decimals.
+
+    ``+ 0.0`` normalizes IEEE signed zero (cosine self-matches can round to
+    -0.0): -0.0 == 0.0 is true but they hash differently, and the oracle twin
+    applies the same normalization — both engines must emit +0.0.
+    """
+    return F.round(d, decimals) + F.lit(0.0)
 
 
 def with_l2_normalized(df, vec_col: str = "embedding"):

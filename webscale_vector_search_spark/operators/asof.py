@@ -57,8 +57,11 @@ def asof_join(
             ts_col,
             "prev_source_ts",
             "prev_source_id",
-            (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("prev_source_ts"))).alias(
-                "gap_micros"
-            ),
+            # cast: unix_micros rejects TIMESTAMP_NTZ inputs; under the UTC
+            # session tz the cast is a wall-clock identity (no-op on TIMESTAMP)
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(F.col("prev_source_ts").cast("timestamp"))
+            ).alias("gap_micros"),
         )
     )

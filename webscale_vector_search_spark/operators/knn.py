@@ -51,7 +51,10 @@ def with_distance(
     if metric == "dot":
         dist = -dist  # larger dot = better -> keep ascending-is-better ordering
     if decimals is not None:
-        dist = F.round(dist, decimals)
+        # + 0.0 canonicalizes IEEE signed zero (cosine self-match can round
+        # to -0.0): equal under ==, distinct under the driver's value hash.
+        # The DuckDB oracle twins apply the same normalization.
+        dist = F.round(dist, decimals) + F.lit(0.0)
     return df.withColumn(out, dist)
 
 

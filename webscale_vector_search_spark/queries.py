@@ -493,7 +493,9 @@ dots AS (
   FROM q CROSS JOIN embeddings e
 ),
 dists AS (
-  SELECT query_id, vec_id, round(1.0 - dot / (nq * ne), 6) AS distance
+  -- + 0.0 normalizes IEEE signed zero: self-match distances round to -0.0 in
+  -- DuckDB but 0.0 in Spark; == treats them equal, the driver hash does not.
+  SELECT query_id, vec_id, round(1.0 - dot / (nq * ne), 6) + 0.0 AS distance
   FROM dots
 )
 SELECT query_id,
@@ -522,13 +524,33 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare("q_ann_ivf")  # no oracle: approximate operator (§2.9 exclusion)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 and cosine IVF search in one result (metric column distinguishes).
+
+    The two metrics were separate declared queries through r3, but the
+    correctness driver records at most 50 queries (observed: 51 declared ->
+    exactly 50 rows in CORRECTNESS_r02 AND r03, truncated in declaration
+    order, which left q_project_knn with no driver row). Both are rows-only
+    checks anyway, so unioning keeps both code paths exercised by the driver
+    while freeing the 50th slot.
+    """
+    from webscale_vector_search_spark.functions.distance import with_l2_normalized
     from webscale_vector_search_spark.operators import ivf as ivf_ops
 
     corpus = load_table(spark, "embeddings", sf_dir)
     queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
     cents = ivf_ops.train_centroids(spark, corpus, nlist=16, seed=42, sample_fraction=1.0)
     assigned = ivf_ops.assign_centroids(corpus, cents)
-    return ivf_ops.ivf_search(assigned, cents, queries, k=K, nprobe=4)
+    l2 = ivf_ops.ivf_search(assigned, cents, queries, k=K, nprobe=4)
+
+    corpus_n = with_l2_normalized(corpus, "embedding")
+    queries_n = with_l2_normalized(queries, "qvec")
+    cents_n = ivf_ops.train_centroids(spark, corpus_n, nlist=16, seed=42, sample_fraction=1.0)
+    assigned_n = ivf_ops.assign_centroids(corpus_n, cents_n)
+    cos = ivf_ops.ivf_search_pandas(assigned_n, cents_n, queries_n, k=K, nprobe=8)
+
+    return l2.withColumn("metric", F.lit("l2")).unionByName(
+        cos.withColumn("metric", F.lit("cosine"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -573,26 +595,6 @@ def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, "embeddings", sf_dir)
     queries = queries_from_embeddings(spark, sf_dir, N_QUERIES)
     return hnsw_partition_search(corpus, queries, k=K)
-
-
-# ---------------------------------------------------------------------------
-# q_ann_ivf_cosine — K6 with metric=cosine: vectors and queries L2-normalized
-# (unit vectors make squared-L2 rank identically to cosine), then the same
-# probe-pruned IVF search. Rows-only (KMeans); the recall gate vs the exact
-# cosine answer (q_cosine_topk's form) lives in tests/test_index.py.
-# ---------------------------------------------------------------------------
-
-
-@declare("q_ann_ivf_cosine")  # no oracle: approximate operator (§2.9 exclusion)
-def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from webscale_vector_search_spark.functions.distance import with_l2_normalized
-    from webscale_vector_search_spark.operators import ivf as ivf_ops
-
-    corpus = with_l2_normalized(load_table(spark, "embeddings", sf_dir), "embedding")
-    queries = with_l2_normalized(queries_from_embeddings(spark, sf_dir, N_QUERIES), "qvec")
-    cents = ivf_ops.train_centroids(spark, corpus, nlist=16, seed=42, sample_fraction=1.0)
-    assigned = ivf_ops.assign_centroids(corpus, cents)
-    return ivf_ops.ivf_search_pandas(assigned, cents, queries, k=K, nprobe=8)
 
 
 # ---------------------------------------------------------------------------
@@ -1164,7 +1166,8 @@ terms AS (
   FROM q CROSS JOIN embeddings e
 ),
 dots AS (
-  SELECT query_id, vec_id, round(-sum(qx * ex), 6) AS distance
+  -- + 0.0: signed-zero canonicalization, same policy as the Spark side
+  SELECT query_id, vec_id, round(-sum(qx * ex), 6) + 0.0 AS distance
   FROM terms GROUP BY query_id, vec_id
 )
 SELECT query_id,
@@ -1875,7 +1878,9 @@ j AS (
   JOIN left_counts lc USING (w1)
   CROSS JOIN vocab v
 )
-SELECT doc_id, sum(c_doc) AS n_bigrams,
+-- CAST: DuckDB sum(BIGINT) -> HUGEINT, which pandas renders float64 (24.0)
+-- while Spark's BIGINT sum renders int64 (24) — hash-distinct. (r3 red row.)
+SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_bigrams,
        round(-CAST(sum(lp * c_doc) AS DOUBLE) / sum(c_doc), 6) AS cross_entropy
 FROM j
 GROUP BY doc_id
@@ -1910,7 +1915,7 @@ per_doc AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(nt) AS total_tokens,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,  -- HUGEINT->float64 otherwise (r3 red row)
        round(sum(nt) / count(*), 6) AS avg_tokens,
        round(count(*) FILTER (WHERE is_en) / count(*), 6) AS pct_en,
        round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_quality,

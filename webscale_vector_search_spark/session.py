@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Read parquet TIMESTAMP as TIMESTAMP (with tz), never TIMESTAMP_NTZ:
+        # watermarks (withWatermark) and unix_micros reject NTZ, and the
+        # DuckDB oracle semantics assume UTC-instant timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
         # bound individual output files (a 64-dim vector row ~ 300 B, so 2M

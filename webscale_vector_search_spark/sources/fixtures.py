@@ -46,6 +46,12 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # A caller-owned session (e.g. the correctness driver's) may have
+        # parquet NTZ inference on; watermarks/unix_micros reject NTZ, so
+        # normalize to TIMESTAMP (session tz is forced to UTC above, making
+        # the cast a wall-clock identity).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -52,16 +52,33 @@ class CompareResult:
         return f"[{status}] {self.name} spark={self.spark_rows} oracle={self.oracle_rows}{extra}"
 
 
+def _canonical(v) -> str:
+    """Driver-faithful canonical form of one cell.
+
+    The driver hashes stringified cells, so `24` (int64) and `24.0` (float64)
+    are DIFFERENT, as are `0.0` and `-0.0` — while Python `==` treats both
+    pairs as equal. r3 shipped three red driver rows that the old `==`
+    comparison reported [OK] locally; canonical-repr comparison reproduces
+    the driver's verdict exactly (verified on the r3 failures pre-fix).
+    """
+    if hasattr(v, "item") and not isinstance(v, (str, bytes)):  # numpy scalar
+        try:
+            v = v.item()
+        except (ValueError, AttributeError):
+            pass
+    if v is None or (not isinstance(v, (str, bytes, list, tuple, dict)) and pd.isna(v)):
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return repr(v)  # repr(-0.0) == '-0.0' != '0.0'; int never equals float
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canonical(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v!r}"
+
+
 def _values_equal(a, b) -> bool:
-    a_na = a is None or (not isinstance(a, (str, list, tuple)) and pd.isna(a))
-    b_na = b is None or (not isinstance(b, (str, list, tuple)) and pd.isna(b))
-    if a_na or b_na:
-        return a_na and b_na  # None / NaN / NaT all count as the same null
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    return a == b
+    return _canonical(a) == _canonical(b)
 
 
 def compare(name: str, spark_df, oracle_con, oracle_sql: str) -> CompareResult:
