@@ -126,3 +126,37 @@ def test_pyhnsw_recall_and_sublinear_cost():
     # at ~ef * 2M evals regardless of corpus size)
     assert e_big <= 0.6 * 2000, e_big
     assert e_big / e_small <= 2.5, (e_small, e_big)  # corpus grew 4x
+
+
+def test_hnswlib_backend_recall():
+    """The C++ production backend (skipped where hnswlib isn't installed —
+    this container doesn't ship it; runs wherever the wheel exists so the
+    hnswlib arm of hnsw_partition_search has at least one CI signal).
+    Mirrors test_pyhnsw_recall_and_sublinear_cost's recall gate on the same
+    fixture vectors, through the real hnswlib.Index path."""
+    pytest.importorskip("hnswlib")
+    import duckdb
+
+    from webscale_vector_search_spark.operators import hnsw_partition
+
+    assert hnsw_partition.HAS_HNSWLIB
+    con = duckdb.connect()
+    emb = con.execute(
+        "SELECT embedding FROM read_parquet('/root/testdata/sf0.1/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchdf()
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
+    X, Q = V[:2000], V[:50].astype(np.float64)
+
+    index = hnsw_partition.hnswlib.Index(space="l2", dim=X.shape[1])
+    index.init_index(max_elements=len(X), M=16, ef_construction=64)
+    index.add_items(X, np.arange(len(X)))
+    index.set_ef(64)
+    labels, _ = index.knn_query(Q.astype(np.float32), k=10)
+
+    dist = (Q**2).sum(1)[:, None] - 2.0 * Q @ X.astype(np.float64).T + (
+        X.astype(np.float64) ** 2
+    ).sum(1)[None, :]
+    exact = np.argsort(dist, axis=1, kind="stable")[:, :10]
+    recall = sum(len(set(labels[i]) & set(exact[i])) for i in range(len(Q))) / (len(Q) * 10)
+    assert recall >= 0.95, recall
