@@ -257,3 +257,40 @@ def test_compact_index_versioned_swap_keeps_inflight_readers(
     assert not os.path.isdir(os.path.join(idx, "vectors"))
     assert mid.vectors.count() == n
     assert open_index(spark, idx).vectors.count() == n
+
+
+def test_polish_centroids_reduces_quantization_error(spark, corpus):
+    """The full-corpus Lloyd pass must strictly improve (or match) the coarse
+    quantizer: mean squared distance from each vector to its assigned
+    centroid is non-increasing under an exact Lloyd update, and in practice
+    drops measurably when KMeans trained on a small sample."""
+    from webscale_vector_search_spark.operators.ivf import polish_centroids
+
+    cents0 = train_centroids(spark, corpus, nlist=16, seed=7, sample_fraction=0.05)
+    cents1 = polish_centroids(corpus, cents0, iters=1)
+
+    def mean_qerr(cents):
+        rows = cents.orderBy("centroid_id").collect()
+        C = np.array([r["cvec"] for r in rows], dtype=np.float64)
+        V = np.stack(
+            [r["embedding"] for r in corpus.select("embedding").collect()]
+        ).astype(np.float64)
+        d = (V * V).sum(1)[:, None] - 2.0 * V @ C.T + (C * C).sum(1)[None, :]
+        return d.min(axis=1).mean()
+
+    e0, e1 = mean_qerr(cents0), mean_qerr(cents1)
+    assert e1 <= e0 + 1e-9, (e0, e1)
+    # schema and id-set are preserved
+    assert cents1.columns == ["centroid_id", "cvec"]
+    ids0 = {r["centroid_id"] for r in cents0.collect()}
+    ids1 = {r["centroid_id"] for r in cents1.collect()}
+    assert ids0 == ids1
+
+
+def test_polish_centroids_deterministic(spark, corpus):
+    from webscale_vector_search_spark.operators.ivf import polish_centroids
+
+    cents0 = train_centroids(spark, corpus, nlist=8, seed=3, sample_fraction=0.1)
+    a = polish_centroids(corpus, cents0, iters=2).orderBy("centroid_id").collect()
+    b = polish_centroids(corpus, cents0, iters=2).orderBy("centroid_id").collect()
+    assert [r["cvec"] for r in a] == [r["cvec"] for r in b]

@@ -48,6 +48,7 @@ def fit_codebooks(
     kmeans_iters: int = 10,
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    n_total: int | None = None,
 ) -> np.ndarray:
     """K7 (train) — per-subspace Lloyd k-means on a seeded sample.
 
@@ -64,19 +65,25 @@ def fit_codebooks(
     cannot rank inside a cluster (measured: recall@10 0.22 on a 1M clustered
     corpus, vs 0.9+ for residual codes at the same m).
     """
-    n_total = corpus.count()
+    if n_total is None:  # caller usually knows it (build_index counts once)
+        n_total = corpus.count()
     fraction = min(1.0, sample_n / max(n_total, 1))
-    cols = [vec_col] if centroids is None else [vec_col, "centroid_id"]
+    # Select the vector column ONLY. assign_centroids is a mapInArrow kernel,
+    # so a plan that carries centroid_id runs the full-corpus assignment GEMM
+    # just to sample from it (measured as ~2 extra corpus passes per IVFPQ
+    # build at the 1M tier); instead the sample's coarse assignment is
+    # recomputed driver-side below — same argmin, O(sample) work.
     sample = (
-        corpus.select(*cols).sample(fraction=fraction, seed=seed)
+        corpus.select(vec_col).sample(fraction=fraction, seed=seed)
         if fraction < 1.0
-        else corpus.select(*cols)
+        else corpus.select(vec_col)
     )
     rows = sample.collect()
     X = np.stack([r[0] for r in rows]).astype(np.float64)  # (n, dim)
     if centroids is not None:
         C = _centroid_array(centroids)
-        X = X - C[np.array([r["centroid_id"] for r in rows], dtype=np.int64)]
+        d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        X = X - C[d.argmin(1)]
     n, dim = X.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -88,13 +95,18 @@ def fit_codebooks(
         sub = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
         centers = sub[rng.choice(n, size=k, replace=False)]
         for _ in range(kmeans_iters):
-            # assignment via the dot expansion (no n x k x dsub intermediate)
-            d = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ centers.T) + (centers * centers).sum(1)[None, :]
+            # assignment via the dot expansion, DROPPING the per-row ||x||^2
+            # term (constant within a row -> argmin-invariant): the fit is
+            # memory-bound on the (n, k) matrix, and skipping the row-norm
+            # broadcast-add removes a full read+write pass over it
+            d = (centers * centers).sum(1)[None, :] - 2.0 * (sub @ centers.T)
             labels = d.argmin(1)
-            # vectorized center update: per-cluster sums via scatter-add
-            sums = np.zeros((k, dsub))
-            np.add.at(sums, labels, sub)
+            # per-cluster sums via bincount (C loop; ~2x np.add.at)
             counts = np.bincount(labels, minlength=k).astype(np.float64)
+            sums = np.stack(
+                [np.bincount(labels, weights=sub[:, t], minlength=k) for t in range(dsub)],
+                axis=1,
+            )
             nonempty = counts > 0
             centers[nonempty] = sums[nonempty] / counts[nonempty, None]
         books[j, :k] = centers
@@ -307,11 +319,14 @@ def adc_search(
                     continue
                 cc = codes[rows]  # (nc, m)
                 if residual:
-                    qterm = qdot[qsel][:, j_idx, cc].sum(axis=2)  # (nqsel, nc)
-                    base = r2[j_idx, cc].sum(axis=1) + 2.0 * cdot[probed_row[cv]][
-                        j_idx, cc
-                    ].sum(axis=1)  # (nc,)
-                    d = qcp2[qsel, probed_row[cv]][:, None] + base[None, :] - 2.0 * qterm
+                    # fused per-(query, list) LUT: fold r2/cdot/qdot into ONE
+                    # (nqsel, m, 256) table so the code scan is a single
+                    # m-gather per (row, query) — vs three gather passes
+                    # (qterm + r2 + cdot) before. Building the table is
+                    # nqsel*m*256 streaming flops, amortized over nc rows.
+                    row = probed_row[cv]
+                    lutq = r2[None, :, :] + 2.0 * cdot[row][None, :, :] - 2.0 * qdot[qsel]
+                    d = qcp2[qsel, row][:, None] + lutq[:, j_idx, cc].sum(axis=2)
                     np.maximum(d, 0.0, out=d)
                 else:
                     d = lut[qsel][:, j_idx, cc].sum(axis=2)

@@ -91,6 +91,10 @@ def build_index(
         centroids = ivf_ops.train_centroids(
             spark, base, nlist, seed=config.seed, sample_fraction=config.kmeans_sample_fraction
         )
+        if config.centroid_polish_iters > 0:
+            centroids = ivf_ops.polish_centroids(
+                base, centroids, iters=config.centroid_polish_iters
+            )
         centroids.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
         assigned = ivf_ops.assign_centroids(base, centroids)
         if config.index_type == "IVFPQ":
@@ -99,12 +103,17 @@ def build_index(
             # by default (FAISS IVFPQ semantics; raw-vector codebooks cannot
             # rank within a cluster on clustered corpora — see pq.fit_codebooks)
             pq_cents = centroids if config.pq_residual else None
+            # pass `base` + n_total: assign_centroids is a mapInArrow kernel
+            # Catalyst can't prune, so sampling from `assigned` would run the
+            # full-corpus assignment GEMM twice more (count + sample passes);
+            # fit_codebooks re-derives the sample's assignment driver-side
             books = pq_ops.fit_codebooks(
-                assigned,
+                base,
                 pq_m,
                 seed=config.seed,
                 n_codes=2**config.pq_bits,
                 centroids=pq_cents,
+                n_total=n_total,
             )
             index_io.write_codebooks(spark, out_dir, books)
             assigned = pq_ops.encode(assigned, books, centroids=pq_cents)
