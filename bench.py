@@ -81,7 +81,13 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     from webscale_vector_search_spark.operators.knn import knn_pandas
     from webscale_vector_search_spark.plans.build import build_index, search_index
 
-    dim, ncl, seed, n_queries, k = 64, 1000, 42, 100, 10
+    # n_queries=1000: the reference's headline metric is batch THROUGHPUT
+    # (README.md:158-161 reports QPS, with IVFPQ at 2.1x FLAT). At 100
+    # queries the per-job floor (~0.25 s) and the pruned scan's small-file
+    # overhead dominate every kernel; at 1000 the engines separate by their
+    # per-query marginal cost (FLAT: a 1M-row GEMM per query; IVF/ADC:
+    # probed lists only).
+    dim, ncl, seed, n_queries, k = 64, 1000, 42, 1000, 10
     rng = np.random.default_rng(seed)
     centers = rng.normal(0.0, 1.0, (ncl, dim)).astype(np.float32)
 
@@ -128,23 +134,41 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     query1 = mk_queries(1)
 
     nlist, nprobe = 1000, 4  # sqrt(n) lists (reference's rule); 0.4% probed
+    def idx_dir_for(itype: str, cfg: EngineConfig) -> str:
+        # cache key includes the quantizer shape + polish generation: the
+        # build-exists check can't see config changes inside a written artifact
+        tag = f"_m{cfg.resolved_pq_m()}b{cfg.pq_bits}" if itype == "IVFPQ" else ""
+        tag += f"_p{cfg.centroid_polish_iters}"
+        return os.path.join(cache_dir, f"idx_{itype.lower()}{tag}_n{n}")
+
     for itype, cfg in (
         ("IVF", EngineConfig(index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.02)),
         (
-            "IVFPQ",  # pq_m=32 (dsub=2): the reference's dim//4 rule (m=16)
-            # measures ADC-only recall@10 0.585 on this corpus — not a usable
-            # operating point; m=32 measures 0.93 for 2x the code bytes
-            # (still 4x smaller than raw vectors). Residual-encoded.
+            "IVFPQ",  # pq_m=64 (dsub=1, scalar-quantized residuals): the
+            # reference's dim//4 rule (m=16 @ 8-bit) measures ADC-only
+            # recall@10 0.585 on this corpus because sampled k-means
+            # mis-allocates natural clusters and the coarse codes can't rank
+            # within a list (m=32 @ 8-bit: ~0.8; @ 10-bit + polish: 0.894 —
+            # all measured); 256 adaptive levels PER DIM makes ADC ranking
+            # near-exact (0.963) and the codes still scan 2x smaller than
+            # raw float32.
             EngineConfig(
-                index_type="IVFPQ", nlist=nlist, pq_m=32, kmeans_sample_fraction=0.02
+                index_type="IVFPQ",
+                nlist=nlist,
+                pq_m=64,
+                kmeans_sample_fraction=0.02,
             ),
         ),
     ):
-        idx_dir = os.path.join(cache_dir, f"idx_{itype.lower()}_n{n}")
+        idx_dir = idx_dir_for(itype, cfg)
         if not os.path.exists(os.path.join(idx_dir, "shards_metadata.json")):
             t0 = time.perf_counter()
             build_index(spark, corpus, idx_dir, cfg)
             build_secs[f"build_{itype.lower()}"] = round(time.perf_counter() - t0, 1)
+        if itype == "IVF":
+            ivf_dir = idx_dir
+        else:
+            pq_dir, pq_cfg = idx_dir, cfg
     if build_secs:
         with open(builds_file, "w") as f:
             json.dump(build_secs, f)
@@ -157,8 +181,8 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     # opened handle)
     from webscale_vector_search_spark.sources.index_io import open_index
 
-    ivf_handle = open_index(spark, os.path.join(cache_dir, f"idx_ivf_n{n}"))
-    pq_handle = open_index(spark, os.path.join(cache_dir, f"idx_ivfpq_n{n}"))
+    ivf_handle = open_index(spark, ivf_dir)
+    pq_handle = open_index(spark, pq_dir)
 
     def timed(fn):
         fn().count()  # warm-up
@@ -199,6 +223,8 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         "k": k,
         "nlist": nlist,
         "nprobe": nprobe,
+        "pq_m": pq_cfg.resolved_pq_m(),
+        "pq_bits": pq_cfg.pq_bits,
         "flat_sec": flat_sec,
         "ivf_sec": ivf_sec,
         "ivf_recall": round(recall_at_k(ivf, exact, k=k), 4),

@@ -101,7 +101,7 @@ def test_pq_adc_matches_reconstruction(spark, corpus, queries):
     codes = encode(sub, books).cache()
     q1 = queries.filter(F.col("query_id") < 3)
 
-    adc = adc_search(codes, books, q1, k=50).toPandas()
+    adc = adc_search(codes, books, q1, k=50, lut_dtype="float64").toPandas()
     recon = adc_distances_sql(codes.select("vec_id", "codes"), books, q1, spark).toPandas()
     merged = adc.merge(
         recon.rename(columns={"vec_id": "neighbor_id"})[["query_id", "neighbor_id", "distance"]],
@@ -124,7 +124,8 @@ def test_residual_adc_matches_reconstruction(spark, corpus, queries):
     q1 = queries.filter(F.col("query_id") < 3).cache()
 
     adc = adc_search(
-        codes, books, q1, k=50, centroids=cents, nprobe=4, residual=True
+        codes, books, q1, k=50, centroids=cents, nprobe=4, residual=True,
+        lut_dtype="float64",
     ).toPandas()
 
     # independent reconstruction: C[centroid] + concat_j books[j, code_j]
@@ -294,3 +295,52 @@ def test_polish_centroids_deterministic(spark, corpus):
     a = polish_centroids(corpus, cents0, iters=2).orderBy("centroid_id").collect()
     b = polish_centroids(corpus, cents0, iters=2).orderBy("centroid_id").collect()
     assert [r["cvec"] for r in a] == [r["cvec"] for r in b]
+
+
+def test_pq_bits_10_end_to_end(spark, corpus, queries):
+    """pq_bits is a real knob, not dead config: 10-bit codebooks (1024 codes
+    per subspace) must flow through fit -> SMALLINT codes -> ADC with the
+    same ADC == reconstruction contract as 8-bit. (The 1M bench runs m=32 @
+    10 bits: finer codes are how ADC-only recall clears 0.9 when coarse
+    k-means mis-allocates clusters — neither more sample nor Lloyd polish
+    moves it.)"""
+    from webscale_vector_search_spark.operators.pq import adc_distances_sql
+
+    sub = corpus.filter(F.col("vec_id") < 80).cache()
+    books = fit_codebooks(sub, m=16, seed=42, n_codes=1024)
+    assert books.shape == (16, 1024, 4)
+    codes = encode(sub, books).cache()
+    row = codes.select(F.max(F.array_max("codes")).alias("mx")).collect()[0]
+    assert row["mx"] <= 1023
+    q1 = queries.filter(F.col("query_id") < 2)
+    adc = adc_search(codes, books, q1, k=20, lut_dtype="float64").toPandas()
+    recon = adc_distances_sql(codes.select("vec_id", "codes"), books, q1, spark).toPandas()
+    merged = adc.merge(
+        recon.rename(columns={"vec_id": "neighbor_id"})[["query_id", "neighbor_id", "distance"]],
+        on=["query_id", "neighbor_id"],
+        suffixes=("_adc", "_recon"),
+    )
+    assert len(merged) == len(adc)
+    diff = (merged["distance_adc"] - merged["distance_recon"]).abs().max()
+    assert diff <= 2e-6, f"ADC vs reconstruction max diff {diff}"
+
+
+def test_adc_float32_lut_matches_float64(spark, corpus, queries):
+    """The default float32 LUT (bandwidth-bound scan; FAISS precedent) must
+    agree with the float64 decomposition to ~1e-4 absolute — three orders
+    below the quantization error ADC carries by construction."""
+    cents = train_centroids(spark, corpus, nlist=4, seed=42, sample_fraction=1.0).cache()
+    assigned = assign_centroids(corpus, cents).cache()
+    books = fit_codebooks(assigned, m=16, seed=42, centroids=cents)
+    codes = encode(assigned, books, centroids=cents).cache()
+    q1 = queries.filter(F.col("query_id") < 3)
+
+    kw = dict(centroids=cents, nprobe=4, residual=True)
+    d32 = adc_search(codes, books, q1, k=50, **kw).toPandas()
+    d64 = adc_search(codes, books, q1, k=50, lut_dtype="float64", **kw).toPandas()
+    merged = d32.merge(
+        d64, on=["query_id", "neighbor_id"], suffixes=("_32", "_64")
+    )
+    assert len(merged) >= 0.95 * len(d64)  # rank flips only on quantization ties
+    diff = (merged["distance_32"] - merged["distance_64"]).abs().max()
+    assert diff <= 1e-4, f"float32 vs float64 ADC max diff {diff}"

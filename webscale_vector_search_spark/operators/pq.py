@@ -199,6 +199,7 @@ def adc_search(
     nprobe: int | None = None,
     residual: bool = False,
     probes=None,
+    lut_dtype: str = "float32",
 ) -> DataFrame:
     """K8 — asymmetric-distance search over PQ codes.
 
@@ -214,12 +215,25 @@ def adc_search(
     semantics, zero joins, compute ~nprobe/nlist of the exact-code scan.
 
     With `residual=True` (codes encode v - C[centroid_id]; FAISS IVFPQ
-    semantics), the ADC distance to the reconstruction C_l + r_hat expands as
-        ||q - C_l||^2 + ||r_hat||^2 - 2 q . r_hat + 2 C_l . r_hat
-    so three subspace-code tables make the scan a gather-sum like the plain
-    form: r2[j,c], qdot[q,j,c], cdot[l,j,c] (centroid table restricted to
-    the probed union, so its size is bounded by the query batch's probes,
-    not nlist).
+    semantics), the kernel is decode-then-GEMM: reconstruct each coded row
+    ONCE per batch (m query-independent codebook gathers -> C_l + r_hat),
+    then score every probing query against the reconstructions with the
+    same BLAS matmul as exact search. ADC distance IS the distance to the
+    reconstruction, so this is algebraically the classic LUT gather-sum —
+    but on this substrate a per-(row, query) LUT gather is a random 4-8 B
+    read while dgemm streams at memory bandwidth; measured 2x+ faster at a
+    1000-query batch, and the scan still reads codes only (the IO cut is
+    the point at 100 TB — the reconstruction never exists on disk or in
+    the shuffle, only inside the task).
+
+    ``lut_dtype`` ('float32' default) is the precision of the plain-path
+    (non-residual) gathered LUT — float32 halves the random-read bytes
+    (FAISS precedent; its fast-scan path quantizes LUTs to int8). Absolute
+    error ~1e-4 on unit-scale data, three orders below PQ quantization
+    error; partial sums still accumulate in float64. Pass 'float64' for
+    the bit-exact decomposition (the ADC==reconstruction property tests
+    do). The residual path computes in float64 throughout (the GEMM form
+    has no LUT to quantize).
 
     The code tables are built PER TASK inside the kernel, not driver-side:
     at nq=100/m=16 the precomputed tables are ~11 MB (qdot 3.3 MB + cdot
@@ -275,30 +289,23 @@ def adc_search(
             topk_record_batch,
         )
 
-        # per-task table build (see docstring): r2/qdot/cdot/lut stay
-        # worker-local instead of riding the serialized closure
+        ldt = np.dtype(lut_dtype)
+        # per-task table build (see docstring): tables stay worker-local
+        # instead of riding the serialized closure
         j_idx = np.arange(m)[None, :]
-        r2 = np.empty((m, n_codes))  # ||books[j,c]||^2
-        qdot = np.empty((len(q_ids), m, n_codes))  # Q[q]_subj . books[j,c]
-        for j in range(m):
-            cb = books[j]  # (256, dsub)
-            r2[j] = (cb * cb).sum(1)
-            qdot[:, j, :] = Q[:, j * dsub : (j + 1) * dsub] @ cb.T
         if residual:
-            cdot = np.empty((len(Cp), m, n_codes))
-            for j in range(m):
-                cdot[:, j, :] = Cp[:, j * dsub : (j + 1) * dsub] @ books[j].T
-            # qcp2[q, row] = ||q - C_probed[row]||^2 (coarse term)
-            qcp2 = (
-                (Q * Q).sum(1)[:, None] - 2.0 * (Q @ Cp.T) + (Cp * Cp).sum(1)[None, :]
-            )
+            q_sq = (Q * Q).sum(1)  # decode-then-GEMM needs only ||q||^2
         else:
-            # plain ADC LUT: lut[q, j, c] = ||Q[q]_subj - books[j,c]||^2
-            lut = np.empty((len(q_ids), m, n_codes))
+            # plain ADC LUT: lut[q, j, c] = ||Q[q]_subj - books[j,c]||^2,
+            # written in lut_dtype DIRECTLY (no float64 intermediate)
+            lut = np.empty((len(q_ids), m, n_codes), dtype=ldt)
             for j in range(m):
+                cb = books[j]  # (n_codes, dsub)
                 qs = Q[:, j * dsub : (j + 1) * dsub]
                 lut[:, j, :] = (
-                    (qs * qs).sum(1)[:, None] - 2.0 * qdot[:, j, :] + r2[j][None, :]
+                    (qs * qs).sum(1)[:, None]
+                    - 2.0 * (qs @ cb.T)
+                    + (cb * cb).sum(1)[None, :]
                 )
 
         for batch in batches:
@@ -307,29 +314,37 @@ def adc_search(
             codes = list_matrix(batch, "codes").astype(np.int64, copy=False)  # (n, m)
             ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy()
             if not use_probes:
-                dist = lut[:, j_idx, codes[:, :]].sum(axis=2)  # (nq, n)
+                # accumulate float64 regardless of LUT precision
+                dist = lut[:, j_idx, codes[:, :]].sum(axis=2, dtype=np.float64)
                 yield topk_record_batch([batch_topk_rows(dist, ids, q_ids, k)])
                 continue
             cent = batch.column(batch.schema.get_field_index("centroid_id")).to_numpy()
+            if residual:
+                # decode ONCE per batch, query-independent: m codebook
+                # gathers -> r_hat, + the row's probed centroid -> the
+                # reconstruction every probing query scores against
+                recon = np.empty((len(codes), m * dsub))
+                for j in range(m):
+                    recon[:, j * dsub : (j + 1) * dsub] = books[j][codes[:, j]]
+                recon += Cp[probed_row[cent.astype(np.int64, copy=False)]]
+                recon_sq = (recon * recon).sum(1)
             parts = []
             # one inverted list at a time (segment sort, not per-list rescans)
             for cv, rows in segment_iter(cent.astype(np.int64, copy=False)):
                 qsel = np.where(probe_mask[:, cv])[0]
                 if qsel.size == 0:
                     continue
-                cc = codes[rows]  # (nc, m)
                 if residual:
-                    # fused per-(query, list) LUT: fold r2/cdot/qdot into ONE
-                    # (nqsel, m, 256) table so the code scan is a single
-                    # m-gather per (row, query) — vs three gather passes
-                    # (qterm + r2 + cdot) before. Building the table is
-                    # nqsel*m*256 streaming flops, amortized over nc rows.
-                    row = probed_row[cv]
-                    lutq = r2[None, :, :] + 2.0 * cdot[row][None, :, :] - 2.0 * qdot[qsel]
-                    d = qcp2[qsel, row][:, None] + lutq[:, j_idx, cc].sum(axis=2)
+                    # same BLAS shape as exact search, over reconstructions
+                    r = recon[rows]
+                    d = (
+                        q_sq[qsel][:, None]
+                        - 2.0 * (Q[qsel] @ r.T)
+                        + recon_sq[rows][None, :]
+                    )
                     np.maximum(d, 0.0, out=d)
                 else:
-                    d = lut[qsel][:, j_idx, cc].sum(axis=2)
+                    d = lut[qsel][:, j_idx, codes[rows]].sum(axis=2, dtype=np.float64)
                 parts.append(batch_topk_rows(d, ids[rows], q_ids[qsel], k))
             if parts:
                 yield topk_record_batch(parts)
