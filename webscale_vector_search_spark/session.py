@@ -55,6 +55,13 @@ def get_spark(
         # governs file size; see plans/build.py::_packed_repartition
         .config("spark.sql.files.maxRecordsPerFile", "2000000")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # one BLAS thread per python worker: N workers x an N-thread BLAS
+        # pool is N^2 threads thrashing the box (measured: 1M-corpus GEMM
+        # kernels 10-90% slower and wildly variable without this; each
+        # worker already saturates its core)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.showConsoleProgress", "false")
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
