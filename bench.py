@@ -169,12 +169,14 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
             ivf_dir = idx_dir
         else:
             pq_dir, pq_cfg = idx_dir, cfg
+    # merge with previously recorded times: a partial rebuild (one index's
+    # cache key changed) must not drop the other index's build number
+    if os.path.exists(builds_file):
+        with open(builds_file) as f:
+            build_secs = {**json.load(f), **build_secs}
     if build_secs:
         with open(builds_file, "w") as f:
             json.dump(build_secs, f)
-    elif os.path.exists(builds_file):
-        with open(builds_file) as f:
-            build_secs = json.load(f)
 
     # serving opens an index once; per-batch timing excludes the one-time
     # metadata read + file listing + codebook load (search_index takes the
