@@ -30,3 +30,16 @@ def test_oracle_match(spark, duck_smoke, name):
 def test_all_queries_have_callables(spark):
     for name, fn in QUERIES.items():
         assert callable(fn), name
+
+
+def test_query_count_within_driver_cap():
+    """The correctness driver records at most 50 queries() entries,
+    truncated in declaration order (observed: r2 and r3 both declared 51
+    and got exactly 50 CORRECTNESS rows, dropping the newest operator).
+    Adding a 51st query silently removes the last one from the driver's
+    gate — merge variants (like q_ann_ivf's L2+cosine union) instead."""
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} declared queries exceeds the driver's 50-row cap; "
+        "the excess get NO correctness signal"
+    )
+    assert set(ORACLE_SQL) <= set(QUERIES)
