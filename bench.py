@@ -66,6 +66,18 @@ def _ann_vectors(ids, centers, seed: int):
     return centers[(ids % ncl).astype("int64")] + off
 
 
+def _idx_cache_dir(cache_dir: str, itype: str, cfg, n: int) -> str:
+    """Cache dir for one built index, keyed by a hash of the FULL build
+    config: the build-exists check can't see config changes inside a written
+    artifact, so ANY EngineConfig field change must change the directory
+    name (the round-4 staleness trap: bumping pq_m without bumping the
+    manual dir tag silently reused the old index)."""
+    import hashlib
+
+    digest = hashlib.md5(repr(cfg).encode()).hexdigest()[:10]
+    return os.path.join(cache_dir, f"idx_{itype.lower()}_{digest}_n{n}")
+
+
 def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     """The ≥1M-vector tier: FLAT vs IVF vs IVFPQ on a deterministic clustered
     corpus, wall-clock WITH recall attached (pruning is invisible at sf0.1's
@@ -135,11 +147,7 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
 
     nlist, nprobe = 1000, 4  # sqrt(n) lists (reference's rule); 0.4% probed
     def idx_dir_for(itype: str, cfg: EngineConfig) -> str:
-        # cache key includes the quantizer shape + polish generation: the
-        # build-exists check can't see config changes inside a written artifact
-        tag = f"_m{cfg.resolved_pq_m()}b{cfg.pq_bits}" if itype == "IVFPQ" else ""
-        tag += f"_p{cfg.centroid_polish_iters}"
-        return os.path.join(cache_dir, f"idx_{itype.lower()}{tag}_n{n}")
+        return _idx_cache_dir(cache_dir, itype, cfg, n)
 
     for itype, cfg in (
         ("IVF", EngineConfig(index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.02)),
@@ -273,8 +281,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_ANN_TIER", "1") != "0":
         try:
             ann_n = int(os.environ.get("SPARK_GRAFT_ANN_N", "1000000"))
-            # v3: cache key bumped for the pq_m=32 index (the build-exists
-            # check can't see config changes inside a cached artifact)
+            # per-index cache dirs embed a hash of the FULL build config
+            # (_idx_cache_dir), so the base dir no longer needs manual
+            # version bumps when a build knob changes
             ann_dir = os.environ.get("SPARK_GRAFT_ANN_DIR", "/tmp/wvss_bench_ann_v3")
             ann_timings, ann_meta = _ann_tier(spark, ann_n, ann_dir)
             timings.update(ann_timings)

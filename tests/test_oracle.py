@@ -43,3 +43,25 @@ def test_query_count_within_driver_cap():
         "the excess get NO correctness signal"
     )
     assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_bench_idx_cache_dir_tracks_build_config():
+    """The bench's per-index cache dir must change when ANY build knob
+    changes (the staleness trap: the build-exists check can't see config
+    drift inside a written artifact, so the config hash in the dir name is
+    the only rebuild trigger)."""
+    import bench
+    from webscale_vector_search_spark.config import EngineConfig
+
+    base = EngineConfig(index_type="IVFPQ", nlist=1000, pq_m=64)
+    a = bench._idx_cache_dir("/tmp/x", "IVFPQ", base, 100)
+    same = bench._idx_cache_dir("/tmp/x", "IVFPQ", EngineConfig(index_type="IVFPQ", nlist=1000, pq_m=64), 100)
+    assert a == same  # deterministic for an identical config
+    for variant in (
+        EngineConfig(index_type="IVFPQ", nlist=1000, pq_m=32),
+        EngineConfig(index_type="IVFPQ", nlist=1000, pq_m=64, pq_bits=10),
+        EngineConfig(index_type="IVFPQ", nlist=1000, pq_m=64, centroid_polish_iters=2),
+        EngineConfig(index_type="IVFPQ", nlist=500, pq_m=64),
+        EngineConfig(index_type="IVFPQ", nlist=1000, pq_m=64, seed=7),
+    ):
+        assert bench._idx_cache_dir("/tmp/x", "IVFPQ", variant, 100) != a, variant

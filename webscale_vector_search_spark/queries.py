@@ -972,7 +972,7 @@ dots AS (
          sqrt(sum(ax * ax)) AS na, sqrt(sum(bx * bx)) AS nb
   FROM terms GROUP BY vec_a, vec_b
 )
-SELECT vec_a, vec_b, round(1.0 - dot / (na * nb), 6) AS cos_dist
+SELECT vec_a, vec_b, round(1.0 - dot / (na * nb), 6) + 0.0 AS cos_dist
 FROM dots
 WHERE round(1.0 - dot / (na * nb), 6) < {_EMB_NEARDUP_TAU}
 ORDER BY vec_a, vec_b

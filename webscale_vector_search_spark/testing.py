@@ -66,14 +66,16 @@ def _canonical(v) -> str:
             v = v.item()
         except (ValueError, AttributeError):
             pass
-    if v is None or (not isinstance(v, (str, bytes, list, tuple, dict)) and pd.isna(v)):
+    # sequence check FIRST: pd.isna(ndarray) returns an array, and bool() of
+    # it raises — the guard below must never see a multi-element sequence
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canonical(x) for x in v) + "]"
+    if v is None or (not isinstance(v, (str, bytes, dict)) and pd.isna(v)):
         return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
         return repr(v)  # repr(-0.0) == '-0.0' != '0.0'; int never equals float
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(_canonical(x) for x in v) + "]"
     return f"{type(v).__name__}:{v!r}"
 
 
