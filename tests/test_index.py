@@ -365,3 +365,33 @@ def test_adc_residual_path_dtype_invariant(spark, corpus, queries):
     d32, d64 = d32.sort_values(sort_cols), d64.sort_values(sort_cols)
     assert d32["neighbor_id"].tolist() == d64["neighbor_id"].tolist()
     assert (d32["distance"].to_numpy() == d64["distance"].to_numpy()).all()
+
+
+def test_driver_probes_csr_structure_and_size(spark):
+    """Probe lists are CSR-style (centroid_id -> ascending query rows), total
+    size O(nq * nprobe) at ANY nlist: the dense (nq x max_centroid_id) bool
+    mask this replaced rode every task closure and reached ~1 MB per 16
+    queries at nlist=65k (65 MB at a 1000-query serving batch)."""
+    import pickle
+
+    from webscale_vector_search_spark.operators.ivf import DriverProbes
+
+    nlist, dim, nprobe, nq = 65_000, 8, 4, 16
+    rng = np.random.default_rng(0)
+    c_ids = np.arange(nlist, dtype=np.int64)
+    C = rng.normal(size=(nlist, dim))
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(nq)],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    )
+    probes = DriverProbes(q, None, nprobe, centroid_np=(c_ids, C))
+    assert sum(len(v) for v in probes.probe_lists.values()) == nq * nprobe
+    # membership matches an independent per-query argsort of the distances
+    for qi in range(nq):
+        expect = set(c_ids[np.argsort(probes.qc2[qi], kind="stable")[:nprobe]].tolist())
+        got = {c for c, arr in probes.probe_lists.items() if qi in arr}
+        assert got == expect, qi
+        for arr in probes.probe_lists.values():  # ascending == np.where order
+            assert (np.diff(arr) > 0).all() or len(arr) <= 1
+    blob = pickle.dumps(probes.probe_lists)
+    assert len(blob) < 64 * 1024, f"probe structure pickled to {len(blob)} bytes"

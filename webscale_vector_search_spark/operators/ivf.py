@@ -313,10 +313,24 @@ class DriverProbes:
             + (self.C * self.C).sum(1)[None, :]
         )
         order = np.argsort(self.qc2, axis=1, kind="stable")[:, : min(nprobe, nlist)]
-        self.probe_mask = np.zeros((nq, int(self.c_ids.max()) + 1), dtype=bool)
-        for qi in range(nq):
-            self.probe_mask[qi, self.c_ids[order[qi]]] = True
-        self.probed_lists = sorted({int(self.c_ids[c]) for row in order for c in row})
+        # CSR-style probe lists: centroid_id -> ascending query-row indices.
+        # Total size O(nq * nprobe) — a dense (nq x max_centroid_id) bool
+        # mask rides every task closure and bloats at nlist 10^5-10^6 x
+        # large batches; the kernels only ever ask "which queries probe
+        # list cv", which this answers in one dict lookup.
+        probed_ids_per_q = self.c_ids[order]  # (nq, nprobe')
+        qi_rep = np.repeat(np.arange(nq, dtype=np.int64), order.shape[1])
+        flat_cids = probed_ids_per_q.ravel()
+        by_cid = np.argsort(flat_cids, kind="stable")  # stable keeps qi ascending per cid
+        sorted_cids = flat_cids[by_cid]
+        sorted_qis = qi_rep[by_cid]
+        bounds = np.flatnonzero(np.diff(sorted_cids)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sorted_cids)]))
+        self.probe_lists = {
+            int(sorted_cids[s]): sorted_qis[s:e] for s, e in zip(starts, ends)
+        }
+        self.probed_lists = sorted(self.probe_lists)
         # centroid_id -> row index in C (ids are dense in practice, but the
         # slot map keeps the kernels correct for any id set)
         self.slot_of = np.full(int(self.c_ids.max()) + 1, -1, dtype=np.int64)
@@ -360,7 +374,7 @@ def ivf_search_pandas(
     from pyspark.sql import types as T
 
     probes = DriverProbes(queries, centroids, nprobe, centroid_np=centroid_np)
-    q_ids, Q, probe_mask = probes.q_ids, probes.Q, probes.probe_mask
+    q_ids, Q, probe_lists = probes.q_ids, probes.Q, probes.probe_lists
     pruned = probes.prune(corpus_with_centroid)
     q_sq = (Q * Q).sum(1)
 
@@ -388,8 +402,8 @@ def ivf_search_pandas(
             cent = batch.column(batch.schema.get_field_index("centroid_id")).to_numpy()
             parts = []
             for cv, rows in segment_iter(cent.astype(np.int64, copy=False)):
-                qsel = np.where(probe_mask[:, cv])[0]
-                if qsel.size == 0:
+                qsel = probe_lists.get(cv)
+                if qsel is None:
                     continue
                 Vc = V[rows]
                 d = (

@@ -257,7 +257,7 @@ def adc_search(
         q_ids, Q = probes.q_ids, probes.Q
         codes_df = probes.prune(codes_df)
         scan_cols.append("centroid_id")
-        probe_mask = probes.probe_mask
+        probe_lists = probes.probe_lists
         # probed centroid block + centroid_id -> block-row map (small: the
         # query batch's probed union, never nlist x dim)
         probed_ids = np.array(probes.probed_lists, dtype=np.int64)
@@ -269,7 +269,7 @@ def adc_search(
         q_rows = queries.select("query_id", "qvec").collect()
         q_ids = np.array([r["query_id"] for r in q_rows])
         Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)  # (nq, dim)
-        probe_mask = probed_row = Cp = None
+        probe_lists = probed_row = Cp = None
         use_probes = False
     probes = None  # keep the DriverProbes object (qc2/C/slot_of) out of the closure
 
@@ -331,8 +331,8 @@ def adc_search(
             parts = []
             # one inverted list at a time (segment sort, not per-list rescans)
             for cv, rows in segment_iter(cent.astype(np.int64, copy=False)):
-                qsel = np.where(probe_mask[:, cv])[0]
-                if qsel.size == 0:
+                qsel = probe_lists.get(cv)
+                if qsel is None:
                     continue
                 if residual:
                     # same BLAS shape as exact search, over reconstructions
