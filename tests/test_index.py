@@ -395,3 +395,64 @@ def test_driver_probes_csr_structure_and_size(spark):
             assert (np.diff(arr) > 0).all() or len(arr) <= 1
     blob = pickle.dumps(probes.probe_lists)
     assert len(blob) < 64 * 1024, f"probe structure pickled to {len(blob)} bytes"
+
+
+def test_hnsw_stored_graph_equivalence_and_worker_cache(spark, tmp_path_factory):
+    """The persisted-graph contract (K9 artifact half):
+    1. the graph build_index writes is search-IDENTICAL (bit-exact labels
+       and distances) to the builder's in-memory graph, through the full
+       parquet round-trip — i.e. serving a stored graph == serving the
+       graph that was just built, construction paid exactly once;
+    2. the serving loader caches per worker: a second load of an unchanged
+       shard returns the same object (the reference's load-once, 537-545);
+    3. search_index over the artifact clears the HNSW recall bar.
+    """
+    import os
+
+    from webscale_vector_search_spark.operators.hnsw_partition import (
+        PyHNSW,
+        load_shard_graph,
+    )
+    from webscale_vector_search_spark.operators.knn import knn
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+
+    corpus = load_table(spark, "embeddings", SF_SMOKE)
+    out = str(tmp_path_factory.mktemp("hnsw_graph_idx"))
+    cfg = EngineConfig(index_type="HNSW", num_shards=2)
+    handle = build_index(spark, corpus, out, cfg)
+    meta = read_metadata(out)
+    assert meta["hnsw_graph"] is True
+    assert meta["hnsw"] == {"m": 16, "ef_construction": 64}
+    assert {"hnsw_level", "hnsw_neighbors", "hnsw_entry"} <= set(handle.vectors.columns)
+
+    # (1) bit-exact: reload shard 0 from parquet; rebuild the same graph
+    # in-memory (same insertion order = vec_id ascending, same per-shard
+    # seed); every query must return identical labels AND distances
+    shard_dir = os.path.join(handle.vectors_dir, "shard_id=0")
+    g_stored = load_shard_graph(shard_dir)
+    rows = (
+        handle.vectors.filter(F.col("shard_id") == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    V = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    g_mem = PyHNSW(V.shape[1], M=cfg.hnsw_m, ef_construction=cfg.hnsw_ef_construction, seed=cfg.seed + 0)
+    g_mem.add_items(V)
+    Q = V[:7]
+    ls, ds = g_stored.knn_query(Q, k=10, ef=64)
+    lm, dm = g_mem.knn_query(Q, k=10, ef=64)
+    assert (ls == lm).all()
+    assert (ds == dm).all()
+
+    # (2) worker cache: unchanged files -> the very same object
+    assert load_shard_graph(shard_dir) is g_stored
+
+    # (3) end-to-end recall through search_index (stored-graph route)
+    queries = queries_from_embeddings(spark, SF_SMOKE, 15)
+    exact = knn(corpus, queries, k=10)
+    approx = search_index(spark, handle, queries, k=10)
+    assert recall_at_k(approx, exact, k=10) >= 0.9
+    # kernel='sql' fallback on a graph artifact = the exact scan
+    sql_res = search_index(spark, handle, queries, k=10, kernel="sql")
+    assert recall_at_k(sql_res, exact, k=10) == 1.0

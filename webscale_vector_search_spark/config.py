@@ -17,10 +17,10 @@ def default_nprobe(nlist: int, index_type: str = "IVF") -> int:
 
     - IVF/IVFPQ: the reference's serving rule min(64, max(1, nlist // 8))
       (vector_search_cluster.py:549)
-    - HNSW slot: only reached by the kernel='sql' fallback (the default
-      HNSW serving path is the per-partition graph —
-      operators/hnsw_partition.py). The 3/4-of-lists probe is a deliberate
-      near-exact scan: right answers for the no-Python form, explicitly NOT
+    - HNSW slot: only reached when a LEGACY (pre-r5, centroid-layout) HNSW
+      artifact is served with kernel='sql' (graph artifacts use the stored
+      graph; their no-Python fallback is the exact scan). The 3/4-of-lists
+      probe is a deliberate near-exact scan: right answers, explicitly NOT
       the sub-linear cost class the graph path provides.
     """
     if index_type == "HNSW":
@@ -37,8 +37,9 @@ class EngineConfig:
     - num_shards 16: coordinator default (vector_search_cluster.py:785, 914)
     - (k=10, the QueryRequest default at vector_search_cluster.py:763, is a
       per-search argument — knn(k=...)/search_index(k=...) — not build config)
-    - index_type FLAT|IVF|IVFPQ (argparse choices, vector_search_cluster.py:934;
-      HNSW capability is delivered as tuned IVF — SURVEY.md §7 hard-part (a))
+    - index_type FLAT|IVF|IVFPQ|HNSW (argparse choices at
+      vector_search_cluster.py:934 plus HNSW at 1043-1045; HNSW builds one
+      graph per shard and persists adjacency beside the vectors)
     - nprobe: min(64, max(1, nlist // 8)) (vector_search_cluster.py:549)
     - seed 42: the reference seeds nothing (np.random.shuffle at 1002);
       we require determinism everywhere.
@@ -70,6 +71,13 @@ class EngineConfig:
     # normalizes queries symmetrically. Extension beyond the reference
     # (LLM pipelines are cosine-first).
     metric: str = "sq_l2"
+    # HNSW graph-build params (index_type="HNSW"): M follows hnswlib's
+    # default 16 (the reference passes 32 to IndexHNSWFlat at 1044 — higher
+    # recall ceiling, ~2x build cost and link storage; both supported).
+    # ef_construction 64 mirrors the module default used by the recall and
+    # sub-linear-cost property tests.
+    hnsw_m: int = 16
+    hnsw_ef_construction: int = 64
     # (per-search metric selection stays on the operators — knn(metric=...);
     # kernel selection on search_index(kernel=...). No silently-dead knobs.)
 

@@ -1,16 +1,25 @@
-"""K9 — per-partition HNSW graph search (SURVEY.md §7 hard part (a)).
+"""K9 — per-shard HNSW graphs: build-once artifacts + traversal-only serving.
 
 Graph ANN is sequential pointer-chasing with no idiomatic DataFrame form,
-so the Spark-first decomposition is: build ONE small graph per partition
-inside a mapInPandas pass (each graph fits a task), search shard-parallel,
-merge with the standard K2/K3 partial/final rank window — the same shape as
-every other search in this engine.
+so the Spark-first decomposition is: ONE graph per shard, each bounded to a
+task, merged with the standard K2/K3 partial/final rank window — the same
+shape as every other search in this engine. Two serving forms:
 
-Reference behavior matched: IndexHNSWFlat(d, 32) build
-(vector_search_cluster.py:1043-1045), efSearch serving param (551-552); the
-README claims 99%+ recall@10 at sub-linear cost — the cost class this
-module restores (the r1 "HNSW slot" probed 3/4 of IVF lists: high recall at
-~75% of an exact scan).
+- `build_hnsw_graphs` + `hnsw_stored_search`: the index-artifact lifecycle.
+  Build constructs each shard's graph once (applyInPandas) and persists
+  per-node adjacency as parquet columns beside the vectors; serving loads a
+  shard's graph ONCE per python worker and pays only beam traversal.
+  Reference behavior matched: faiss.write_index per shard
+  (vector_search_cluster.py:1051-1054), load-once per node (537-545),
+  efSearch serving param (551-552).
+- `hnsw_partition_search`: the index-free ad-hoc form — build+search inside
+  one mapInPandas pass over any vector DataFrame. Right answers and the
+  same recall, but construction cost is paid per call; use the stored-graph
+  path for repeated serving.
+
+The reference README claims 99%+ recall@10 at sub-linear cost — the cost
+class both forms provide (the r1 "HNSW slot" probed 3/4 of IVF lists: high
+recall at ~75% of an exact scan).
 
 Two interchangeable graph backends:
 - `hnswlib` when installed (C++, the production path);
@@ -155,6 +164,215 @@ class PyHNSW:
             labels[qi] = [u for _, u in res]
             dists[qi] = [d for d, _ in res]
         return labels, dists
+
+    # -- persistence (S3/S4 for graphs: the reference write_index/load-once
+    # analog, vector_search_cluster.py:1051-1054 and 537-545) ---------------
+
+    def export_rows(self, ids: np.ndarray):
+        """Per-node graph rows for a columnar artifact: (level, neighbors)
+        with neighbor links as GLOBAL ids (`ids[local]`), one outer list per
+        layer 0..level. Self-contained: `from_rows` on these plus the
+        vectors reproduces a search-identical graph."""
+        levels = np.array([max(lk) if lk else 0 for lk in self.links], dtype=np.int32)
+        neighbors = [
+            [[int(ids[u]) for u in lk.get(lc, ())] for lc in range(levels[i] + 1)]
+            for i, lk in enumerate(self.links)
+        ]
+        return levels, neighbors
+
+    @classmethod
+    def from_rows(
+        cls,
+        V: np.ndarray,
+        ids: np.ndarray,
+        levels: np.ndarray,
+        neighbors,
+        entry_local: int,
+        dim: int | None = None,
+        M: int = 16,
+    ) -> "PyHNSW":
+        """Search-only reconstruction from stored adjacency — NO add_items,
+        no level draws, no beam construction: the whole point of persisting
+        the graph is that serving pays only traversal."""
+        g = cls(dim if dim is not None else V.shape[1], M=M)
+        g.V = np.asarray(V, dtype=np.float64)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        g.links = [
+            {lc: [pos[v] for v in lvl] for lc, lvl in enumerate(node_lvls)}
+            for node_lvls in neighbors
+        ]
+        g.entry = int(entry_local)
+        g.max_level = int(levels[entry_local])
+        return g
+
+
+GRAPH_SCHEMA = (
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, shard_id INT, "
+    "hnsw_level INT, hnsw_neighbors ARRAY<ARRAY<BIGINT>>, hnsw_entry BOOLEAN"
+)
+
+
+def build_hnsw_graphs(
+    corpus_sharded: DataFrame,
+    m: int = 16,
+    ef_construction: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build ONE HNSW graph per shard and emit it as per-node columns —
+    the index-artifact half of K9 (reference: faiss.write_index per shard,
+    vector_search_cluster.py:1051-1054; here the graph IS data, adjacency
+    columns beside the vectors, so `write.partitionBy('shard_id')` persists
+    graph + vectors in one partitioned parquet).
+
+    applyInPandas group = shard = graph: the one shuffle in the build, and
+    the memory contract is explicit — a shard must fit a task, which is the
+    same bound graph construction needs anyway (size shards accordingly:
+    num_shards >= corpus_bytes / executor_task_memory). Insertion order is
+    vec_id-ascending and level draws are seeded per shard, so the artifact
+    is bit-deterministic for a given corpus + sharding.
+    """
+    import pandas as pd
+
+    def build_one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        shard = int(pdf["shard_id"].iloc[0])
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        # per-shard seed offset decorrelates level draws across shards
+        g = PyHNSW(V.shape[1], M=m, ef_construction=ef_construction, seed=seed + shard)
+        g.add_items(V)
+        levels, neighbors = g.export_rows(ids)
+        entry = np.zeros(len(ids), dtype=bool)
+        entry[g.entry] = True
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "embedding": pdf[vec_col],
+                "shard_id": np.full(len(ids), shard, dtype=np.int32),
+                "hnsw_level": levels,
+                "hnsw_neighbors": neighbors,
+                "hnsw_entry": entry,
+            }
+        )
+
+    return corpus_sharded.select(id_col, vec_col, "shard_id").groupBy("shard_id").applyInPandas(
+        build_one, GRAPH_SCHEMA
+    )
+
+
+# Per-python-worker graph cache: the reference loads each shard's index ONCE
+# per node and serves every query from it (vector_search_cluster.py:537-545).
+# Spark reuses python workers across tasks (spark.python.worker.reuse), so a
+# module-level cache keyed by (path, file fingerprint) gives the same
+# load-once behavior for a serving loop — repeated micro-batches traverse
+# the cached graph, paying neither construction NOR re-load.
+_GRAPH_CACHE: dict = {}
+_GRAPH_CACHE_MAX = 8  # per-worker; one entry per shard a worker serves
+
+
+def _graph_fingerprint(shard_dir: str):
+    import glob as _glob
+    import os as _os
+
+    files = sorted(_glob.glob(_os.path.join(shard_dir, "*.parquet")))
+    return tuple((f, _os.stat(f).st_size, _os.stat(f).st_mtime_ns) for f in files)
+
+
+def load_shard_graph(shard_dir: str) -> "PyHNSW":
+    """Load (or fetch from the worker cache) one shard's stored graph."""
+    key = (shard_dir, _graph_fingerprint(shard_dir))
+    g = _GRAPH_CACHE.get(key)
+    if g is not None:
+        return g
+    import pyarrow.dataset as pads
+
+    tbl = (
+        pads.dataset(shard_dir, format="parquet")
+        .to_table(columns=["vec_id", "embedding", "hnsw_level", "hnsw_neighbors", "hnsw_entry"])
+        .sort_by("vec_id")
+    )
+    ids = tbl.column("vec_id").to_numpy()
+    V = np.stack(tbl.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+    levels = tbl.column("hnsw_level").to_numpy()
+    neighbors = tbl.column("hnsw_neighbors").to_pylist()
+    entry_local = int(np.flatnonzero(tbl.column("hnsw_entry").to_numpy())[0])
+    g = PyHNSW.from_rows(V, ids, levels, neighbors, entry_local)
+    g.ids = ids  # global id map for result rows
+    if len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
+        _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+    _GRAPH_CACHE[key] = g
+    return g
+
+
+def hnsw_stored_search(
+    vectors_dir: str,
+    num_shards: int,
+    queries: DataFrame,
+    k: int = 10,
+    ef_search: int = 64,
+) -> DataFrame:
+    """K9 serving over a PERSISTED graph: one task per shard loads the stored
+    adjacency (worker-cached — load-once like the reference, 537-545) and
+    pays only beam traversal. No add_items anywhere on this path; repeated
+    serving batches hit the worker cache and pay only the search.
+
+    Scatter plan: a `spark.range(num_shards)` one-row-per-partition frame
+    fans the query batch out to one task per shard (the reference's ZMQ
+    scatter, P5); each task side-reads its own `shard_id=N` parquet
+    directory via Arrow — the same files any Spark scan would read, just
+    loaded whole because graph traversal needs the complete shard. The K3
+    rank window merges per-shard top-k as usual.
+    """
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from webscale_vector_search_spark.operators.knn import topk
+
+    spark = queries.sparkSession
+    q_rows = queries.select("query_id", "qvec").collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            for shard in pdf["shard_id"].tolist():
+                shard_dir = os.path.join(vectors_dir, f"shard_id={int(shard)}")
+                if not os.path.isdir(shard_dir):
+                    continue  # empty shard never materialized a directory
+                g = load_shard_graph(shard_dir)
+                kk = min(k, len(g.V))
+                labels, dists = g.knn_query(Q, k=kk, ef=max(ef_search, kk))
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids, kk),
+                        "vec_id": g.ids[labels.ravel()],
+                        "distance": np.round(dists.ravel().astype(np.float64), 6),
+                    }
+                )
+
+    shards = spark.range(num_shards, numPartitions=num_shards).select(
+        F.col("id").cast("int").alias("shard_id")
+    )
+    partial = shards.mapInPandas(scan, out_schema)
+    ranked = topk(partial, k)
+    return ranked.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").alias("neighbor_id"),
+        "distance",
+    )
 
 
 def hnsw_partition_search(

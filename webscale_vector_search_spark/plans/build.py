@@ -81,12 +81,27 @@ def build_index(
         # overhead at the 10M tier)
         sharded = _packed_repartition(sharded, "shard_id", config.num_shards)
         sharded.write.mode("overwrite").partitionBy("shard_id").parquet(vectors_dir)
-    elif config.index_type in ("IVF", "IVFPQ", "HNSW"):
-        # HNSW shares the IVF artifact layout (vectors partitioned by
-        # centroid_id); serving builds one graph per partition at query time
-        # (operators/hnsw_partition.py) — the partition layout bounds each
-        # graph to a task, and centroids keep the artifacts searchable by
-        # every other kernel too.
+    elif config.index_type == "HNSW":
+        # One graph per shard, persisted as adjacency columns BESIDE the
+        # vectors (reference: faiss.write_index per shard,
+        # vector_search_cluster.py:1051-1054; loaded once per node 537-545).
+        # build_hnsw_graphs' applyInPandas already shuffled rows to one task
+        # per shard, so the partitioned write needs no extra repartition and
+        # each graph lands as few files in its own shard_id= directory.
+        # Storage: adjacency adds ~ (M0 + levels) * 8 B per node (~2x the
+        # raw vector at dim 64) — the same links-beside-vectors cost FAISS's
+        # HNSW file pays; serving in exchange pays ONLY traversal.
+        from webscale_vector_search_spark.operators import hnsw_partition as hnsw_ops
+
+        sharded = hash_shard(base, config.num_shards)
+        graphs = hnsw_ops.build_hnsw_graphs(
+            sharded,
+            m=config.hnsw_m,
+            ef_construction=config.hnsw_ef_construction,
+            seed=config.seed,
+        )
+        graphs.write.mode("overwrite").partitionBy("shard_id").parquet(vectors_dir)
+    elif config.index_type in ("IVF", "IVFPQ"):
         nlist = config.resolved_nlist(n_total)
         centroids = ivf_ops.train_centroids(
             spark, base, nlist, seed=config.seed, sample_fraction=config.kmeans_sample_fraction
@@ -123,19 +138,23 @@ def build_index(
     else:
         raise ValueError(f"unknown index_type {config.index_type!r}")
 
-    index_io.write_metadata(
-        out_dir,
-        index_io.metadata_dict(
-            num_shards=config.num_shards,
-            index_type=config.index_type,
-            vector_dim=config.vector_dim,
-            total_vectors=n_total,
-            nlist=nlist,
-            pq_m=pq_m,
-            metric=config.metric,
-            pq_residual=config.index_type == "IVFPQ" and config.pq_residual,
-        ),
+    meta = index_io.metadata_dict(
+        num_shards=config.num_shards,
+        index_type=config.index_type,
+        vector_dim=config.vector_dim,
+        total_vectors=n_total,
+        nlist=nlist,
+        pq_m=pq_m,
+        metric=config.metric,
+        pq_residual=config.index_type == "IVFPQ" and config.pq_residual,
     )
+    if config.index_type == "HNSW":
+        # readers route on this flag: graph artifacts serve via
+        # hnsw_stored_search; its absence means a legacy centroid-layout
+        # HNSW index (pre-r5), served by the rebuild-per-call path
+        meta["hnsw_graph"] = True
+        meta["hnsw"] = {"m": config.hnsw_m, "ef_construction": config.hnsw_ef_construction}
+    index_io.write_metadata(out_dir, meta)
     return index_io.open_index(spark, out_dir)
 
 
@@ -148,6 +167,7 @@ def search_index(
     exact_refine: bool = True,
     refine_factor: int = 10,
     kernel: str = "pandas",
+    ef_search: int = 64,
 ) -> DataFrame:
     """Search previously-built artifacts (the online path of §3.1, batch form).
 
@@ -164,13 +184,15 @@ def search_index(
                 exact distances (standard two-stage PQ serving; the refine
                 IO is candidates-only — |queries| * refine_factor * k rows
                 via a broadcast semi-join over the probed lists)
-    - HNSW   -> per-partition graph search (K9, operators/hnsw_partition.py:
-                hnswlib when installed, the PyHNSW numpy implementation
-                otherwise) over the centroid-partitioned artifacts — real
-                sub-linear cost (visits ~ef*M nodes per query regardless of
-                list size). kernel='sql' falls back to IVF probing at the
-                high-recall nprobe default (a near-exact scan: right answers,
-                wrong cost class — kept only as the no-Python form).
+    - HNSW   -> stored-graph traversal (K9, hnsw_stored_search) when the
+                artifact carries persisted adjacency (`hnsw_graph` in the
+                sidecar — every build_index(HNSW) since r5): one task per
+                shard, graph loaded once per python worker, serving pays
+                only beam traversal (`ef_search` tunes the recall/latency
+                point). Legacy centroid-layout HNSW artifacts rebuild the
+                per-partition graph in-pass (hnsw_partition_search).
+                kernel='sql' on a graph artifact = the exact SQL scan
+                (graph traversal has no SQL form).
 
     kernel='pandas' (default) uses the vectorized Arrow/numpy kernels —
     identical results to kernel='sql' (the tie-stable batch top-k makes both
@@ -196,6 +218,25 @@ def search_index(
         fn = knn_pandas if kernel == "pandas" else knn
         return fn(handle.vectors, queries, k=k)
 
+    if itype == "HNSW" and handle.meta.get("hnsw_graph"):
+        # persisted-graph artifact: serving pays ONLY traversal (graphs are
+        # loaded once per python worker — hnsw_partition.load_shard_graph)
+        if kernel != "pandas":
+            # graph traversal has no SQL form; the no-Python fallback is the
+            # exact scan (right answers, exact cost — explicit, not probed)
+            return knn(
+                handle.vectors.select("vec_id", "embedding"), queries, k=k
+            )
+        from webscale_vector_search_spark.operators.hnsw_partition import hnsw_stored_search
+
+        return hnsw_stored_search(
+            handle.vectors_dir,
+            handle.meta["num_shards"],
+            queries,
+            k=k,
+            ef_search=ef_search,
+        )
+
     nlist = handle.meta["nlist"]
     if nprobe is None:
         from webscale_vector_search_spark.config import default_nprobe
@@ -203,6 +244,8 @@ def search_index(
         nprobe = default_nprobe(nlist, itype)
 
     if itype == "HNSW" and kernel == "pandas":
+        # legacy (pre-r5) HNSW artifact without a stored graph: rebuild the
+        # per-partition graph inside the search pass
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_partition_search
 
         return hnsw_partition_search(handle.vectors, queries, k=k)

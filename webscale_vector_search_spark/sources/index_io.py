@@ -119,6 +119,10 @@ class IndexHandle:
     centroids: DataFrame | None = None
     codebooks: np.ndarray | None = None
     _centroid_np: tuple | None = None
+    # filesystem path of the current vectors directory — stored-graph HNSW
+    # serving side-reads whole shard partitions from it (graph traversal
+    # needs the complete shard, not Spark's split-by-bytes scan units)
+    vectors_dir: str | None = None
 
     def centroid_arrays(self) -> tuple:
         """(c_ids int64, C float64) numpy views of the centroid table,
@@ -135,11 +139,19 @@ class IndexHandle:
 
 def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
     meta = read_metadata(index_dir)
-    vectors = spark.read.parquet(vectors_path(index_dir, meta))
+    vdir = vectors_path(index_dir, meta)
+    vectors = spark.read.parquet(vdir)
     centroids = None
     codebooks = None
-    if meta["index_type"] in ("IVF", "IVFPQ", "HNSW"):
-        centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    # graph-artifact HNSW (r5+) has no centroid table; legacy HNSW shares
+    # the IVF layout and keeps one
+    cent_dir = os.path.join(index_dir, "centroids")
+    if meta["index_type"] in ("IVF", "IVFPQ") or (
+        meta["index_type"] == "HNSW" and os.path.isdir(cent_dir)
+    ):
+        centroids = spark.read.parquet(cent_dir)
     if meta["index_type"] == "IVFPQ":
         codebooks = read_codebooks(spark, index_dir)
-    return IndexHandle(meta=meta, vectors=vectors, centroids=centroids, codebooks=codebooks)
+    return IndexHandle(
+        meta=meta, vectors=vectors, centroids=centroids, codebooks=codebooks, vectors_dir=vdir
+    )
