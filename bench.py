@@ -149,34 +149,38 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     def idx_dir_for(itype: str, cfg: EngineConfig) -> str:
         return _idx_cache_dir(cache_dir, itype, cfg, n)
 
-    for itype, cfg in (
-        ("IVF", EngineConfig(index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.02)),
-        (
-            "IVFPQ",  # pq_m=64 (dsub=1, scalar-quantized residuals): the
-            # reference's dim//4 rule (m=16 @ 8-bit) measures ADC-only
-            # recall@10 0.585 on this corpus because sampled k-means
-            # mis-allocates natural clusters and the coarse codes can't rank
-            # within a list (m=32 @ 8-bit: ~0.8; @ 10-bit + polish: 0.894 —
-            # all measured); 256 adaptive levels PER DIM makes ADC ranking
-            # near-exact (0.963) and the codes still scan 2x smaller than
-            # raw float32.
-            EngineConfig(
-                index_type="IVFPQ",
-                nlist=nlist,
-                pq_m=64,
-                kmeans_sample_fraction=0.02,
-            ),
+    builds = {
+        "ivf": EngineConfig(index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.02),
+        # pq_m=64 (dsub=1, scalar-quantized residuals): the reference's
+        # dim//4 rule (m=16 @ 8-bit) measures ADC-only recall@10 0.585 on
+        # this corpus because sampled k-means mis-allocates natural clusters
+        # and the coarse codes can't rank within a list; 256 adaptive levels
+        # PER DIM makes ADC ranking near-exact and the codes still scan 2x
+        # smaller than raw float32. This is the high-RECALL operating point.
+        "ivfpq": EngineConfig(
+            index_type="IVFPQ", nlist=nlist, pq_m=64, kmeans_sample_fraction=0.02
         ),
-    ):
-        idx_dir = idx_dir_for(itype, cfg)
+        # pq_m=32 @ 8-bit: the high-COMPRESSION operating point — 32 B/vec
+        # logical vs 256 B raw float32 = 8x (16x vs the m=64 arm's 2x
+        # physical SMALLINT footprint). The bench reports its ADC-only
+        # recall beside the compression factor.
+        "ivfpq_hc": EngineConfig(
+            index_type="IVFPQ", nlist=nlist, pq_m=32, kmeans_sample_fraction=0.02
+        ),
+        # HNSW: per-shard persisted graphs (adjacency columns), serving
+        # pays traversal only; 16 shards of 62.5k nodes at n=1M
+        "hnsw": EngineConfig(index_type="HNSW", num_shards=16),
+    }
+    handles = {}
+    for name, cfg in builds.items():
+        idx_dir = idx_dir_for(cfg.index_type if name != "ivfpq_hc" else "IVFPQ_HC", cfg)
         if not os.path.exists(os.path.join(idx_dir, "shards_metadata.json")):
             t0 = time.perf_counter()
             build_index(spark, corpus, idx_dir, cfg)
-            build_secs[f"build_{itype.lower()}"] = round(time.perf_counter() - t0, 1)
-        if itype == "IVF":
-            ivf_dir = idx_dir
-        else:
-            pq_dir, pq_cfg = idx_dir, cfg
+            build_secs[f"build_{name}"] = round(time.perf_counter() - t0, 1)
+        handles[name] = idx_dir
+    pq_cfg = builds["ivfpq"]
+    hc_cfg = builds["ivfpq_hc"]
     # merge with previously recorded times: a partial rebuild (one index's
     # cache key changed) must not drop the other index's build number
     if os.path.exists(builds_file):
@@ -191,11 +195,14 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     # opened handle)
     from webscale_vector_search_spark.sources.index_io import open_index
 
-    ivf_handle = open_index(spark, ivf_dir)
-    pq_handle = open_index(spark, pq_dir)
+    ivf_handle = open_index(spark, handles["ivf"])
+    pq_handle = open_index(spark, handles["ivfpq"])
+    hc_handle = open_index(spark, handles["ivfpq_hc"])
+    hnsw_handle = open_index(spark, handles["hnsw"])
 
-    def timed(fn):
-        fn().count()  # warm-up
+    def timed(fn, warmups: int = 1):
+        for _ in range(warmups):
+            fn().count()  # warm-up (JIT, scan caches; graph loads for HNSW)
         best, result = float("inf"), None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -222,10 +229,26 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
             spark, pq_handle, queries, k=k, nprobe=nprobe, exact_refine=False
         )
     )
+    # high-compression arm: ADC-only at 8x logical compression (m=32 @
+    # 8-bit = 32 B/vec vs 256 B raw) — the operating point where PQ's IO
+    # story at 100 TB is real; recall reported beside it
+    hc_adc_sec, hc_adc = timed(
+        lambda: search_index(
+            spark, hc_handle, queries, k=k, nprobe=nprobe, exact_refine=False
+        )
+    )
+    # HNSW over persisted graphs: traversal-only serving. Two warm-ups so
+    # the per-python-worker graph cache is populated before timing (cold
+    # tasks pay the one-time adjacency load the reference pays at node
+    # startup, 537-545)
+    hnsw_sec, hnsw_res = timed(
+        lambda: search_index(spark, hnsw_handle, queries, k=k), warmups=2
+    )
     # single-query latency: the low-latency serving shape, where probe
     # pruning cuts IO 250x (4 of 1000 lists) instead of the batch union
     flat1_sec, _ = timed(lambda: knn_pandas(corpus, query1, k=k))
     ivf1_sec, _ = timed(lambda: search_index(spark, ivf_handle, query1, k=k, nprobe=nprobe))
+    hnsw1_sec, _ = timed(lambda: search_index(spark, hnsw_handle, query1, k=k), warmups=2)
     meta = {
         "corpus": n,
         "dim": dim,
@@ -242,14 +265,27 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         "ivfpq_recall": round(recall_at_k(pq, exact, k=k), 4),
         "ivfpq_adc_sec": pq_adc_sec,
         "ivfpq_adc_recall": round(recall_at_k(pq_adc, exact, k=k), 4),
+        "ivfpq_hc": {
+            "pq_m": hc_cfg.resolved_pq_m(),
+            "pq_bits": hc_cfg.pq_bits,
+            "compression_x": round(dim * 4.0 / (hc_cfg.resolved_pq_m() * hc_cfg.pq_bits / 8.0), 1),
+            "adc_sec": hc_adc_sec,
+            "adc_recall": round(recall_at_k(hc_adc, exact, k=k), 4),
+        },
+        "hnsw_sec": hnsw_sec,
+        "hnsw_recall": round(recall_at_k(hnsw_res, exact, k=k), 4),
+        "hnsw_m": builds["hnsw"].hnsw_m,
+        "hnsw_shards": builds["hnsw"].num_shards,
         "flat_1q_sec": flat1_sec,
         "ivf_1q_sec": ivf1_sec,
+        "hnsw_1q_sec": hnsw1_sec,
         "build_sec": build_secs,
     }
     timings = {
         "q_ann1m_flat": flat_sec,
         "q_ann1m_ivf": ivf_sec,
         "q_ann1m_ivfpq": pq_sec,
+        "q_ann1m_hnsw": hnsw_sec,
         "q_ann1m_flat_1q": flat1_sec,
         "q_ann1m_ivf_1q": ivf1_sec,
     }
