@@ -377,3 +377,47 @@ def test_streaming_serve_equals_batch(spark, corpus, tmp_path_factory):
     assert got.equals(want), "streamed serving diverged from batch search"
     # every query answered exactly once (k rows each)
     assert (got.groupby("query_id").size() == 10).all()
+
+
+def test_incremental_hnsw_graph_append(spark, corpus, tmp_path_factory):
+    """T1 for graph artifacts: micro-batches insert into the persisted
+    per-shard graphs (no rebuild). The stream-built index must (1) contain
+    every vector exactly once with intact adjacency invariants, (2) serve
+    through the stored-graph path at the same recall bar as a batch build,
+    and (3) leave the batch-built artifact's contract unchanged."""
+    from webscale_vector_search_spark.operators.ivf import recall_at_k
+    from webscale_vector_search_spark.operators.knn import knn
+    from webscale_vector_search_spark.plans.build import build_index, search_index
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+    from webscale_vector_search_spark.streaming.build_stream import (
+        incremental_build,
+        refresh_metadata,
+    )
+
+    cfg = EngineConfig(index_type="HNSW", num_shards=2)
+
+    batch_dir = str(tmp_path_factory.mktemp("hnsw_batch"))
+    build_index(spark, corpus, batch_dir, cfg)
+
+    src = str(tmp_path_factory.mktemp("hnsw_stream_src"))
+    inc_dir = str(tmp_path_factory.mktemp("hnsw_inc"))
+    q = incremental_build(spark, _stream_corpus(spark, corpus, src), inc_dir, cfg)
+    q.awaitTermination(180)
+
+    meta = refresh_metadata(spark, inc_dir)
+    assert meta["total_vectors"] == corpus.count()
+    assert meta["hnsw_graph"] is True
+
+    inc_vec = spark.read.parquet(os.path.join(inc_dir, "vectors"))
+    # every vector exactly once; exactly one entry point per shard
+    assert inc_vec.select("vec_id").distinct().count() == corpus.count()
+    entries = inc_vec.filter(F.col("hnsw_entry")).groupBy("shard_id").count().collect()
+    assert {r["shard_id"] for r in entries} == {0, 1}
+    assert all(r["count"] == 1 for r in entries)
+
+    queries = queries_from_embeddings(spark, SF_SMOKE, 15)
+    exact = knn(corpus, queries, k=10)
+    rec_inc = recall_at_k(search_index(spark, inc_dir, queries, k=10), exact, k=10)
+    rec_batch = recall_at_k(search_index(spark, batch_dir, queries, k=10), exact, k=10)
+    assert rec_inc >= 0.9, rec_inc
+    assert rec_batch >= 0.9, rec_batch

@@ -217,11 +217,15 @@ class PyHNSW:
         entry_local: int,
         dim: int | None = None,
         M: int = 16,
+        ef_construction: int = 64,
+        seed: int = 42,
     ) -> "PyHNSW":
-        """Search-only reconstruction from stored adjacency — NO add_items,
-        no level draws, no beam construction: the whole point of persisting
-        the graph is that serving pays only traversal."""
-        g = cls(dim if dim is not None else V.shape[1], M=M)
+        """Reconstruction from stored adjacency — NO add_items, no level
+        draws, no beam construction: serving pays only traversal. Pass the
+        build's (M, ef_construction, seed) when the instance will be
+        EXTENDED afterwards (incremental append) so new inserts use the
+        same link budget."""
+        g = cls(dim if dim is not None else V.shape[1], M=M, ef_construction=ef_construction, seed=seed)
         g.V = np.asarray(V, dtype=np.float64)
         pos = {int(v): i for i, v in enumerate(ids)}
         g.links = [
@@ -307,12 +311,10 @@ def _graph_fingerprint(shard_dir: str):
     return tuple((f, _os.stat(f).st_size, _os.stat(f).st_mtime_ns) for f in files)
 
 
-def load_shard_graph(shard_dir: str) -> "PyHNSW":
-    """Load (or fetch from the worker cache) one shard's stored graph."""
-    key = (shard_dir, _graph_fingerprint(shard_dir))
-    g = _GRAPH_CACHE.get(key)
-    if g is not None:
-        return g
+def read_shard_graph(shard_dir: str, M: int = 16, ef_construction: int = 64) -> "PyHNSW":
+    """Load one shard's stored graph — fresh instance, no cache. Use this
+    when the graph will be MUTATED (incremental append): handing out the
+    cached serving instance would corrupt it under its unchanged key."""
     import pyarrow.dataset as pads
 
     tbl = (
@@ -325,12 +327,92 @@ def load_shard_graph(shard_dir: str) -> "PyHNSW":
     levels = tbl.column("hnsw_level").to_numpy()
     neighbors = tbl.column("hnsw_neighbors").to_pylist()
     entry_local = int(np.flatnonzero(tbl.column("hnsw_entry").to_numpy())[0])
-    g = PyHNSW.from_rows(V, ids, levels, neighbors, entry_local)
+    g = PyHNSW.from_rows(V, ids, levels, neighbors, entry_local, M=M, ef_construction=ef_construction)
     g.ids = ids  # global id map for result rows
+    return g
+
+
+def load_shard_graph(shard_dir: str) -> "PyHNSW":
+    """Load (or fetch from the worker cache) one shard's stored graph."""
+    key = (shard_dir, _graph_fingerprint(shard_dir))
+    g = _GRAPH_CACHE.get(key)
+    if g is not None:
+        return g
+    g = read_shard_graph(shard_dir)
     if len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
         _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
     _GRAPH_CACHE[key] = g
     return g
+
+
+def extend_shard_graphs(
+    batch_sharded: DataFrame,
+    vectors_dir: str,
+    m: int = 16,
+    ef_construction: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """T1 for graph artifacts — insert a micro-batch into the persisted
+    per-shard graphs (reference: add_vectors_streaming appends into live
+    FAISS indexes, vector_search_cluster.py:1139-1212; HNSW supports true
+    incremental insertion, so no rebuild).
+
+    Per affected shard: load the stored graph (fresh instance, not the
+    serving cache), insert the new vectors with the SAME beam/link budget
+    the batch build used, and re-emit every node row — neighbor lists of
+    existing nodes change when new nodes link to them, so the shard
+    partition must be rewritten whole (pair with a dynamic
+    partitionOverwrite write, see streaming/build_stream.py). Level draws
+    are seeded by (seed, shard, existing size): a given append sequence is
+    deterministic, batch != incremental bit-wise (different insertion
+    order) but both are valid graphs of the same parameters — equivalence
+    is asserted on recall, like hnswlib's own add_items contract.
+    """
+    import os
+    import random as _random
+
+    import pandas as pd
+
+    def extend_one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        shard = int(pdf["shard_id"].iloc[0])
+        newV = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        new_ids = pdf[id_col].to_numpy().astype(np.int64)
+        shard_dir = os.path.join(vectors_dir, f"shard_id={shard}")
+        if os.path.isdir(shard_dir):
+            g = read_shard_graph(shard_dir, M=m, ef_construction=ef_construction)
+            old_ids = g.ids
+            if np.intersect1d(old_ids, new_ids).size:
+                raise ValueError(
+                    f"shard {shard}: appended vec_ids collide with stored ones"
+                )
+            g.rng = _random.Random(seed + shard + 1_000_003 * len(old_ids))
+            g.add_items(newV)
+            ids = np.concatenate([old_ids, new_ids])
+        else:  # first batch ever for this shard
+            g = PyHNSW(newV.shape[1], M=m, ef_construction=ef_construction, seed=seed + shard)
+            g.add_items(newV)
+            ids = new_ids
+        levels, neighbors = g.export_rows(ids)
+        entry = np.zeros(len(ids), dtype=bool)
+        entry[g.entry] = True
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                # float32 round-trips exactly through the float64 graph copy
+                "embedding": [row.astype(np.float32) for row in g.V],
+                "shard_id": np.full(len(ids), shard, dtype=np.int32),
+                "hnsw_level": levels,
+                "hnsw_neighbors": neighbors,
+                "hnsw_entry": entry,
+            }
+        )
+
+    return batch_sharded.select(id_col, vec_col, "shard_id").groupBy("shard_id").applyInPandas(
+        extend_one, GRAPH_SCHEMA
+    )
 
 
 def hnsw_stored_search(

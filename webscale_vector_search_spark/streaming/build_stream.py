@@ -58,16 +58,20 @@ def incremental_build(
     )
 
     if not os.path.exists(os.path.join(out_dir, METADATA_FILE)):
-        write_metadata(
-            out_dir,
-            metadata_dict(
-                num_shards=config.num_shards,
-                index_type=config.index_type,
-                vector_dim=config.vector_dim,
-                total_vectors=0,
-                pq_residual=config.index_type == "IVFPQ" and config.pq_residual,
-            ),
+        seed_meta = metadata_dict(
+            num_shards=config.num_shards,
+            index_type=config.index_type,
+            vector_dim=config.vector_dim,
+            total_vectors=0,
+            pq_residual=config.index_type == "IVFPQ" and config.pq_residual,
         )
+        if config.index_type == "HNSW":
+            seed_meta["hnsw_graph"] = True
+            seed_meta["hnsw"] = {
+                "m": config.hnsw_m,
+                "ef_construction": config.hnsw_ef_construction,
+            }
+        write_metadata(out_dir, seed_meta)
     # the appended codes MUST match the sidecar's encoding: a residual
     # index (build_index default) streamed raw codes would silently
     # mis-score every appended vector under the residual ADC expansion
@@ -88,7 +92,7 @@ def incremental_build(
             sharded = sharded.repartition(config.num_shards, "shard_id")
             sharded.write.mode("append").partitionBy("shard_id").parquet(vectors_dir)
 
-    elif config.index_type in ("IVF", "HNSW"):
+    elif config.index_type == "IVF":
         if centroids is None:
             raise ValueError("IVF incremental build requires the trained centroid table")
         cents = centroids
@@ -99,6 +103,41 @@ def incremental_build(
                 max(1, cents_count), "centroid_id"
             )
             assigned.write.mode("append").partitionBy("centroid_id").parquet(vectors_dir)
+
+    elif config.index_type == "HNSW":
+        # true incremental graph insertion (HNSW is an incremental
+        # structure): each micro-batch is inserted into the affected shards'
+        # stored graphs and ONLY those shard partitions are rewritten
+        # (dynamic partition overwrite — neighbor lists of existing nodes
+        # change when new nodes link in, so an append-only write can't
+        # represent the update). Legacy centroid-layout HNSW artifacts take
+        # the IVF append path with explicit centroids instead.
+        meta0 = read_metadata(out_dir)
+        hnsw_params = meta0.get("hnsw") or {}
+        m_ = hnsw_params.get("m", config.hnsw_m)
+        efc_ = hnsw_params.get("ef_construction", config.hnsw_ef_construction)
+        if not meta0.get("hnsw_graph"):
+            raise ValueError(
+                "HNSW incremental append requires a graph artifact "
+                "(build_index since r5); legacy centroid-layout HNSW "
+                "indexes append via index_type='IVF' with their centroids"
+            )
+
+        def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            from webscale_vector_search_spark.operators.hnsw_partition import (
+                extend_shard_graphs,
+            )
+
+            sharded = hash_shard(batch_df, config.num_shards)
+            graphs = extend_shard_graphs(
+                sharded, vectors_dir, m=m_, ef_construction=efc_, seed=config.seed
+            )
+            (
+                graphs.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("shard_id")
+                .parquet(vectors_dir)
+            )
 
     elif config.index_type == "IVFPQ":
         if centroids is None or codebooks is None:
