@@ -421,3 +421,49 @@ def test_incremental_hnsw_graph_append(spark, corpus, tmp_path_factory):
     rec_batch = recall_at_k(search_index(spark, batch_dir, queries, k=10), exact, k=10)
     assert rec_inc >= 0.9, rec_inc
     assert rec_batch >= 0.9, rec_batch
+
+
+def test_streaming_serve_hnsw_stored_graph(spark, corpus, tmp_path_factory):
+    """T4 over a graph artifact: micro-batches traverse the PERSISTED graph
+    (stored-graph route — construction was paid once at build; the serving
+    loop's per-batch cost is beam traversal against the worker-cached
+    graph). Streamed results == batch engine results, exactly."""
+    from webscale_vector_search_spark.plans.build import build_index, search_index
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+    from webscale_vector_search_spark.sources.index_io import open_index
+    from webscale_vector_search_spark.streaming.serve_stream import serve_queries_stream
+
+    idx_dir = str(tmp_path_factory.mktemp("serve_hnsw_idx"))
+    build_index(spark, corpus, idx_dir, EngineConfig(index_type="HNSW", num_shards=2))
+    handle = open_index(spark, idx_dir)
+    assert handle.meta["hnsw_graph"] is True
+
+    queries = queries_from_embeddings(spark, SF_SMOKE, 12)
+    src = str(tmp_path_factory.mktemp("serve_hnsw_src"))
+    queries.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    out_dir = str(tmp_path_factory.mktemp("serve_hnsw_out"))
+    q = serve_queries_stream(spark, stream, handle, out_dir, k=10)
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .select("query_id", "rank", "neighbor_id", "distance")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        search_index(spark, handle, queries, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), "streamed HNSW serving diverged from batch search"
+    assert (got.groupby("query_id").size() == 10).all()
