@@ -229,12 +229,23 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
             spark, pq_handle, queries, k=k, nprobe=nprobe, exact_refine=False
         )
     )
-    # high-compression arm: ADC-only at 8x logical compression (m=32 @
-    # 8-bit = 32 B/vec vs 256 B raw) — the operating point where PQ's IO
-    # story at 100 TB is real; recall reported beside it
+    # high-compression arm: m=32 @ 8-bit = 32 B/vec logical vs 256 B raw =
+    # 8x. ADC-only ranking at this compression measures ~0.85 on this
+    # corpus (pooled-codebook ranking limit — the isolated-cluster study
+    # ceiling is ~0.93, and neither more k-means iters nor rotation moves
+    # it: residuals are an isotropic uniform box). The standard serving
+    # shape at high compression is therefore two-stage: modest ADC
+    # over-fetch (4x) + exact refine on candidates only — recall ~1.0
+    # while the corpus scan still reads the 8x-compressed codes; the
+    # refine IO is |queries| * 4k rows, corpus-size-independent.
     hc_adc_sec, hc_adc = timed(
         lambda: search_index(
             spark, hc_handle, queries, k=k, nprobe=nprobe, exact_refine=False
+        )
+    )
+    hc_ref_sec, hc_ref = timed(
+        lambda: search_index(
+            spark, hc_handle, queries, k=k, nprobe=nprobe, refine_factor=4
         )
     )
     # HNSW over persisted graphs: traversal-only serving. Two warm-ups so
@@ -271,6 +282,9 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
             "compression_x": round(dim * 4.0 / (hc_cfg.resolved_pq_m() * hc_cfg.pq_bits / 8.0), 1),
             "adc_sec": hc_adc_sec,
             "adc_recall": round(recall_at_k(hc_adc, exact, k=k), 4),
+            "refine_factor": 4,
+            "refined_sec": hc_ref_sec,
+            "refined_recall": round(recall_at_k(hc_ref, exact, k=k), 4),
         },
         "hnsw_sec": hnsw_sec,
         "hnsw_recall": round(recall_at_k(hnsw_res, exact, k=k), 4),

@@ -322,12 +322,38 @@ def read_shard_graph(shard_dir: str, M: int = 16, ef_construction: int = 64) -> 
         .to_table(columns=["vec_id", "embedding", "hnsw_level", "hnsw_neighbors", "hnsw_entry"])
         .sort_by("vec_id")
     )
+    n = tbl.num_rows
     ids = tbl.column("vec_id").to_numpy()
-    V = np.stack(tbl.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+    # decode straight from the Arrow buffers (a to_pylist + per-value dict
+    # walk measured 2.7 s/shard at 62.5k nodes — the whole point of the
+    # stored graph is cheap loads, so decode must be vectorized):
+    # embedding list<float> -> one flat values buffer, reshape
+    emb = tbl.column("embedding").combine_chunks()
+    V = np.asarray(emb.flatten().to_numpy(), dtype=np.float64).reshape(n, -1)
     levels = tbl.column("hnsw_level").to_numpy()
-    neighbors = tbl.column("hnsw_neighbors").to_pylist()
+    # neighbors list<list<int64>>: absolute offsets into the nested values;
+    # global->local id map is one vectorized searchsorted (ids ascending)
+    nb = tbl.column("hnsw_neighbors").combine_chunks()
+    outer_off = nb.offsets.to_numpy()
+    inner = nb.values
+    inner_off = inner.offsets.to_numpy()
+    local_vals = np.searchsorted(ids, inner.values.to_numpy())
     entry_local = int(np.flatnonzero(tbl.column("hnsw_entry").to_numpy())[0])
-    g = PyHNSW.from_rows(V, ids, levels, neighbors, entry_local, M=M, ef_construction=ef_construction)
+
+    g = PyHNSW(V.shape[1], M=M, ef_construction=ef_construction)
+    g.V = V
+    links: list[dict[int, list[int]]] = []
+    for i in range(n):
+        s, e = outer_off[i], outer_off[i + 1]
+        links.append(
+            {
+                lc: local_vals[inner_off[s + lc] : inner_off[s + lc + 1]].tolist()
+                for lc in range(e - s)
+            }
+        )
+    g.links = links
+    g.entry = entry_local
+    g.max_level = int(levels[entry_local])
     g.ids = ids  # global id map for result rows
     return g
 
