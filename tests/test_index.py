@@ -456,3 +456,39 @@ def test_hnsw_stored_graph_equivalence_and_worker_cache(spark, tmp_path_factory)
     # kernel='sql' fallback on a graph artifact = the exact scan
     sql_res = search_index(spark, handle, queries, k=10, kernel="sql")
     assert recall_at_k(sql_res, exact, k=10) == 1.0
+
+
+def test_compact_index_preserves_hnsw_graph_serving(spark, tmp_path_factory):
+    """Compaction rewrites shard partitions into a fresh versioned directory;
+    a graph artifact must serve identically afterwards — adjacency columns
+    survive the rewrite, the loader re-reads through the flipped sidecar
+    pointer (new file fingerprints = fresh cache entries), and results are
+    bit-identical to pre-compaction serving."""
+    from webscale_vector_search_spark.plans.build import compact_index
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    corpus = load_table(spark, "embeddings", SF_SMOKE)
+    out = str(tmp_path_factory.mktemp("hnsw_compact_idx"))
+    build_index(spark, corpus, out, EngineConfig(index_type="HNSW", num_shards=2))
+    queries = queries_from_embeddings(spark, SF_SMOKE, 10)
+
+    before = (
+        search_index(spark, out, queries, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    stats = compact_index(spark, out, target_file_mb=1)
+    assert stats["rows"] == corpus.count()
+
+    handle = open_index(spark, out)
+    assert handle.meta["hnsw_graph"] is True
+    assert "vectors.v" in handle.vectors_dir  # reads the compacted version
+    after = (
+        search_index(spark, handle, queries, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert after.equals(before)
