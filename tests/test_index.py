@@ -492,3 +492,44 @@ def test_compact_index_preserves_hnsw_graph_serving(spark, tmp_path_factory):
         .reset_index(drop=True)
     )
     assert after.equals(before)
+
+
+def test_hnsw_frozen_bundle_freshness_and_fallback(spark, tmp_path_factory):
+    """The serving bundle (freeze_shard_graph — the faiss.write_index
+    analog) must never serve stale: build_index freezes automatically; a
+    bundle whose parquet fingerprint mismatches is IGNORED (parquet decode
+    fallback, same results); a deleted bundle likewise. Frozen and
+    fallback loads are search-identical."""
+    import os
+    import shutil
+
+    from webscale_vector_search_spark.operators import hnsw_partition as hp
+
+    corpus = load_table(spark, "embeddings", SF_SMOKE)
+    out = str(tmp_path_factory.mktemp("hnsw_freeze_idx"))
+    handle = build_index(spark, corpus, out, EngineConfig(index_type="HNSW", num_shards=2))
+    shard_dir = os.path.join(handle.vectors_dir, "shard_id=0")
+    assert os.path.isdir(os.path.join(shard_dir, hp._FROZEN_DIR))  # auto-frozen
+
+    g_frozen = hp.read_shard_graph(shard_dir)
+    assert hp._load_frozen(shard_dir, 16, 64) is not None
+    Q = g_frozen.V[:5]
+    lf, df_ = g_frozen.knn_query(Q, k=5, ef=64)
+
+    # stale: touch a parquet file -> fingerprint mismatch -> fallback
+    pq = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")][0]
+    os.utime(os.path.join(shard_dir, pq))
+    assert hp._load_frozen(shard_dir, 16, 64) is None
+    g_fb = hp.read_shard_graph(shard_dir)
+    l2, d2 = g_fb.knn_query(Q, k=5, ef=64)
+    assert (lf == l2).all() and (df_ == d2).all()
+
+    # deleted bundle -> fallback still serves
+    shutil.rmtree(os.path.join(shard_dir, hp._FROZEN_DIR))
+    g_fb2 = hp.read_shard_graph(shard_dir)
+    l3, d3 = g_fb2.knn_query(Q, k=5, ef=64)
+    assert (lf == l3).all() and (df_ == d3).all()
+
+    # re-freeze restores the fast path
+    hp.freeze_shard_graph(shard_dir)
+    assert hp._load_frozen(shard_dir, 16, 64) is not None

@@ -87,6 +87,10 @@ class PyHNSW:
         self.dist_evals += len(ids)
         return np.einsum("ij,ij->i", diff, diff)
 
+    def _neighbors(self, c: int, level: int):
+        """Adjacency accessor — overridden by the CSR serving graph."""
+        return self.links[c].get(level, ())
+
     def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, level: int):
         """Beam search within one layer; returns ascending [(dist, id), ...]."""
         visited = set(eps)
@@ -99,7 +103,7 @@ class PyHNSW:
             dc, c = heapq.heappop(cand)
             if dc > -res[0][0] and len(res) >= ef:
                 break
-            fresh = [u for u in self.links[c].get(level, ()) if u not in visited]
+            fresh = [u for u in self._neighbors(c, level) if u not in visited]
             if not fresh:
                 continue
             visited.update(fresh)
@@ -311,10 +315,67 @@ def _graph_fingerprint(shard_dir: str):
     return tuple((f, _os.stat(f).st_size, _os.stat(f).st_mtime_ns) for f in files)
 
 
-def read_shard_graph(shard_dir: str, M: int = 16, ef_construction: int = 64) -> "PyHNSW":
-    """Load one shard's stored graph — fresh instance, no cache. Use this
-    when the graph will be MUTATED (incremental append): handing out the
-    cached serving instance would corrupt it under its unchanged key."""
+class CSRServingGraph(PyHNSW):
+    """Read-only serving graph whose adjacency stays in the decoded Arrow
+    CSR buffers (one int64 values array + absolute offsets) — loading does
+    NO per-node python work, which is what makes a cold worker's first
+    batch cheap (measured: 0.3 s vs 1.4 s list-materialized vs 2.7 s
+    to_pylist at 62.5k nodes). Search goes through `_neighbors`, slicing
+    the shared values array per (node, level); mutation (incremental
+    append) must materialize `to_mutable()` first."""
+
+    def __init__(
+        self, V, ids, levels, outer_off, inner_off, vals, entry_local,
+        M: int = 16, ef_construction: int = 64,
+    ):
+        super().__init__(V.shape[1], M=M, ef_construction=ef_construction)
+        self.V = V
+        self.ids = ids
+        self._levels = levels
+        self._outer = outer_off
+        self._inner = inner_off
+        self._vals = vals
+        self.entry = int(entry_local)
+        self.max_level = int(levels[entry_local])
+        self.links = None  # adjacency lives in the CSR buffers
+        # level-0 lists materialize lazily per node on first touch: load
+        # stays O(buffers), and a serving loop's hot path converges to
+        # plain-list speed after the first batch touches the working set
+        self._l0: list = [None] * len(ids)
+
+    def _neighbors(self, c: int, level: int):
+        if level == 0:
+            x = self._l0[c]
+            if x is None:
+                s = self._outer[c]
+                x = self._l0[c] = self._vals[self._inner[s] : self._inner[s + 1]].tolist()
+            return x
+        if level > self._levels[c]:
+            return ()
+        s = self._outer[c] + level
+        return self._vals[self._inner[s] : self._inner[s + 1]].tolist()
+
+    def add_items(self, V):  # pragma: no cover - guard, exercised via to_mutable
+        raise TypeError("CSRServingGraph is read-only; call to_mutable() first")
+
+    def to_mutable(self, seed: int = 42) -> "PyHNSW":
+        """Materialize a mutable PyHNSW (list-of-dicts links) for extension."""
+        g = PyHNSW(self.V.shape[1], M=self.M, ef_construction=self.ef_construction, seed=seed)
+        g.V = self.V.copy()
+        g.links = [
+            {lc: self._neighbors(i, lc) for lc in range(self._levels[i] + 1)}
+            for i in range(len(self.ids))
+        ]
+        g.entry = self.entry
+        g.max_level = self.max_level
+        g.ids = self.ids
+        return g
+
+
+def _decode_parquet_graph(shard_dir: str) -> dict:
+    """Decode a shard's graph arrays from the canonical parquet columns,
+    straight from the Arrow buffers (a to_pylist + per-value dict walk
+    measured 2.7 s/shard at 62.5k nodes; this path ~0.6 s)."""
     import pyarrow.dataset as pads
 
     tbl = (
@@ -324,9 +385,6 @@ def read_shard_graph(shard_dir: str, M: int = 16, ef_construction: int = 64) -> 
     )
     n = tbl.num_rows
     ids = tbl.column("vec_id").to_numpy()
-    # decode straight from the Arrow buffers (a to_pylist + per-value dict
-    # walk measured 2.7 s/shard at 62.5k nodes — the whole point of the
-    # stored graph is cheap loads, so decode must be vectorized):
     # embedding list<float> -> one flat values buffer, reshape
     emb = tbl.column("embedding").combine_chunks()
     V = np.asarray(emb.flatten().to_numpy(), dtype=np.float64).reshape(n, -1)
@@ -339,22 +397,138 @@ def read_shard_graph(shard_dir: str, M: int = 16, ef_construction: int = 64) -> 
     inner_off = inner.offsets.to_numpy()
     local_vals = np.searchsorted(ids, inner.values.to_numpy())
     entry_local = int(np.flatnonzero(tbl.column("hnsw_entry").to_numpy())[0])
+    return {
+        "V": V,
+        "ids": ids,
+        "levels": levels,
+        "outer_off": np.asarray(outer_off, dtype=np.int64),
+        "inner_off": np.asarray(inner_off, dtype=np.int64),
+        "vals": np.asarray(local_vals, dtype=np.int64),
+        "entry": np.array([entry_local], dtype=np.int64),
+    }
 
-    g = PyHNSW(V.shape[1], M=M, ef_construction=ef_construction)
-    g.V = V
-    links: list[dict[int, list[int]]] = []
-    for i in range(n):
-        s, e = outer_off[i], outer_off[i + 1]
-        links.append(
-            {
-                lc: local_vals[inner_off[s + lc] : inner_off[s + lc + 1]].tolist()
-                for lc in range(e - s)
-            }
+
+_FROZEN_DIR = "_graph"  # '_' prefix: invisible to Spark/pyarrow dataset discovery
+
+
+def freeze_shard_graph(shard_dir: str) -> None:
+    """Write the serving-optimized binary bundle beside a shard's parquet —
+    the faiss.write_index analog (reference 1051-1054): raw .npy arrays
+    that load in ~0.1 s where the parquet decode pays ~0.6 s and the
+    original value-walk paid 2.7 s. The parquet columns stay canonical
+    (portable, compaction-safe); the bundle records a fingerprint of the
+    parquet files it was frozen from, and the loader falls back to the
+    parquet decode whenever the fingerprint mismatches (stale bundle after
+    an incremental append or compaction) — never a wrong answer, only a
+    slower load."""
+    import json
+    import os
+    import shutil
+
+    arrays = _decode_parquet_graph(shard_dir)
+    # compact dtypes: bundle IO is the cold-load bound (16 concurrent
+    # workers share the disk). float32 V is lossless (the parquet
+    # embeddings ARE float32; the loader widens back); int32 covers local
+    # node indices and nested offsets at any task-sized shard
+    arrays = {
+        "V": arrays["V"].astype(np.float32),
+        "ids": arrays["ids"],
+        "levels": arrays["levels"].astype(np.int16),
+        "outer_off": arrays["outer_off"].astype(np.int32),
+        "inner_off": arrays["inner_off"].astype(np.int32),
+        "vals": arrays["vals"].astype(np.int32),
+        "entry": arrays["entry"],
+    }
+    tmp = os.path.join(shard_dir, "_graph.tmp")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for name, arr in arrays.items():
+        np.save(os.path.join(tmp, f"{name}.npy"), arr)
+    with open(os.path.join(tmp, "fingerprint.json"), "w") as f:
+        json.dump([list(t) for t in _graph_fingerprint(shard_dir)], f)
+    final = os.path.join(shard_dir, _FROZEN_DIR)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+
+
+def freeze_graphs(
+    vectors_dir: str, num_shards: int, spark=None, shards: list | None = None
+) -> int:
+    """Freeze shard serving bundles (all shards, or just `shards`); a Spark
+    job when a session is given (one task per shard), driver-side loop
+    otherwise. Returns the number of shards frozen."""
+    import os
+
+    shard_dirs = [
+        os.path.join(vectors_dir, f"shard_id={s}")
+        for s in (range(num_shards) if shards is None else shards)
+        if os.path.isdir(os.path.join(vectors_dir, f"shard_id={s}"))
+    ]
+    if spark is None or len(shard_dirs) <= 1:
+        for d in shard_dirs:
+            freeze_shard_graph(d)
+        return len(shard_dirs)
+
+    def do(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            done = []
+            for d in pdf["dir"].tolist():
+                freeze_shard_graph(d)
+                done.append(d)
+            yield pd.DataFrame({"dir": done})
+
+    df = spark.createDataFrame([(d,) for d in shard_dirs], "dir STRING")
+    return df.repartition(len(shard_dirs), "dir").mapInPandas(do, "dir STRING").count()
+
+
+def _load_frozen(shard_dir: str, M: int, ef_construction: int):
+    """Load the npy bundle if present AND fresh; None otherwise."""
+    import json
+    import os
+
+    bundle = os.path.join(shard_dir, _FROZEN_DIR)
+    fp_file = os.path.join(bundle, "fingerprint.json")
+    if not os.path.isfile(fp_file):
+        return None
+    with open(fp_file) as f:
+        frozen_fp = [tuple(t) for t in json.load(f)]
+    if frozen_fp != list(_graph_fingerprint(shard_dir)):
+        return None  # parquet changed since the freeze: bundle is stale
+    a = {
+        name: np.load(os.path.join(bundle, f"{name}.npy"))
+        for name in ("V", "ids", "levels", "outer_off", "inner_off", "vals", "entry")
+    }
+    return CSRServingGraph(
+        a["V"].astype(np.float64),  # widen the lossless float32 store
+        a["ids"], a["levels"], a["outer_off"], a["inner_off"], a["vals"],
+        int(a["entry"][0]), M=M, ef_construction=ef_construction,
+    )
+
+
+def read_shard_graph(
+    shard_dir: str, M: int = 16, ef_construction: int = 64, mutable: bool = False
+):
+    """Load one shard's stored graph — fresh instance, no cache.
+
+    Prefers the frozen serving bundle (fingerprint-checked), falling back
+    to the canonical parquet decode. Default is the CSR serving form
+    (fast load, read-only). Pass `mutable=True` when the graph will be
+    EXTENDED (incremental append) — and never hand the cached serving
+    instance to an appender: mutating it would corrupt the cache under
+    its unchanged key."""
+    g = _load_frozen(shard_dir, M, ef_construction)
+    if g is None:
+        a = _decode_parquet_graph(shard_dir)
+        g = CSRServingGraph(
+            a["V"], a["ids"], a["levels"], a["outer_off"], a["inner_off"], a["vals"],
+            int(a["entry"][0]), M=M, ef_construction=ef_construction,
         )
-    g.links = links
-    g.entry = entry_local
-    g.max_level = int(levels[entry_local])
-    g.ids = ids  # global id map for result rows
+    if mutable:
+        return g.to_mutable()
     return g
 
 
@@ -408,7 +582,7 @@ def extend_shard_graphs(
         new_ids = pdf[id_col].to_numpy().astype(np.int64)
         shard_dir = os.path.join(vectors_dir, f"shard_id={shard}")
         if os.path.isdir(shard_dir):
-            g = read_shard_graph(shard_dir, M=m, ef_construction=ef_construction)
+            g = read_shard_graph(shard_dir, M=m, ef_construction=ef_construction, mutable=True)
             old_ids = g.ids
             if np.intersect1d(old_ids, new_ids).size:
                 raise ValueError(

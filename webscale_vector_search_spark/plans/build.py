@@ -101,6 +101,10 @@ def build_index(
             seed=config.seed,
         )
         graphs.write.mode("overwrite").partitionBy("shard_id").parquet(vectors_dir)
+        # serving freeze: the faiss.write_index analog — per-shard binary
+        # bundles that load ~6x faster than the parquet decode (parquet
+        # stays canonical; the loader fingerprint-checks and falls back)
+        hnsw_ops.freeze_graphs(vectors_dir, config.num_shards, spark=spark)
     elif config.index_type in ("IVF", "IVFPQ"):
         nlist = config.resolved_nlist(n_total)
         centroids = ivf_ops.train_centroids(

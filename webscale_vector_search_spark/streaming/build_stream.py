@@ -126,6 +126,7 @@ def incremental_build(
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             from webscale_vector_search_spark.operators.hnsw_partition import (
                 extend_shard_graphs,
+                freeze_graphs,
             )
 
             sharded = hash_shard(batch_df, config.num_shards)
@@ -137,6 +138,16 @@ def incremental_build(
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("shard_id")
                 .parquet(vectors_dir)
+            )
+            # re-freeze the serving bundles of the shards this batch touched
+            # (the overwrite invalidated their fingerprints; serving would
+            # still be correct via the parquet fallback, just slower)
+            touched = [
+                r["shard_id"]
+                for r in sharded.select("shard_id").distinct().collect()
+            ]
+            freeze_graphs(
+                vectors_dir, config.num_shards, spark=batch_df.sparkSession, shards=touched
             )
 
     elif config.index_type == "IVFPQ":
