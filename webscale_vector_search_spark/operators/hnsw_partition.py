@@ -361,7 +361,7 @@ class CSRServingGraph(PyHNSW):
     def to_mutable(self, seed: int = 42) -> "PyHNSW":
         """Materialize a mutable PyHNSW (list-of-dicts links) for extension."""
         g = PyHNSW(self.V.shape[1], M=self.M, ef_construction=self.ef_construction, seed=seed)
-        g.V = self.V.copy()
+        g.V = np.asarray(self.V, dtype=np.float64)  # materialize any mmap
         g.links = [
             {lc: self._neighbors(i, lc) for lc in range(self._levels[i] + 1)}
             for i in range(len(self.ids))
@@ -500,11 +500,17 @@ def _load_frozen(shard_dir: str, M: int, ef_construction: int):
         return None  # parquet changed since the freeze: bundle is stale
     a = {
         name: np.load(os.path.join(bundle, f"{name}.npy"))
-        for name in ("V", "ids", "levels", "outer_off", "inner_off", "vals", "entry")
+        for name in ("ids", "levels", "outer_off", "inner_off", "vals", "entry")
     }
+    # V stays a float32 MEMORY MAP: a task reading the bundle pays page
+    # faults only for nodes its traversal visits, and concurrent tasks
+    # mapping the same file share the pages — upfront IO drops to ~zero.
+    # _dists upcasts the float32 rows to float64 exactly (the parquet
+    # embeddings are float32), so results stay bit-identical to the
+    # in-memory float64 path.
+    V = np.load(os.path.join(bundle, "V.npy"), mmap_mode="r")
     return CSRServingGraph(
-        a["V"].astype(np.float64),  # widen the lossless float32 store
-        a["ids"], a["levels"], a["outer_off"], a["inner_off"], a["vals"],
+        V, a["ids"], a["levels"], a["outer_off"], a["inner_off"], a["vals"],
         int(a["entry"][0]), M=M, ef_construction=ef_construction,
     )
 
@@ -621,18 +627,20 @@ def hnsw_stored_search(
     queries: DataFrame,
     k: int = 10,
     ef_search: int = 64,
+    query_splits: int = 1,
 ) -> DataFrame:
     """K9 serving over a PERSISTED graph: one task per shard loads the stored
     adjacency (worker-cached — load-once like the reference, 537-545) and
     pays only beam traversal. No add_items anywhere on this path; repeated
     serving batches hit the worker cache and pay only the search.
 
-    Scatter plan: a `spark.range(num_shards)` one-row-per-partition frame
-    fans the query batch out to one task per shard (the reference's ZMQ
-    scatter, P5); each task side-reads its own `shard_id=N` parquet
-    directory via Arrow — the same files any Spark scan would read, just
-    loaded whole because graph traversal needs the complete shard. The K3
-    rank window merges per-shard top-k as usual.
+    Scatter plan: one task per (shard, query-split) — the reference's ZMQ
+    scatter (P5), subdivided so a straggling task holds back only a
+    fraction of the batch, not 1/num_shards of it. Each task side-reads
+    its shard's frozen bundle (or parquet) via Arrow — the same files any
+    Spark scan would read, just loaded whole because graph traversal needs
+    the complete shard — and searches only its strided slice of the query
+    batch. The K3 rank window merges per-(shard, split) top-k as usual.
     """
     import os
 
@@ -645,6 +653,14 @@ def hnsw_stored_search(
     q_rows = queries.select("query_id", "qvec").collect()
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)
+    # query_splits > 1 subdivides each shard's batch across tasks (smaller
+    # straggler quantum; the mmap'd bundle means extra tasks share pages,
+    # not IO). Default 1: on a runtime that forks a fresh python worker
+    # per task (this local mode — measured), every extra task re-pays the
+    # ~1 s interpreter/import tax, which outweighs the straggler win; on
+    # long-lived executors with reused workers, raise it to ~2x cores /
+    # num_shards.
+    n_splits = max(1, min(query_splits, len(q_ids)))
 
     out_schema = T.StructType(
         [
@@ -656,23 +672,32 @@ def hnsw_stored_search(
 
     def scan(batches):
         for pdf in batches:
-            for shard in pdf["shard_id"].tolist():
+            for shard, split in zip(pdf["shard_id"].tolist(), pdf["split"].tolist()):
                 shard_dir = os.path.join(vectors_dir, f"shard_id={int(shard)}")
                 if not os.path.isdir(shard_dir):
                     continue  # empty shard never materialized a directory
+                sel = slice(int(split), None, n_splits)  # strided = balanced
+                q_sel, Q_sel = q_ids[sel], Q[sel]
+                if len(q_sel) == 0:
+                    continue
                 g = load_shard_graph(shard_dir)
                 kk = min(k, len(g.V))
-                labels, dists = g.knn_query(Q, k=kk, ef=max(ef_search, kk))
+                labels, dists = g.knn_query(Q_sel, k=kk, ef=max(ef_search, kk))
                 yield pd.DataFrame(
                     {
-                        "query_id": np.repeat(q_ids, kk),
+                        "query_id": np.repeat(q_sel, kk),
                         "vec_id": g.ids[labels.ravel()],
                         "distance": np.round(dists.ravel().astype(np.float64), 6),
                     }
                 )
 
-    shards = spark.range(num_shards, numPartitions=num_shards).select(
-        F.col("id").cast("int").alias("shard_id")
+    # spark.range with numPartitions == rows puts EXACTLY one (shard,
+    # split) per task — a hash repartition would collide pairs into the
+    # same task and serialize their searches (measured 3x wall)
+    n_pairs = num_shards * n_splits
+    shards = spark.range(n_pairs, numPartitions=n_pairs).select(
+        (F.col("id") / n_splits).cast("int").alias("shard_id"),
+        (F.col("id") % n_splits).cast("int").alias("split"),
     )
     partial = shards.mapInPandas(scan, out_schema)
     ranked = topk(partial, k)
