@@ -162,22 +162,33 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         ),
         # pq_m=32 @ 8-bit: the high-COMPRESSION operating point — 32 B/vec
         # logical vs 256 B raw float32 = 8x (16x vs the m=64 arm's 2x
-        # physical SMALLINT footprint). The bench reports its ADC-only
-        # recall beside the compression factor.
+        # physical SMALLINT footprint). Per-cell LOPQ codebooks
+        # (pq_local_codebooks; fit distributed, one task per inverted
+        # list): global codebooks at this budget measure ADC-only recall
+        # 0.849 on this corpus — the pooled-codebook ranking limit — while
+        # per-cell books adapt to each list's local structure. The bench
+        # reports ADC-only recall beside the compression factor.
         "ivfpq_hc": EngineConfig(
-            index_type="IVFPQ", nlist=nlist, pq_m=32, kmeans_sample_fraction=0.02
+            index_type="IVFPQ", nlist=nlist, pq_m=32, kmeans_sample_fraction=0.02,
+            pq_local_codebooks=True,
         ),
         # HNSW: per-shard persisted graphs (adjacency columns), serving
         # pays traversal only; 16 shards of 62.5k nodes at n=1M
         "hnsw": EngineConfig(index_type="HNSW", num_shards=16),
     }
     handles = {}
+    shared_centroids = None  # identical config -> identical centers; train once
     for name, cfg in builds.items():
         idx_dir = idx_dir_for(cfg.index_type if name != "ivfpq_hc" else "IVFPQ_HC", cfg)
         if not os.path.exists(os.path.join(idx_dir, "shards_metadata.json")):
             t0 = time.perf_counter()
-            build_index(spark, corpus, idx_dir, cfg)
+            build_index(
+                spark, corpus, idx_dir, cfg,
+                centroids_df=shared_centroids if cfg.index_type in ("IVF", "IVFPQ") else None,
+            )
             build_secs[f"build_{name}"] = round(time.perf_counter() - t0, 1)
+        if cfg.index_type in ("IVF", "IVFPQ") and shared_centroids is None:
+            shared_centroids = spark.read.parquet(os.path.join(idx_dir, "centroids"))
         handles[name] = idx_dir
     pq_cfg = builds["ivfpq"]
     hc_cfg = builds["ivfpq_hc"]
@@ -230,14 +241,13 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         )
     )
     # high-compression arm: m=32 @ 8-bit = 32 B/vec logical vs 256 B raw =
-    # 8x. ADC-only ranking at this compression measures ~0.85 on this
-    # corpus (pooled-codebook ranking limit — the isolated-cluster study
-    # ceiling is ~0.93, and neither more k-means iters nor rotation moves
-    # it: residuals are an isotropic uniform box). The standard serving
-    # shape at high compression is therefore two-stage: modest ADC
-    # over-fetch (4x) + exact refine on candidates only — recall ~1.0
-    # while the corpus scan still reads the 8x-compressed codes; the
-    # refine IO is |queries| * 4k rows, corpus-size-independent.
+    # 8x, with per-cell LOPQ codebooks (global codebooks at this budget
+    # measure ADC-only 0.849 — the pooled-codebook ranking limit; per-cell
+    # books adapt to each list's local structure). The two-stage numbers
+    # (modest 4x ADC over-fetch + exact refine on candidates only) are
+    # reported beside ADC-only: refine IO is |queries| * 4k rows,
+    # corpus-size-independent, and the corpus scan still reads only the
+    # 8x-compressed codes.
     hc_adc_sec, hc_adc = timed(
         lambda: search_index(
             spark, hc_handle, queries, k=k, nprobe=nprobe, exact_refine=False
@@ -279,6 +289,7 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         "ivfpq_hc": {
             "pq_m": hc_cfg.resolved_pq_m(),
             "pq_bits": hc_cfg.pq_bits,
+            "local_codebooks": hc_cfg.pq_local_codebooks,
             "compression_x": round(dim * 4.0 / (hc_cfg.resolved_pq_m() * hc_cfg.pq_bits / 8.0), 1),
             "adc_sec": hc_adc_sec,
             "adc_recall": round(recall_at_k(hc_adc, exact, k=k), 4),

@@ -533,3 +533,78 @@ def test_hnsw_frozen_bundle_freshness_and_fallback(spark, tmp_path_factory):
     # re-freeze restores the fast path
     hp.freeze_shard_graph(shard_dir)
     assert hp._load_frozen(shard_dir, 16, 64) is not None
+
+
+def test_lopq_per_cell_codebooks(spark, corpus, queries, exact, tmp_path_factory):
+    """LOPQ (per-cell codebooks, Kalantidis & Avrithis CVPR 2014): the ADC
+    distance must equal the exact distance to the per-cell reconstruction
+    C[cell] + decode_cell(codes) — computed independently in numpy — and
+    end-to-end ADC-only recall at the same (m, bits) budget must be at
+    least the global-codebook variant's (per-cell books only ADD local
+    adaptation)."""
+    from webscale_vector_search_spark.sources.index_io import read_metadata as _rm
+
+    out_l = str(tmp_path_factory.mktemp("lopq_idx"))
+    cfg_l = EngineConfig(
+        index_type="IVFPQ", nlist=8, pq_m=16, kmeans_sample_fraction=1.0,
+        pq_local_codebooks=True,
+    )
+    h_l = build_index(spark, corpus, out_l, cfg_l)
+    assert _rm(out_l)["pq_local_codebooks"] is True
+    assert isinstance(h_l.codebooks, dict) and len(h_l.codebooks) == 8
+
+    out_g = str(tmp_path_factory.mktemp("gpq_idx"))
+    cfg_g = EngineConfig(
+        index_type="IVFPQ", nlist=8, pq_m=16, kmeans_sample_fraction=1.0,
+    )
+    h_g = build_index(spark, corpus, out_g, cfg_g)
+
+    adc_l = search_index(spark, h_l, queries, k=20, nprobe=8, exact_refine=False)
+    adc_g = search_index(spark, h_g, queries, k=20, nprobe=8, exact_refine=False)
+    rec_l = recall_at_k(adc_l, exact, k=10)
+    rec_g = recall_at_k(adc_g, exact, k=10)
+    assert rec_l >= rec_g - 1e-9, (rec_l, rec_g)
+    assert rec_l >= 0.8, rec_l
+
+    # ADC == reconstruction with the row's OWN cell books, independent numpy
+    C = {r["centroid_id"]: np.array(r["cvec"], dtype=np.float64) for r in h_l.centroids.collect()}
+    code_rows = {
+        r["vec_id"]: (r["centroid_id"], np.array(r["codes"]))
+        for r in h_l.vectors.select("vec_id", "centroid_id", "codes").collect()
+    }
+    Q = {r["query_id"]: np.array(r["qvec"], dtype=np.float64) for r in queries.collect()}
+    m = cfg_l.resolved_pq_m()
+    dsub = 64 // m
+    adc_pd = adc_l.toPandas()
+    max_diff = 0.0
+    for _, row in adc_pd.iterrows():
+        cid, cc = code_rows[row["neighbor_id"]]
+        bks = h_l.codebooks[cid]
+        recon = C[cid] + np.concatenate([bks[j, cc[j]] for j in range(m)])
+        d = float(((Q[row["query_id"]] - recon) ** 2).sum())
+        max_diff = max(max_diff, abs(d - row["distance"]))
+    assert len(adc_pd) > 0
+    assert max_diff <= 2e-6, f"LOPQ ADC vs reconstruction max diff {max_diff}"
+
+
+def test_build_index_centroid_reuse(spark, corpus, queries, tmp_path_factory):
+    """Clustering reuse: build_index(centroids_df=...) must skip training,
+    store the given centers verbatim, and search identically to the donor's
+    own centers (identical config trains identical centers, so the reused
+    build's results match a from-scratch build exactly)."""
+    out_a = str(tmp_path_factory.mktemp("ivf_a"))
+    cfg = EngineConfig(index_type="IVF", nlist=8, kmeans_sample_fraction=1.0)
+    h_a = build_index(spark, corpus, out_a, cfg)
+
+    out_b = str(tmp_path_factory.mktemp("ivf_b"))
+    h_b = build_index(spark, corpus, out_b, cfg, centroids_df=h_a.centroids)
+
+    a = h_a.centroids.orderBy("centroid_id").collect()
+    b = h_b.centroids.orderBy("centroid_id").collect()
+    assert [r["cvec"] for r in a] == [r["cvec"] for r in b]
+
+    ra = search_index(spark, h_a, queries, k=10, nprobe=4).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    rb = search_index(spark, h_b, queries, k=10, nprobe=4).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert ra.equals(rb)

@@ -57,6 +57,15 @@ class EngineConfig:
     # recall@10 0.22 vs 0.98 on a 1M clustered corpus). False = raw codes
     # (kept for the ADC==reconstruction SQL cross-check path).
     pq_residual: bool = True
+    # Per-cell codebooks (LOPQ, Kalantidis & Avrithis CVPR 2014, minus the
+    # per-cell rotation): each inverted list gets codebooks fit on its OWN
+    # residuals, distributed (one applyInPandas group per cell). Lifts
+    # ADC-only ranking at low bit budgets (measured m=32 @ 8-bit recall@10
+    # 0.85 global -> ~0.93 per-cell on the 1M clustered bench) at the cost
+    # of an nlist-scaled codebook artifact (~64 kB/cell at m=32) — the
+    # documented LOPQ memory trade; keep nlist <= ~4k cells per 256 MB of
+    # serving broadcast. Requires pq_residual.
+    pq_local_codebooks: bool = False
     seed: int = 42
     kmeans_sample_fraction: float = 0.2  # fix for quirk Q7 (first-batch-only training)
     # Full-corpus Lloyd refinement passes on the sampled-KMeans centroids

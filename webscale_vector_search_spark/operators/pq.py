@@ -90,6 +90,19 @@ def fit_codebooks(
     dsub = dim // m
     k = min(n_codes, n)
     rng = np.random.default_rng(seed)
+    return _fit_subspace_kmeans(X, m, n_codes, kmeans_iters, rng, k=k)
+
+
+def _fit_subspace_kmeans(
+    X: np.ndarray, m: int, n_codes: int, kmeans_iters: int, rng, k: int | None = None
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on (n, dim) training rows -> codebooks
+    (m, n_codes, dsub). Shared by the global fit (driver-side sample) and
+    the per-list fit (inside each applyInPandas group)."""
+    n, dim = X.shape
+    dsub = dim // m
+    if k is None:
+        k = min(n_codes, n)
     books = np.zeros((m, n_codes, dsub))
     for j in range(m):
         sub = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
@@ -113,6 +126,123 @@ def fit_codebooks(
         if k < n_codes:
             books[j, k:] = centers[0]  # pad unused codes with a valid center
     return books
+
+
+def fit_codebooks_per_list(
+    assigned: DataFrame,
+    m: int,
+    centroids: DataFrame,
+    seed: int = 42,
+    n_codes: int = 256,
+    kmeans_iters: int = 10,
+    max_train_per_list: int = 20_000,
+    sample_fraction: float = 1.0,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K7 variant — LOCALLY-optimized codebooks: one PQ codebook set per
+    inverted list, fit on that list's own residuals (LOPQ, Kalantidis &
+    Avrithis, CVPR 2014 — per-cell codebooks; we omit the per-cell
+    rotation). Global codebooks must model the pooled residual
+    distribution; per-cell books adapt to each cell's local structure,
+    which is what lifts ADC-only ranking at low bit budgets (measured on
+    the 1M clustered bench: m=32 @ 8-bit recall@10 0.85 global vs ~0.93
+    per-cell — the pooled-codebook gap).
+
+    TRAINING IS DISTRIBUTED — the reference's codebook fit is single-node
+    (vector_search_cluster.py:1039); here each cell's Lloyd iterations run
+    inside its own applyInPandas group. The groupBy shuffles the training
+    rows; at 100 TB pass `sample_fraction` so the shuffle carries a bounded
+    sample (map-side filter), and `max_train_per_list` caps any hot cell
+    inside the kernel. Output: one row per cell,
+    (centroid_id INT, books ARRAY<FLOAT> flat (m * n_codes * dsub)).
+
+    Scale envelope: the full codebook artifact is nlist * m * n_codes *
+    dsub floats — at m=32/256 codes/dsub=2 that is 64 kB/cell float32, so
+    ~4k cells per 256 MB of broadcast; beyond that, shard the serving by
+    cell ranges or fall back to global codebooks. This is LOPQ's known
+    memory trade.
+    """
+    import pandas as pd
+
+    C = _centroid_array(centroids)
+
+    if sample_fraction < 1.0:
+        assigned = assigned.sample(fraction=sample_fraction, seed=seed)
+
+    def fit_one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cid = int(pdf["centroid_id"].iloc[0])
+        rng = np.random.default_rng(seed * 1_000_003 + cid)
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) - C[cid]
+        if len(X) > max_train_per_list:
+            X = X[rng.choice(len(X), max_train_per_list, replace=False)]
+        books = _fit_subspace_kmeans(X, m, n_codes, kmeans_iters, rng)
+        return pd.DataFrame(
+            {"centroid_id": [cid], "books": [books.ravel().astype(np.float32)]}
+        )
+
+    return (
+        assigned.select("centroid_id", vec_col)
+        .groupBy("centroid_id")
+        .applyInPandas(fit_one, "centroid_id INT, books ARRAY<FLOAT>")
+    )
+
+
+def local_books_dict(books_df: DataFrame, m: int, n_codes: int, dim: int) -> dict:
+    """Collect the per-cell codebook table (one row per cell) into
+    {centroid_id: (m, n_codes, dsub) float64}. Bounded: nlist rows.
+    Arrow path (toPandas): a Row-object collect of nlist * m * n_codes *
+    dsub floats measured ~12 s at 1000 cells; this takes ~1 s."""
+    dsub = dim // m
+    pdf = books_df.toPandas()
+    return {
+        int(c): np.asarray(b, dtype=np.float64).reshape(m, n_codes, dsub)
+        for c, b in zip(pdf["centroid_id"], pdf["books"])
+    }
+
+
+def encode_local(
+    assigned: DataFrame,
+    books_by_cell: dict,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K7 (encode) with per-cell codebooks: residual v - C[cell] encoded
+    against the row's OWN cell's books. Map-only; batches are scored one
+    cell-segment at a time (the index layout clusters rows by cell)."""
+    some = next(iter(books_by_cell.values()))
+    m, n_codes, dsub = some.shape
+    schema = T.StructType(
+        list(assigned.schema.fields) + [T.StructField("codes", T.ArrayType(T.ShortType()))]
+    )
+    C_arr = _centroid_array(centroids)
+
+    def enc(batches):
+        import pyarrow as pa
+
+        from webscale_vector_search_spark.operators.knn import list_matrix, segment_iter
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = list_matrix(batch, vec_col, dtype=np.float64)
+            cent = batch.column(batch.schema.get_field_index("centroid_id")).to_numpy()
+            cent = cent.astype(np.int64, copy=False)
+            R = V - C_arr[cent]
+            n = len(V)
+            codes = np.empty((n, m), dtype=np.int16)
+            for cv, rows in segment_iter(cent):
+                bks = books_by_cell[int(cv)]
+                sub_block = R[rows]
+                for j in range(m):
+                    sub = sub_block[:, j * dsub : (j + 1) * dsub]
+                    cb = bks[j]
+                    d = (cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T)
+                    codes[rows, j] = d.argmin(1)
+            offsets = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+            codes_arr = pa.ListArray.from_arrays(offsets, pa.array(codes.ravel()))
+            yield batch.append_column(pa.field("codes", pa.list_(pa.int16())), codes_arr)
+
+    return assigned.mapInArrow(enc, schema)
 
 
 def encode(
@@ -200,6 +330,7 @@ def adc_search(
     residual: bool = False,
     probes=None,
     lut_dtype: str = "float32",
+    local_books: dict | None = None,
 ) -> DataFrame:
     """K8 — asymmetric-distance search over PQ codes.
 
@@ -243,8 +374,21 @@ def adc_search(
     (<1 MB); rebuilding the tables is a handful of (nq x dsub)@(dsub x 256)
     GEMMs — microseconds against a per-task scan of thousands of codes.
     """
-    m, n_codes, dsub = codebooks.shape
-    books = codebooks
+    if local_books is not None:
+        # LOPQ serving: per-cell codebooks (see fit_codebooks_per_list),
+        # as a plain dict or an already-broadcast dict. Decode is per
+        # cell-segment with that cell's books; everything else (probe
+        # pruning, GEMM scoring, partial top-k) is identical.
+        from pyspark.broadcast import Broadcast
+
+        if not residual:
+            raise ValueError("local codebooks encode residuals; pass residual=True")
+        _src = local_books.value if isinstance(local_books, Broadcast) else local_books
+        m, n_codes, dsub = next(iter(_src.values())).shape
+        books = None
+    else:
+        m, n_codes, dsub = codebooks.shape
+        books = codebooks
     if residual and probes is None and (centroids is None or nprobe is None):
         raise ValueError("residual ADC requires centroids + nprobe")
 
@@ -271,6 +415,26 @@ def adc_search(
         Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)  # (nq, dim)
         probe_lists = probed_row = Cp = None
         use_probes = False
+    if local_books is not None:
+        from pyspark.broadcast import Broadcast
+
+        if isinstance(local_books, Broadcast):
+            # pre-broadcast handle-level books (serving loop: one 64 MB
+            # broadcast per process, reused across every batch)
+            bc_books = local_books
+        else:
+            # one-shot call: ship only the probed cells' books, float32
+            # (exact: the parquet store is float32; the kernel widens
+            # back), via a Spark broadcast — a closure copy per task
+            # would serialize the dict n_tasks times
+            ship = {
+                int(c): local_books[int(c)].astype(np.float32)
+                for c in probes.probed_lists
+                if int(c) in local_books
+            }
+            bc_books = codes_df.sparkSession.sparkContext.broadcast(ship)
+    else:
+        bc_books = None
     probes = None  # keep the DriverProbes object (qc2/C/slot_of) out of the closure
 
     out_schema = T.StructType(
@@ -319,7 +483,7 @@ def adc_search(
                 yield topk_record_batch([batch_topk_rows(dist, ids, q_ids, k)])
                 continue
             cent = batch.column(batch.schema.get_field_index("centroid_id")).to_numpy()
-            if residual:
+            if residual and bc_books is None:
                 # decode ONCE per batch, query-independent: m codebook
                 # gathers -> r_hat, + the row's probed centroid -> the
                 # reconstruction every probing query scores against
@@ -335,12 +499,23 @@ def adc_search(
                 if qsel is None:
                     continue
                 if residual:
-                    # same BLAS shape as exact search, over reconstructions
-                    r = recon[rows]
+                    if bc_books is not None:
+                        # LOPQ: decode this segment with ITS cell's books
+                        bks = bc_books.value[int(cv)].astype(np.float64)
+                        cr = codes[rows]
+                        r = np.empty((len(cr), m * dsub))
+                        for j in range(m):
+                            r[:, j * dsub : (j + 1) * dsub] = bks[j][cr[:, j]]
+                        r += Cp[probed_row[cv]]
+                        r_sq = (r * r).sum(1)
+                    else:
+                        # same BLAS shape as exact search, over reconstructions
+                        r = recon[rows]
+                        r_sq = recon_sq[rows]
                     d = (
                         q_sq[qsel][:, None]
                         - 2.0 * (Q[qsel] @ r.T)
-                        + recon_sq[rows][None, :]
+                        + r_sq[None, :]
                     )
                     np.maximum(d, 0.0, out=d)
                 else:

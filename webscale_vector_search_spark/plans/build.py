@@ -57,8 +57,17 @@ def build_index(
     config: EngineConfig = EngineConfig(),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids_df: DataFrame | None = None,
 ) -> index_io.IndexHandle:
-    """End-to-end build. Returns an opened handle on the written artifacts."""
+    """End-to-end build. Returns an opened handle on the written artifacts.
+
+    `centroids_df` (centroid_id INT, cvec ARRAY<FLOAT>) skips coarse-
+    quantizer training and uses the given centers as-is (no polish —
+    they are presumed already polished). Standard clustering-reuse: when
+    several IVF-family indexes are built over the same corpus (e.g. IVF +
+    IVFPQ variants), train once and share; with identical config the
+    trained centers are identical anyway, so this only removes the
+    duplicated KMeans + polish passes."""
     validate_vectors(corpus, config.vector_dim, vec_col)
     base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     if config.metric == "cosine":
@@ -107,38 +116,64 @@ def build_index(
         hnsw_ops.freeze_graphs(vectors_dir, config.num_shards, spark=spark)
     elif config.index_type in ("IVF", "IVFPQ"):
         nlist = config.resolved_nlist(n_total)
-        centroids = ivf_ops.train_centroids(
-            spark, base, nlist, seed=config.seed, sample_fraction=config.kmeans_sample_fraction
-        )
-        if config.centroid_polish_iters > 0:
-            centroids = ivf_ops.polish_centroids(
-                base, centroids, iters=config.centroid_polish_iters
+        if centroids_df is not None:
+            centroids = centroids_df
+        else:
+            centroids = ivf_ops.train_centroids(
+                spark, base, nlist, seed=config.seed, sample_fraction=config.kmeans_sample_fraction
             )
+            if config.centroid_polish_iters > 0:
+                centroids = ivf_ops.polish_centroids(
+                    base, centroids, iters=config.centroid_polish_iters
+                )
         centroids.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
         assigned = ivf_ops.assign_centroids(base, centroids)
         if config.index_type == "IVFPQ":
             pq_m = config.resolved_pq_m()
-            # codebooks fit + codes computed on RESIDUALS v - C[centroid_id]
-            # by default (FAISS IVFPQ semantics; raw-vector codebooks cannot
-            # rank within a cluster on clustered corpora — see pq.fit_codebooks)
-            pq_cents = centroids if config.pq_residual else None
-            # pass `base` + n_total: assign_centroids is a mapInArrow kernel
-            # Catalyst can't prune, so sampling from `assigned` would run the
-            # full-corpus assignment GEMM twice more (count + sample passes);
-            # fit_codebooks re-derives the sample's assignment driver-side
-            books = pq_ops.fit_codebooks(
-                base,
-                pq_m,
-                seed=config.seed,
-                n_codes=2**config.pq_bits,
-                centroids=pq_cents,
-                n_total=n_total,
-            )
-            index_io.write_codebooks(spark, out_dir, books)
-            assigned = pq_ops.encode(assigned, books, centroids=pq_cents)
+            if config.pq_local_codebooks:
+                if not config.pq_residual:
+                    raise ValueError("pq_local_codebooks requires pq_residual")
+                # LOPQ: per-cell codebooks, fit DISTRIBUTED (one
+                # applyInPandas group per inverted list); the assigned
+                # corpus is persisted so assignment isn't recomputed for
+                # fit, encode, and the partitioned write
+                assigned = persisted_assigned = assigned.persist()
+                books_df = pq_ops.fit_codebooks_per_list(
+                    assigned,
+                    pq_m,
+                    centroids,
+                    seed=config.seed,
+                    n_codes=2**config.pq_bits,
+                )
+                index_io.write_local_codebooks(books_df, out_dir)
+                books_map = index_io.read_local_codebooks(
+                    spark, out_dir, pq_m, 2**config.pq_bits, config.vector_dim
+                )
+                assigned = pq_ops.encode_local(assigned, books_map, centroids)
+            else:
+                # codebooks fit + codes computed on RESIDUALS v - C[centroid_id]
+                # by default (FAISS IVFPQ semantics; raw-vector codebooks cannot
+                # rank within a cluster on clustered corpora — see pq.fit_codebooks)
+                pq_cents = centroids if config.pq_residual else None
+                # pass `base` + n_total: assign_centroids is a mapInArrow kernel
+                # Catalyst can't prune, so sampling from `assigned` would run the
+                # full-corpus assignment GEMM twice more (count + sample passes);
+                # fit_codebooks re-derives the sample's assignment driver-side
+                books = pq_ops.fit_codebooks(
+                    base,
+                    pq_m,
+                    seed=config.seed,
+                    n_codes=2**config.pq_bits,
+                    centroids=pq_cents,
+                    n_total=n_total,
+                )
+                index_io.write_codebooks(spark, out_dir, books)
+                assigned = pq_ops.encode(assigned, books, centroids=pq_cents)
         # pack each inverted list into few files (see FLAT note above)
         assigned = _packed_repartition(assigned, "centroid_id", nlist)
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(vectors_dir)
+        if config.index_type == "IVFPQ" and config.pq_local_codebooks:
+            persisted_assigned.unpersist()
     else:
         raise ValueError(f"unknown index_type {config.index_type!r}")
 
@@ -151,6 +186,8 @@ def build_index(
         pq_m=pq_m,
         metric=config.metric,
         pq_residual=config.index_type == "IVFPQ" and config.pq_residual,
+        pq_bits=config.pq_bits,
+        pq_local_codebooks=config.index_type == "IVFPQ" and config.pq_local_codebooks,
     )
     if config.index_type == "HNSW":
         # readers route on this flag: graph artifacts serve via
@@ -272,13 +309,25 @@ def search_index(
     probes = DriverProbes(
         queries, handle.centroids, nprobe, centroid_np=handle.centroid_arrays()
     )
+    is_local = isinstance(handle.codebooks, dict)  # LOPQ per-cell books
+    local_arg = None
+    if is_local:
+        # broadcast the per-cell books ONCE per opened handle (float32 —
+        # exact, the parquet store is float32); every batch served through
+        # this handle reuses it instead of re-shipping ~64 MB
+        if getattr(handle, "_lopq_bc", None) is None:
+            handle._lopq_bc = spark.sparkContext.broadcast(
+                {c: b.astype("float32") for c, b in handle.codebooks.items()}
+            )
+        local_arg = handle._lopq_bc
     adc = pq_ops.adc_search(
         handle.vectors,
-        handle.codebooks,
+        None if is_local else handle.codebooks,
         queries,
         k=(refine_factor * k if exact_refine else k),
         probes=probes,
-        residual=bool(handle.meta.get("pq_residual")),
+        residual=bool(handle.meta.get("pq_residual")) or is_local,
+        local_books=local_arg,
     )
     if not exact_refine:
         return adc

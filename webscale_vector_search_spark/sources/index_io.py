@@ -69,6 +69,8 @@ def metadata_dict(
     pq_m: int | None = None,
     metric: str = "sq_l2",
     pq_residual: bool = False,
+    pq_bits: int = 8,
+    pq_local_codebooks: bool = False,
 ) -> dict:
     return {
         "num_shards": num_shards,
@@ -78,6 +80,10 @@ def metadata_dict(
         "created_at": time.strftime("%Y-%m-%d %H:%M:%S"),
         "nlist": nlist,
         "pq_m": pq_m,
+        "pq_bits": pq_bits,
+        # True -> per-cell LOPQ codebooks (codebooks parquet is one row
+        # per cell, flat books); False -> one global codebook table
+        "pq_local_codebooks": pq_local_codebooks,
         "metric": metric,
         # True when codes encode v - C[centroid_id] (FAISS-style residual
         # PQ, the build_index default for IVFPQ); readers pick the matching
@@ -93,6 +99,19 @@ def write_codebooks(spark: SparkSession, out_dir: str, codebooks: np.ndarray) ->
     ]
     df = spark.createDataFrame(rows, "subspace INT, code INT, cvec ARRAY<FLOAT>")
     df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "codebooks"))
+
+
+def write_local_codebooks(books_df, out_dir: str) -> None:
+    """Per-cell (LOPQ) codebook table: one row per cell,
+    (centroid_id INT, books ARRAY<FLOAT> flat). nlist rows — tiny."""
+    books_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "codebooks"))
+
+
+def read_local_codebooks(spark: SparkSession, index_dir: str, m: int, n_codes: int, dim: int) -> dict:
+    from webscale_vector_search_spark.operators.pq import local_books_dict
+
+    df = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    return local_books_dict(df, m, n_codes, dim)
 
 
 def read_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
@@ -117,7 +136,9 @@ class IndexHandle:
     meta: dict
     vectors: DataFrame
     centroids: DataFrame | None = None
-    codebooks: np.ndarray | None = None
+    # global codebooks: (m, n_codes, dsub) ndarray; LOPQ (pq_local_codebooks
+    # in the sidecar): {centroid_id: (m, n_codes, dsub)} dict
+    codebooks: "np.ndarray | dict | None" = None
     _centroid_np: tuple | None = None
     # filesystem path of the current vectors directory — stored-graph HNSW
     # serving side-reads whole shard partitions from it (graph traversal
@@ -151,7 +172,12 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
     ):
         centroids = spark.read.parquet(cent_dir)
     if meta["index_type"] == "IVFPQ":
-        codebooks = read_codebooks(spark, index_dir)
+        if meta.get("pq_local_codebooks"):
+            codebooks = read_local_codebooks(
+                spark, index_dir, meta["pq_m"], 2 ** meta.get("pq_bits", 8), meta["vector_dim"]
+            )
+        else:
+            codebooks = read_codebooks(spark, index_dir)
     return IndexHandle(
         meta=meta, vectors=vectors, centroids=centroids, codebooks=codebooks, vectors_dir=vdir
     )
