@@ -564,6 +564,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare("q_ann_ivfpq")  # no oracle: approximate operator (§2.9 exclusion)
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two arms unioned under one declared name (the driver caps queries
+    at 50): GLOBAL residual codebooks (the build_index default) and
+    per-cell LOPQ codebooks (pq_local_codebooks) — both rows-only here;
+    the ADC==reconstruction and recall properties live in tests/."""
+    from pyspark.sql import functions as F
+
     from webscale_vector_search_spark.operators import ivf as ivf_ops
     from webscale_vector_search_spark.operators import pq as pq_ops
 
@@ -575,8 +581,21 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encoding v - C[centroid_id], searched with the residual ADC expansion
     books = pq_ops.fit_codebooks(assigned, m=16, seed=42, centroids=cents)
     codes = pq_ops.encode(assigned, books, centroids=cents)
-    return pq_ops.adc_search(
+    global_arm = pq_ops.adc_search(
         codes, books, queries, k=K, centroids=cents, nprobe=8, residual=True
+    )
+    # LOPQ arm: per-cell codebooks, distributed fit, same serving contract
+    books_local = pq_ops.local_books_dict(
+        pq_ops.fit_codebooks_per_list(assigned, 16, cents, seed=42),
+        m=16, n_codes=256, dim=64,
+    )
+    codes_local = pq_ops.encode_local(assigned, books_local, cents)
+    local_arm = pq_ops.adc_search(
+        codes_local, None, queries, k=K, centroids=cents, nprobe=8,
+        residual=True, local_books=books_local,
+    )
+    return global_arm.withColumn("arm", F.lit("global")).unionByName(
+        local_arm.withColumn("arm", F.lit("lopq"))
     )
 
 
