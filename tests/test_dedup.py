@@ -109,6 +109,60 @@ def test_simhash_stability_and_locality(spark, docs):
     assert sum(h <= 16 for h in hamming) >= 18, f"hamming distances too large: {hamming}"
 
 
+def test_simhash_md5_variant_matches_python_reference(spark, docs):
+    """The oracle-parity 60-bit md5 SimHash (the form q_doc_fingerprint
+    hash-checks against DuckDB) must agree with a direct python
+    re-implementation, including the staged hashes->fold composition and
+    locality on near-identical text."""
+    import hashlib
+
+    from webscale_vector_search_spark.operators.dedup import (
+        simhash_feature_hashes,
+        simhash_from_hashes,
+    )
+
+    sub = docs.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    staged = sub.select(
+        "doc_id", "text", simhash_feature_hashes("text").alias("_shh")
+    )
+    got = (
+        staged.select("doc_id", "text", simhash_from_hashes("_shh").alias("h"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+
+    def ref(text: str) -> int:
+        t = text.split(" ")
+        feats = list(
+            dict.fromkeys(
+                " ".join(x for x in (t[i], t[i + 1] if i + 1 < len(t) else None) if x is not None)
+                for i in range(max(len(t) - 1, 1))
+            )
+        )
+        hs = [int(hashlib.md5(f.encode()).hexdigest()[:15], 16) for f in feats]
+        fp = 0
+        for b in range(60):
+            if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+                fp |= 1 << b
+        return fp
+
+    for _, row in got.iterrows():
+        assert row["h"] == ref(row["text"]), row["doc_id"]
+
+    # locality: dropping the first word flips few of the 60 bits
+    mutated = sub.withColumn(
+        "text", F.expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' '))))")
+    )
+    hm = (
+        mutated.select("doc_id", simhash_feature_hashes("text").alias("_shh"))
+        .select("doc_id", simhash_from_hashes("_shh").alias("h"))
+        .toPandas()
+    )
+    merged = got.merge(hm, on="doc_id", suffixes=("_a", "_b"))
+    hamming = [bin(a ^ b).count("1") for a, b in zip(merged["h_a"], merged["h_b"])]
+    assert sum(h <= 15 for h in hamming) >= 9, f"hamming distances too large: {hamming}"
+
+
 def test_mllib_lsh_variant_finds_fixture_neardups(spark, docs):
     """The MLlib MinHashLSH path must surface the fixture's genuine near-dup
     pairs (cross-checked against exact Jaccard on its own candidates)."""

@@ -8,7 +8,10 @@ shuffle-lean DataFrame programs:
 - MinHash+LSH banding: shingle -> 32 minhashes -> 8 bands x 4 rows ->
   band-bucket self-join. The classic scale path: candidate generation never
   compares all pairs, only bucket collisions.
-- SimHash: 64-bit weighted-bit fingerprint, hamming-bucket grouping
+- SimHash: weighted-bit fingerprint, hamming-bucket grouping — two forms:
+  a 64-bit xxhash64 scale form (simhash64) and a 60-bit md5 oracle form
+  (simhash_feature_hashes + simhash_from_hashes) whose arithmetic DuckDB
+  mirrors exactly (q_doc_fingerprint's simhash_fp column)
 - n-gram Jaccard: exact pairwise similarity on LSH-survivor pairs
 
 Hash family: ONE md5 per shingle, split into two u64 halves (h1, h2|1);
@@ -296,6 +299,53 @@ def simhash64(text_col, n_grams: int = 2):
     return F.expr(
         f"aggregate(transform(sequence(0, 63), b -> "
         f"CASE WHEN ({votes}) > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+        f"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+
+
+def simhash_feature_hashes(text_col, n_grams: int = 2):
+    """Per-feature 60-bit md5 hashes for the oracle-parity SimHash.
+
+    Features = distinct word n-gram shingles; each hashes to the first 15
+    hex chars of its md5 (60 bits — fits signed BIGINT in every engine, so
+    DuckDB can mirror the arithmetic exactly). Returns ARRAY<BIGINT>.
+
+    Kept as a SEPARATE stage from the bit-vote fold so the expensive md5
+    runs ONCE per feature: the vote loop references this array 60 times,
+    and Catalyst's CollapseProject keeps a multiply-referenced non-cheap
+    projection in its own stage instead of inlining 60 copies.
+    """
+    col_sql = text_col if isinstance(text_col, str) else text_col._jc.toString()
+    toks = f"split({col_sql}, ' ')"
+    feats = (
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size({toks}) - {n_grams}, 0)), "
+        f"i -> concat_ws(' ', "
+        + ", ".join(f"{toks}[i + {j}]" for j in range(n_grams))
+        + ")))"
+    )
+    return F.expr(
+        f"transform({feats}, ft -> "
+        f"CAST(conv(substr(md5(CAST(ft AS BINARY)), 1, 15), 16, 10) AS BIGINT))"
+    )
+
+
+def simhash_from_hashes(hashes_col):
+    """Fold per-feature 60-bit hashes into the SimHash fingerprint.
+
+    Per bit b in 0..59: +1 for every feature hash with bit b set, -1
+    otherwise; fingerprint bit b = 1 iff the vote is strictly positive.
+    A doc with no features (empty array) votes 0 on every bit -> 0.
+    Returns BIGINT. DuckDB twin in queries.py `_FINGERPRINT_DOC_ORACLE`.
+    """
+    col_sql = hashes_col if isinstance(hashes_col, str) else hashes_col._jc.toString()
+    vote = (
+        f"aggregate({col_sql}, 0, (acc, h) -> acc + "
+        f"CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)"
+    )
+    return F.expr(
+        f"aggregate(transform(sequence(0, 59), b -> "
+        f"CASE WHEN ({vote}) > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
         f"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
 

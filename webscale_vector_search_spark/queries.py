@@ -714,14 +714,31 @@ WITH norm AS (
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
   FROM documents
 ),
-toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM norm)
+toks AS (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM norm),
+-- SimHash stage 1: one 60-bit md5 hash per distinct word-2-shingle
+-- (15 hex chars -> fits signed BIGINT; mirrors dedup.simhash_feature_hashes)
+shh AS (
+  SELECT doc_id, nt, t,
+         list_transform(
+           list_distinct(list_transform(
+             range(1, greatest(len(t) - 1, 1) + 1),
+             i -> concat_ws(' ', t[i], t[i+1]))),
+           ft -> CAST(CAST('0x' || substr(md5(ft), 1, 15) AS UBIGINT) AS BIGINT)) AS hs
+  FROM toks
+)
 SELECT doc_id,
        md5(nt) AS content_fp,
        list_aggregate(list_transform(
          range(1, greatest(len(t) - 4, 1) + 1),
          i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
-       ), 'min') AS winnow_fp
-FROM toks
+       ), 'min') AS winnow_fp,
+       -- SimHash stage 2: per-bit majority vote over the feature hashes
+       CAST(coalesce(list_sum(list_transform(range(0, 60), b ->
+         CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+                     CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+              THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), 0)
+         AS BIGINT) AS simhash_fp
+FROM shh
 ORDER BY doc_id
 """
 
@@ -729,10 +746,22 @@ ORDER BY doc_id
 @declare("q_doc_fingerprint", _FINGERPRINT_DOC_ORACLE)
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return docs.select(
+    staged = docs.select(
         "doc_id",
         textops.content_fingerprint(F.col("text")).alias("content_fp"),
         textops.winnow_fingerprint(F.col("text")).alias("winnow_fp"),
+        textops.normalized_text(F.col("text")).alias("_nt"),
+    ).select(
+        "doc_id",
+        "content_fp",
+        "winnow_fp",
+        dedup_ops.simhash_feature_hashes("_nt").alias("_shh"),
+    )
+    return staged.select(
+        "doc_id",
+        "content_fp",
+        "winnow_fp",
+        dedup_ops.simhash_from_hashes("_shh").alias("simhash_fp"),
     )
 
 
