@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -214,8 +215,11 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     def timed(fn, warmups: int = 1):
         for _ in range(warmups):
             fn().count()  # warm-up (JIT, scan caches; graph loads for HNSW)
+        # min-of-3: back-to-back full-bench runs on this box have measured
+        # 2x swings on identical cached artifacts (see calibration probes);
+        # the min is the defensible kernel cost, the rest is box noise
         best, result = float("inf"), None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn()
             df.count()
@@ -317,6 +321,52 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     return timings, meta
 
 
+def _calibrate(spark) -> dict:
+    """Fixed-work machine-speed probes, reported beside every run so
+    cross-round drift can be attributed: identical code has measured
+    +15-20% headline swings between rounds (r3->r4, r4->r5) while
+    fixed-work steps moved 6-10x — i.e. the box, not the plans.
+
+    - gemm_sec: 2048^3 float64 matmul (~17 GFLOP) — CPU/BLAS speed.
+    - io_sec: 256 MB buffered write + fsync to the tmp filesystem the
+      ANN artifact cache lives on — build/bench IO speed.
+    - spark_floor_sec: min-of-3 trivial 32-partition Spark job — the
+      per-job scheduling floor every sub-second headline query sits on.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((2048, 2048))
+    t0 = time.perf_counter()
+    _ = a @ a
+    gemm = time.perf_counter() - t0
+
+    buf = a.tobytes()  # 32 MB
+    fd, path = tempfile.mkstemp(prefix="wvss_cal_", dir="/tmp")
+    try:
+        t0 = time.perf_counter()
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(8):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        io = time.perf_counter() - t0
+    finally:
+        os.unlink(path)
+
+    floor = float("inf")
+    spark.range(1_000_000, numPartitions=32).count()  # warm
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1_000_000, numPartitions=32).count()
+        floor = min(floor, time.perf_counter() - t0)
+    return {
+        "gemm_sec": round(gemm, 4),
+        "io_sec": round(io, 4),
+        "spark_floor_sec": round(floor, 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from webscale_vector_search_spark.queries import QUERIES
@@ -324,6 +374,7 @@ def main() -> None:
 
     spark = get_spark("wvss-bench")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    calibration = _calibrate(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE + list(EXTRA):
@@ -363,6 +414,7 @@ def main() -> None:
     }
     if ann_meta is not None:
         out["ann_1m"] = ann_meta
+    out["calibration"] = calibration
     print(json.dumps(out))
 
 
