@@ -587,6 +587,95 @@ def test_lopq_per_cell_codebooks(spark, corpus, queries, exact, tmp_path_factory
     assert max_diff <= 2e-6, f"LOPQ ADC vs reconstruction max diff {max_diff}"
 
 
+def test_opq_rotation_driver_properties():
+    """_fit_opq (Ge et al. CVPR 2013 non-parametric alternation): the learned
+    rotation must be orthogonal, and on data whose correlation structure
+    straddles the subspace split the rotated quantization error must beat
+    the axis-aligned split (that is the whole point of OPQ — deterministic
+    here: fixed seed, fixed data)."""
+    from webscale_vector_search_spark.operators.pq import (
+        _fit_opq,
+        _fit_subspace_kmeans,
+        _pq_reconstruct,
+    )
+
+    rng = np.random.default_rng(7)
+    # correlated data: low-rank latent mixed across all 16 dims, so raw
+    # subspace slices share variance the axis-aligned split wastes bits on
+    Z = rng.standard_normal((4000, 4))
+    A = rng.standard_normal((4, 16))
+    X = Z @ A + 0.05 * rng.standard_normal((4000, 16))
+
+    m, n_codes = 8, 16
+    rot, books_opq = _fit_opq(X, m, n_codes, kmeans_iters=10, rng=np.random.default_rng(0), opq_iters=8)
+    assert np.allclose(rot @ rot.T, np.eye(16), atol=1e-10)  # orthogonal
+
+    books_pq = _fit_subspace_kmeans(X, m, n_codes, 10, np.random.default_rng(0))
+    err_pq = ((X - _pq_reconstruct(X, books_pq)) ** 2).sum()
+    Xr = X @ rot
+    err_opq = ((Xr - _pq_reconstruct(Xr, books_opq)) ** 2).sum()
+    assert err_opq < err_pq, (err_opq, err_pq)
+
+
+def test_lopq_opq_end_to_end(spark, corpus, queries, exact, tmp_path_factory):
+    """Full LOPQ (per-cell codebooks AND per-cell OPQ rotations,
+    pq_opq_iters > 0): the ADC distance must equal the exact distance to
+    the rotated-back reconstruction C[cell] + decode_cell(codes) @ rot.T —
+    computed independently in numpy — recall must not regress vs
+    rotation-less LOPQ at the same bit budget, and the rotation artifact
+    must round-trip (meta flag, handle.lopq_rots, orthogonality)."""
+    from webscale_vector_search_spark.sources.index_io import read_metadata as _rm
+
+    out_o = str(tmp_path_factory.mktemp("lopq_opq_idx"))
+    cfg_o = EngineConfig(
+        index_type="IVFPQ", nlist=8, pq_m=16, kmeans_sample_fraction=1.0,
+        pq_local_codebooks=True, pq_opq_iters=4,
+    )
+    h_o = build_index(spark, corpus, out_o, cfg_o)
+    assert _rm(out_o)["pq_opq_iters"] == 4
+    assert isinstance(h_o.lopq_rots, dict) and len(h_o.lopq_rots) == 8
+    for rot in h_o.lopq_rots.values():
+        # float32 storage -> 1e-6-scale orthogonality error is expected
+        assert np.allclose(rot @ rot.T, np.eye(64), atol=1e-5)
+
+    out_l = str(tmp_path_factory.mktemp("lopq_noopq_idx"))
+    cfg_l = EngineConfig(
+        index_type="IVFPQ", nlist=8, pq_m=16, kmeans_sample_fraction=1.0,
+        pq_local_codebooks=True,
+    )
+    h_l = build_index(spark, corpus, out_l, cfg_l)
+    assert h_l.lopq_rots is None  # opq_iters=0 -> no rotations stored
+
+    adc_o = search_index(spark, h_o, queries, k=20, nprobe=8, exact_refine=False)
+    adc_l = search_index(spark, h_l, queries, k=20, nprobe=8, exact_refine=False)
+    rec_o = recall_at_k(adc_o, exact, k=10)
+    rec_l = recall_at_k(adc_l, exact, k=10)
+    # the rotation is allowed to be a wash on easy fixtures, never a cliff
+    assert rec_o >= rec_l - 0.05, (rec_o, rec_l)
+    assert rec_o >= 0.8, rec_o
+
+    # ADC == rotated-back reconstruction, independent numpy
+    C = {r["centroid_id"]: np.array(r["cvec"], dtype=np.float64) for r in h_o.centroids.collect()}
+    code_rows = {
+        r["vec_id"]: (r["centroid_id"], np.array(r["codes"]))
+        for r in h_o.vectors.select("vec_id", "centroid_id", "codes").collect()
+    }
+    Q = {r["query_id"]: np.array(r["qvec"], dtype=np.float64) for r in queries.collect()}
+    m = cfg_o.resolved_pq_m()
+    dsub = 64 // m
+    adc_pd = adc_o.toPandas()
+    assert len(adc_pd) > 0
+    max_diff = 0.0
+    for _, row in adc_pd.iterrows():
+        cid, cc = code_rows[row["neighbor_id"]]
+        bks = h_o.codebooks[cid]
+        rot = h_o.lopq_rots[cid]
+        r_hat = np.concatenate([bks[j, cc[j]] for j in range(m)]) @ rot.T
+        d = float(((Q[row["query_id"]] - (C[cid] + r_hat)) ** 2).sum())
+        max_diff = max(max_diff, abs(d - row["distance"]))
+    assert max_diff <= 2e-6, f"LOPQ+OPQ ADC vs reconstruction max diff {max_diff}"
+
+
 def test_build_index_centroid_reuse(spark, corpus, queries, tmp_path_factory):
     """Clustering reuse: build_index(centroids_df=...) must skip training,
     store the given centers verbatim, and search identically to the donor's

@@ -57,8 +57,8 @@ class EngineConfig:
     # recall@10 0.22 vs 0.98 on a 1M clustered corpus). False = raw codes
     # (kept for the ADC==reconstruction SQL cross-check path).
     pq_residual: bool = True
-    # Per-cell codebooks (LOPQ, Kalantidis & Avrithis CVPR 2014, minus the
-    # per-cell rotation): each inverted list gets codebooks fit on its OWN
+    # Per-cell codebooks (LOPQ, Kalantidis & Avrithis CVPR 2014): each
+    # inverted list gets codebooks fit on its OWN
     # residuals, distributed (one applyInPandas group per cell). Lifts
     # ADC-only ranking at low bit budgets (measured m=32 @ 8-bit recall@10
     # 0.85 global -> ~0.93 per-cell on the 1M clustered bench) at the cost
@@ -66,6 +66,18 @@ class EngineConfig:
     # documented LOPQ memory trade; keep nlist <= ~4k cells per 256 MB of
     # serving broadcast. Requires pq_residual.
     pq_local_codebooks: bool = False
+    # Per-cell OPQ rotation iterations (full LOPQ; Ge et al. CVPR 2013
+    # alternation inside each cell's distributed fit). 0 disables; >0
+    # requires pq_local_codebooks. Each cell stores an extra dim x dim
+    # float32 rotation (16 kB at dim 64) beside its books; encode rotates
+    # residuals into the cell frame, ADC decode rotates back.
+    # Measured regime (100k x 64, rank-8-correlated residuals, m=32 @
+    # 8-bit): at ~1k training rows/cell the rotation's estimation noise
+    # LOSES recall (0.934 -> 0.924); at ~6k rows/cell it wins (0.9355 ->
+    # 0.9385). Enable when cells train on >= several thousand rows — the
+    # 100 TB regime, where every cell has millions — not on small corpora
+    # with sqrt(n) lists.
+    pq_opq_iters: int = 0
     seed: int = 42
     kmeans_sample_fraction: float = 0.2  # fix for quirk Q7 (first-batch-only training)
     # Full-corpus Lloyd refinement passes on the sampled-KMeans centroids

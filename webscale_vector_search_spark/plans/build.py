@@ -144,12 +144,20 @@ def build_index(
                     centroids,
                     seed=config.seed,
                     n_codes=2**config.pq_bits,
+                    opq_iters=config.pq_opq_iters,
                 )
                 index_io.write_local_codebooks(books_df, out_dir)
-                books_map = index_io.read_local_codebooks(
-                    spark, out_dir, pq_m, 2**config.pq_bits, config.vector_dim
+                books_map, rots_map = index_io.read_local_codebooks(
+                    spark,
+                    out_dir,
+                    pq_m,
+                    2**config.pq_bits,
+                    config.vector_dim,
+                    with_rots=True,
                 )
-                assigned = pq_ops.encode_local(assigned, books_map, centroids)
+                assigned = pq_ops.encode_local(
+                    assigned, books_map, centroids, rots_by_cell=rots_map
+                )
             else:
                 # codebooks fit + codes computed on RESIDUALS v - C[centroid_id]
                 # by default (FAISS IVFPQ semantics; raw-vector codebooks cannot
@@ -189,6 +197,11 @@ def build_index(
         pq_bits=config.pq_bits,
         pq_local_codebooks=config.index_type == "IVFPQ" and config.pq_local_codebooks,
     )
+    if config.index_type == "IVFPQ" and config.pq_opq_iters > 0:
+        # full LOPQ: per-cell OPQ rotations stored in the codebooks table's
+        # `rot` column (readers also detect the column itself; this flag is
+        # for humans and sidecar-only tooling)
+        meta["pq_opq_iters"] = config.pq_opq_iters
     if config.index_type == "HNSW":
         # readers route on this flag: graph artifacts serve via
         # hnsw_stored_search; its absence means a legacy centroid-layout
@@ -310,7 +323,7 @@ def search_index(
         queries, handle.centroids, nprobe, centroid_np=handle.centroid_arrays()
     )
     is_local = isinstance(handle.codebooks, dict)  # LOPQ per-cell books
-    local_arg = None
+    local_arg = rots_arg = None
     if is_local:
         # broadcast the per-cell books ONCE per opened handle (float32 —
         # exact, the parquet store is float32); every batch served through
@@ -320,6 +333,14 @@ def search_index(
                 {c: b.astype("float32") for c, b in handle.codebooks.items()}
             )
         local_arg = handle._lopq_bc
+        if handle.lopq_rots is not None:
+            # full LOPQ: per-cell OPQ rotations ride a second once-per-handle
+            # broadcast (~16 kB/cell — small beside the books)
+            if getattr(handle, "_lopq_rots_bc", None) is None:
+                handle._lopq_rots_bc = spark.sparkContext.broadcast(
+                    {c: r.astype("float32") for c, r in handle.lopq_rots.items()}
+                )
+            rots_arg = handle._lopq_rots_bc
     adc = pq_ops.adc_search(
         handle.vectors,
         None if is_local else handle.codebooks,
@@ -328,6 +349,7 @@ def search_index(
         probes=probes,
         residual=bool(handle.meta.get("pq_residual")) or is_local,
         local_books=local_arg,
+        local_rots=rots_arg,
     )
     if not exact_refine:
         return adc

@@ -107,11 +107,24 @@ def write_local_codebooks(books_df, out_dir: str) -> None:
     books_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "codebooks"))
 
 
-def read_local_codebooks(spark: SparkSession, index_dir: str, m: int, n_codes: int, dim: int) -> dict:
-    from webscale_vector_search_spark.operators.pq import local_books_dict
+def read_local_codebooks(
+    spark: SparkSession,
+    index_dir: str,
+    m: int,
+    n_codes: int,
+    dim: int,
+    with_rots: bool = False,
+):
+    """Per-cell codebooks {cid: (m, n_codes, dsub)}; with_rots=True also
+    returns the per-cell OPQ rotation dict (None when the artifact carries
+    no rotations — LOPQ-without-OPQ or a pre-rotation index)."""
+    from webscale_vector_search_spark.operators.pq import local_books_dict, local_rots_dict
 
     df = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    return local_books_dict(df, m, n_codes, dim)
+    books = local_books_dict(df, m, n_codes, dim)
+    if not with_rots:
+        return books
+    return books, local_rots_dict(df, dim)
 
 
 def read_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
@@ -139,6 +152,9 @@ class IndexHandle:
     # global codebooks: (m, n_codes, dsub) ndarray; LOPQ (pq_local_codebooks
     # in the sidecar): {centroid_id: (m, n_codes, dsub)} dict
     codebooks: "np.ndarray | dict | None" = None
+    # full-LOPQ per-cell OPQ rotations {centroid_id: (dim, dim)}; None
+    # when the index was built without pq_opq_iters
+    lopq_rots: dict | None = None
     _centroid_np: tuple | None = None
     # filesystem path of the current vectors directory — stored-graph HNSW
     # serving side-reads whole shard partitions from it (graph traversal
@@ -171,13 +187,24 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
         meta["index_type"] == "HNSW" and os.path.isdir(cent_dir)
     ):
         centroids = spark.read.parquet(cent_dir)
+    lopq_rots = None
     if meta["index_type"] == "IVFPQ":
         if meta.get("pq_local_codebooks"):
-            codebooks = read_local_codebooks(
-                spark, index_dir, meta["pq_m"], 2 ** meta.get("pq_bits", 8), meta["vector_dim"]
+            codebooks, lopq_rots = read_local_codebooks(
+                spark,
+                index_dir,
+                meta["pq_m"],
+                2 ** meta.get("pq_bits", 8),
+                meta["vector_dim"],
+                with_rots=True,
             )
         else:
             codebooks = read_codebooks(spark, index_dir)
     return IndexHandle(
-        meta=meta, vectors=vectors, centroids=centroids, codebooks=codebooks, vectors_dir=vdir
+        meta=meta,
+        vectors=vectors,
+        centroids=centroids,
+        codebooks=codebooks,
+        vectors_dir=vdir,
+        lopq_rots=lopq_rots,
     )
