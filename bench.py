@@ -321,15 +321,17 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     return timings, meta
 
 
-def _calibrate(spark) -> dict:
+def _calibrate(spark, io_dir: str = "/tmp") -> dict:
     """Fixed-work machine-speed probes, reported beside every run so
     cross-round drift can be attributed: identical code has measured
     +15-20% headline swings between rounds (r3->r4, r4->r5) while
     fixed-work steps moved 6-10x — i.e. the box, not the plans.
 
     - gemm_sec: 2048^3 float64 matmul (~17 GFLOP) — CPU/BLAS speed.
-    - io_sec: 256 MB buffered write + fsync to the tmp filesystem the
-      ANN artifact cache lives on — build/bench IO speed.
+    - io_sec: 256 MB buffered write + fsync into ``io_dir`` — main() passes
+      the resolved ANN artifact cache dir so the probe measures the
+      filesystem builds/benches actually hit (SPARK_GRAFT_ANN_DIR may
+      point somewhere other than /tmp).
     - spark_floor_sec: min-of-3 trivial 32-partition Spark job — the
       per-job scheduling floor every sub-second headline query sits on.
     """
@@ -342,7 +344,8 @@ def _calibrate(spark) -> dict:
     gemm = time.perf_counter() - t0
 
     buf = a.tobytes()  # 32 MB
-    fd, path = tempfile.mkstemp(prefix="wvss_cal_", dir="/tmp")
+    os.makedirs(io_dir, exist_ok=True)
+    fd, path = tempfile.mkstemp(prefix="wvss_cal_", dir=io_dir)
     try:
         t0 = time.perf_counter()
         with os.fdopen(fd, "wb") as f:
@@ -374,7 +377,8 @@ def main() -> None:
 
     spark = get_spark("wvss-bench")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    calibration = _calibrate(spark)
+    ann_dir = os.environ.get("SPARK_GRAFT_ANN_DIR", "/tmp/wvss_bench_ann_v3")
+    calibration = _calibrate(spark, io_dir=ann_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE + list(EXTRA):
@@ -396,7 +400,6 @@ def main() -> None:
             # per-index cache dirs embed a hash of the FULL build config
             # (_idx_cache_dir), so the base dir no longer needs manual
             # version bumps when a build knob changes
-            ann_dir = os.environ.get("SPARK_GRAFT_ANN_DIR", "/tmp/wvss_bench_ann_v3")
             ann_timings, ann_meta = _ann_tier(spark, ann_n, ann_dir)
             timings.update(ann_timings)
         except Exception as e:  # the headline line must print regardless

@@ -631,6 +631,14 @@ def test_lopq_opq_end_to_end(spark, corpus, queries, exact, tmp_path_factory):
         index_type="IVFPQ", nlist=8, pq_m=16, kmeans_sample_fraction=1.0,
         pq_local_codebooks=True, pq_opq_iters=4,
     )
+    # misconfiguration guard: OPQ without per-cell books would be silently
+    # ignored by the global branch — must refuse instead
+    with pytest.raises(ValueError, match="pq_opq_iters"):
+        build_index(
+            spark, corpus, str(tmp_path_factory.mktemp("bad_opq")),
+            EngineConfig(index_type="IVFPQ", nlist=8, pq_m=16, pq_opq_iters=2),
+        )
+
     h_o = build_index(spark, corpus, out_o, cfg_o)
     assert _rm(out_o)["pq_opq_iters"] == 4
     assert isinstance(h_o.lopq_rots, dict) and len(h_o.lopq_rots) == 8

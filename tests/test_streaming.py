@@ -379,6 +379,56 @@ def test_streaming_serve_equals_batch(spark, corpus, tmp_path_factory):
     assert (got.groupby("query_id").size() == 10).all()
 
 
+def test_streaming_serve_lopq_opq_handle(spark, corpus, tmp_path_factory):
+    """T4 over a full-LOPQ index (per-cell codebooks + OPQ rotations): the
+    serving loop must pair books and rotations through open_index and the
+    once-per-handle broadcasts, and every micro-batch must equal the batch
+    engine exactly — the rot-pairing contract exercised end-to-end through
+    the artifact round-trip, not just in-process."""
+    from webscale_vector_search_spark.plans.build import build_index, search_index
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+    from webscale_vector_search_spark.sources.index_io import open_index
+    from webscale_vector_search_spark.streaming.serve_stream import serve_queries_stream
+
+    idx_dir = str(tmp_path_factory.mktemp("serve_lopq_idx"))
+    build_index(
+        spark, corpus, idx_dir,
+        EngineConfig(
+            index_type="IVFPQ", nlist=8, pq_m=16, kmeans_sample_fraction=1.0,
+            pq_local_codebooks=True, pq_opq_iters=3,
+        ),
+    )
+    handle = open_index(spark, idx_dir)
+    assert isinstance(handle.lopq_rots, dict) and len(handle.lopq_rots) == 8
+
+    queries = queries_from_embeddings(spark, SF_SMOKE, 12)
+    src = str(tmp_path_factory.mktemp("serve_lopq_src"))
+    queries.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    out_dir = str(tmp_path_factory.mktemp("serve_lopq_out"))
+    q = serve_queries_stream(spark, stream, handle, out_dir, k=10, nprobe=8)
+    q.processAllAvailable()
+    q.stop()
+
+    cols = ["query_id", "rank", "neighbor_id", "distance"]
+    got = (
+        spark.read.parquet(out_dir).select(*cols).toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        search_index(spark, handle, queries, k=10, nprobe=8)
+        .toPandas()[cols]
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert got.equals(want), "LOPQ+OPQ streamed serving diverged from batch"
+    assert (got.groupby("query_id").size() == 10).all()
+
+
 def test_incremental_hnsw_graph_append(spark, corpus, tmp_path_factory):
     """T1 for graph artifacts: micro-batches insert into the persisted
     per-shard graphs (no rebuild). The stream-built index must (1) contain

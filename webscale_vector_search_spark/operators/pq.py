@@ -214,6 +214,13 @@ def fit_codebooks_per_list(
     The rotation adds 16 kB/cell float32 at dim=64 — noise beside the
     64 kB/cell books.
 
+    PAIRING CONTRACT: with opq_iters > 0 the books live in each cell's
+    rotated frame — codes produced against them are meaningless without
+    the matching rotation. Low-level callers must thread the rot column
+    through encode_local(rots_by_cell=...) and adc_search(local_rots=...);
+    build_index/open_index/search_index do this pairing automatically, and
+    the kernels fail loudly (KeyError) on a provided-but-partial dict.
+
     Scale envelope: the full codebook artifact is nlist * m * n_codes *
     dsub floats — at m=32/256 codes/dsub=2 that is 64 kB/cell float32, so
     ~4k cells per 256 MB of broadcast; beyond that, shard the serving by
@@ -260,11 +267,20 @@ def local_books_dict(books_df: DataFrame, m: int, n_codes: int, dim: int) -> dic
     Arrow path (toPandas): a Row-object collect of nlist * m * n_codes *
     dsub floats measured ~12 s at 1000 cells; this takes ~1 s."""
     dsub = dim // m
-    pdf = books_df.toPandas()
+    pdf = books_df.select("centroid_id", "books").toPandas()
     return {
         int(c): np.asarray(b, dtype=np.float64).reshape(m, n_codes, dsub)
         for c, b in zip(pdf["centroid_id"], pdf["books"])
     }
+
+
+def _rots_from_pandas(pdf, dim: int) -> dict | None:
+    out = {
+        int(c): np.asarray(r, dtype=np.float64).reshape(dim, dim)
+        for c, r in zip(pdf["centroid_id"], pdf["rot"])
+        if r is not None and len(r) == dim * dim
+    }
+    return out or None
 
 
 def local_rots_dict(books_df: DataFrame, dim: int) -> dict | None:
@@ -274,13 +290,25 @@ def local_rots_dict(books_df: DataFrame, dim: int) -> dict | None:
     nlist rows x dim^2 floats."""
     if "rot" not in books_df.columns:
         return None
-    pdf = books_df.select("centroid_id", "rot").toPandas()
-    out = {
-        int(c): np.asarray(r, dtype=np.float64).reshape(dim, dim)
-        for c, r in zip(pdf["centroid_id"], pdf["rot"])
-        if r is not None and len(r) == dim * dim
+    return _rots_from_pandas(books_df.select("centroid_id", "rot").toPandas(), dim)
+
+
+def local_books_and_rots(
+    books_df: DataFrame, m: int, n_codes: int, dim: int
+) -> tuple[dict, dict | None]:
+    """Both per-cell dicts from ONE collect of the codebooks table (the
+    index-open path calls this; two separate toPandas jobs over the same
+    tiny parquet double the open latency for nothing)."""
+    dsub = dim // m
+    has_rot = "rot" in books_df.columns
+    cols = ["centroid_id", "books"] + (["rot"] if has_rot else [])
+    pdf = books_df.select(*cols).toPandas()
+    books = {
+        int(c): np.asarray(b, dtype=np.float64).reshape(m, n_codes, dsub)
+        for c, b in zip(pdf["centroid_id"], pdf["books"])
     }
-    return out or None
+    rots = _rots_from_pandas(pdf, dim) if has_rot else None
+    return books, rots
 
 
 def encode_local(
@@ -323,9 +351,10 @@ def encode_local(
                 bks = books_by_cell[int(cv)]
                 sub_block = R[rows]
                 if rots_by_cell is not None:
-                    rt = rots_by_cell.get(int(cv))
-                    if rt is not None:
-                        sub_block = sub_block @ rt
+                    # strict: a provided-but-partial rotation dict means the
+                    # books/rots pairing broke upstream — encoding this cell
+                    # unrotated would be silently wrong, so fail loudly
+                    sub_block = sub_block @ rots_by_cell[int(cv)]
                 for j in range(m):
                     sub = sub_block[:, j * dsub : (j + 1) * dsub]
                     cb = bks[j]
@@ -617,10 +646,13 @@ def adc_search(
                             r[:, j * dsub : (j + 1) * dsub] = bks[j][cr[:, j]]
                         if bc_rots is not None:
                             # full LOPQ: codes live in the cell's OPQ frame;
-                            # rotate the decode back (rot orthogonal -> .T)
-                            rt = bc_rots.value.get(int(cv))
-                            if rt is not None:
-                                r = r @ rt.astype(np.float64).T
+                            # rotate the decode back (rot orthogonal -> .T).
+                            # Strict lookup: a probed cell missing from a
+                            # provided rotation dict is a broken books/rots
+                            # pairing — unrotated decode would be silently
+                            # wrong distances, so KeyError is the right
+                            # failure mode
+                            r = r @ bc_rots.value[int(cv)].astype(np.float64).T
                         r += Cp[probed_row[cv]]
                         r_sq = (r * r).sum(1)
                     else:

@@ -130,6 +130,8 @@ def build_index(
         assigned = ivf_ops.assign_centroids(base, centroids)
         if config.index_type == "IVFPQ":
             pq_m = config.resolved_pq_m()
+            if config.pq_opq_iters > 0 and not config.pq_local_codebooks:
+                raise ValueError("pq_opq_iters requires pq_local_codebooks")
             if config.pq_local_codebooks:
                 if not config.pq_residual:
                     raise ValueError("pq_local_codebooks requires pq_residual")

@@ -118,13 +118,12 @@ def read_local_codebooks(
     """Per-cell codebooks {cid: (m, n_codes, dsub)}; with_rots=True also
     returns the per-cell OPQ rotation dict (None when the artifact carries
     no rotations — LOPQ-without-OPQ or a pre-rotation index)."""
-    from webscale_vector_search_spark.operators.pq import local_books_dict, local_rots_dict
+    from webscale_vector_search_spark.operators.pq import local_books_and_rots, local_books_dict
 
     df = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    books = local_books_dict(df, m, n_codes, dim)
     if not with_rots:
-        return books
-    return books, local_rots_dict(df, dim)
+        return local_books_dict(df, m, n_codes, dim)
+    return local_books_and_rots(df, m, n_codes, dim)
 
 
 def read_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
