@@ -66,11 +66,14 @@ class EngineConfig:
     # documented LOPQ memory trade; keep nlist <= ~4k cells per 256 MB of
     # serving broadcast. Requires pq_residual.
     pq_local_codebooks: bool = False
-    # Per-cell OPQ rotation iterations (full LOPQ; Ge et al. CVPR 2013
-    # alternation inside each cell's distributed fit). 0 disables; >0
-    # requires pq_local_codebooks. Each cell stores an extra dim x dim
-    # float32 rotation (16 kB at dim 64) beside its books; encode rotates
-    # residuals into the cell frame, ADC decode rotates back.
+    # OPQ rotation iterations (Ge et al. CVPR 2013 alternation); requires
+    # pq_residual. With pq_local_codebooks: one rotation PER CELL (full
+    # LOPQ), fit inside each cell's distributed applyInPandas group, stored
+    # as a 16 kB/cell float32 column beside the books. Without: one GLOBAL
+    # rotation fit on the pooled driver-side sample, stored as a tiny
+    # `rotation` parquet — the huge-nlist fallback where the per-cell
+    # codebook broadcast no longer fits. Encode rotates residuals into the
+    # OPQ frame, ADC decode rotates back.
     # Measured regime (100k x 64, rank-8-correlated residuals, m=32 @
     # 8-bit): at ~1k training rows/cell the rotation's estimation noise
     # LOSES recall (0.934 -> 0.924); at ~6k rows/cell it wins (0.9355 ->

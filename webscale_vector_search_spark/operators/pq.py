@@ -49,7 +49,8 @@ def fit_codebooks(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     n_total: int | None = None,
-) -> np.ndarray:
+    opq_iters: int = 0,
+) -> "np.ndarray | tuple[np.ndarray, np.ndarray]":
     """K7 (train) — per-subspace Lloyd k-means on a seeded sample.
 
     Returns codebooks (m, n_codes, dsub) float64. The sample is bounded
@@ -64,6 +65,16 @@ def fit_codebooks(
     quantization cell is coarser than the within-cluster structure and ADC
     cannot rank inside a cluster (measured: recall@10 0.22 on a 1M clustered
     corpus, vs 0.9+ for residual codes at the same m).
+
+    With ``opq_iters > 0``, returns (codebooks, rotation): a single GLOBAL
+    OPQ rotation (Ge et al. CVPR 2013) fit on the pooled sample before the
+    subspace split, row convention ``rotated = X @ rot``. Unlike the
+    per-cell LOPQ rotation, the global rotation trains on the full bounded
+    sample (100k rows by default), so it does not suffer the small-cell
+    estimation noise — it is the OPQ variant for the huge-nlist regime
+    where the per-cell codebook broadcast no longer fits (docs/SCALE.md).
+    Callers must thread the rotation through encode(rotation=...) and
+    adc_search(rotation=...); build_index/open_index pair it automatically.
     """
     if n_total is None:  # caller usually knows it (build_index counts once)
         n_total = corpus.count()
@@ -90,6 +101,9 @@ def fit_codebooks(
     dsub = dim // m
     k = min(n_codes, n)
     rng = np.random.default_rng(seed)
+    if opq_iters > 0:
+        rot, books = _fit_opq(X, m, n_codes, kmeans_iters, rng, opq_iters)
+        return books, rot
     return _fit_subspace_kmeans(X, m, n_codes, kmeans_iters, rng, k=k)
 
 
@@ -372,11 +386,17 @@ def encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """K7 (encode) — append codes ARRAY<SMALLINT>, map-only numpy kernel.
 
     With `centroids`, encodes residuals v - C[centroid_id] (pair with
-    codebooks fit the same way — see fit_codebooks)."""
+    codebooks fit the same way — see fit_codebooks). With `rotation`
+    (global OPQ), residuals rotate into the OPQ frame (r @ rot) before the
+    subspace argmin — pair with fit_codebooks(opq_iters>0) and
+    adc_search(rotation=...)."""
+    if rotation is not None and centroids is None:
+        raise ValueError("global OPQ rotation is residual-only; pass centroids")
     m, n_codes, dsub = codebooks.shape
     schema = T.StructType(
         list(corpus.schema.fields) + [T.StructField("codes", T.ArrayType(T.ShortType()))]
@@ -396,6 +416,8 @@ def encode(
             if C_arr is not None:
                 cent_idx = batch.schema.get_field_index("centroid_id")
                 V = V - C_arr[batch.column(cent_idx).to_numpy().astype(np.int64)]
+            if rotation is not None:
+                V = V @ rotation
             n = len(V)
             codes = np.empty((n, m), dtype=np.int16)
             for j in range(m):
@@ -454,6 +476,7 @@ def adc_search(
     lut_dtype: str = "float32",
     local_books: dict | None = None,
     local_rots: dict | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """K8 — asymmetric-distance search over PQ codes.
 
@@ -514,6 +537,11 @@ def adc_search(
         books = codebooks
     if residual and probes is None and (centroids is None or nprobe is None):
         raise ValueError("residual ADC requires centroids + nprobe")
+    if rotation is not None and (not residual or local_books is not None):
+        raise ValueError(
+            "global OPQ rotation applies to the global residual path only "
+            "(per-cell books carry their own rotations via local_rots)"
+        )
 
     scan_cols = [id_col, "codes"]
     if probes is None and centroids is not None and nprobe is not None:
@@ -628,6 +656,10 @@ def adc_search(
                 recon = np.empty((len(codes), m * dsub))
                 for j in range(m):
                     recon[:, j * dsub : (j + 1) * dsub] = books[j][codes[:, j]]
+                if rotation is not None:
+                    # global OPQ: codes live in the rotated frame; rotate the
+                    # decoded residual back (one batch GEMM, query-independent)
+                    recon = recon @ rotation.T
                 recon += Cp[probed_row[cent.astype(np.int64, copy=False)]]
                 recon_sq = (recon * recon).sum(1)
             parts = []

@@ -130,8 +130,8 @@ def build_index(
         assigned = ivf_ops.assign_centroids(base, centroids)
         if config.index_type == "IVFPQ":
             pq_m = config.resolved_pq_m()
-            if config.pq_opq_iters > 0 and not config.pq_local_codebooks:
-                raise ValueError("pq_opq_iters requires pq_local_codebooks")
+            if config.pq_opq_iters > 0 and not config.pq_residual:
+                raise ValueError("pq_opq_iters requires pq_residual")
             if config.pq_local_codebooks:
                 if not config.pq_residual:
                     raise ValueError("pq_local_codebooks requires pq_residual")
@@ -169,16 +169,31 @@ def build_index(
                 # Catalyst can't prune, so sampling from `assigned` would run the
                 # full-corpus assignment GEMM twice more (count + sample passes);
                 # fit_codebooks re-derives the sample's assignment driver-side
-                books = pq_ops.fit_codebooks(
+                fitted = pq_ops.fit_codebooks(
                     base,
                     pq_m,
                     seed=config.seed,
                     n_codes=2**config.pq_bits,
                     centroids=pq_cents,
                     n_total=n_total,
+                    opq_iters=config.pq_opq_iters,
                 )
+                if config.pq_opq_iters > 0:
+                    # global OPQ: one rotation fit on the pooled sample —
+                    # the huge-nlist fallback where per-cell books don't fit
+                    # the serving broadcast (docs/SCALE.md). Encode against
+                    # the STORED (float32 round-tripped) rotation so codes
+                    # and every later decode share identical values — the
+                    # same write-then-read-back discipline as the LOPQ books
+                    books, rot = fitted
+                    index_io.write_rotation(spark, out_dir, rot)
+                    rot = index_io.read_rotation(spark, out_dir)
+                else:
+                    books, rot = fitted, None
                 index_io.write_codebooks(spark, out_dir, books)
-                assigned = pq_ops.encode(assigned, books, centroids=pq_cents)
+                assigned = pq_ops.encode(
+                    assigned, books, centroids=pq_cents, rotation=rot
+                )
         # pack each inverted list into few files (see FLAT note above)
         assigned = _packed_repartition(assigned, "centroid_id", nlist)
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(vectors_dir)
@@ -352,6 +367,7 @@ def search_index(
         residual=bool(handle.meta.get("pq_residual")) or is_local,
         local_books=local_arg,
         local_rots=rots_arg,
+        rotation=None if is_local else handle.pq_rotation,
     )
     if not exact_refine:
         return adc

@@ -101,6 +101,25 @@ def write_codebooks(spark: SparkSession, out_dir: str, codebooks: np.ndarray) ->
     df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "codebooks"))
 
 
+def write_rotation(spark: SparkSession, out_dir: str, rot: np.ndarray) -> None:
+    """Global OPQ rotation artifact: one row, flat row-major floats.
+    dim x dim float32 — 16 kB at dim 64."""
+    dim = rot.shape[0]
+    df = spark.createDataFrame(
+        [(dim, [float(x) for x in rot.ravel()])], "dim INT, rot ARRAY<FLOAT>"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "rotation"))
+
+
+def read_rotation(spark: SparkSession, index_dir: str) -> "np.ndarray | None":
+    path = os.path.join(index_dir, "rotation")
+    if not os.path.isdir(path):
+        return None
+    row = spark.read.parquet(path).collect()[0]
+    dim = row["dim"]
+    return np.asarray(row["rot"], dtype=np.float64).reshape(dim, dim)
+
+
 def write_local_codebooks(books_df, out_dir: str) -> None:
     """Per-cell (LOPQ) codebook table: one row per cell,
     (centroid_id INT, books ARRAY<FLOAT> flat). nlist rows — tiny."""
@@ -154,6 +173,9 @@ class IndexHandle:
     # full-LOPQ per-cell OPQ rotations {centroid_id: (dim, dim)}; None
     # when the index was built without pq_opq_iters
     lopq_rots: dict | None = None
+    # global OPQ rotation (dim, dim) for the global-codebook path; None
+    # when absent (mutually exclusive with lopq_rots by construction)
+    pq_rotation: "np.ndarray | None" = None
     _centroid_np: tuple | None = None
     # filesystem path of the current vectors directory — stored-graph HNSW
     # serving side-reads whole shard partitions from it (graph traversal
@@ -186,7 +208,7 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
         meta["index_type"] == "HNSW" and os.path.isdir(cent_dir)
     ):
         centroids = spark.read.parquet(cent_dir)
-    lopq_rots = None
+    lopq_rots = pq_rotation = None
     if meta["index_type"] == "IVFPQ":
         if meta.get("pq_local_codebooks"):
             codebooks, lopq_rots = read_local_codebooks(
@@ -199,6 +221,7 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
             )
         else:
             codebooks = read_codebooks(spark, index_dir)
+            pq_rotation = read_rotation(spark, index_dir)
     return IndexHandle(
         meta=meta,
         vectors=vectors,
@@ -206,4 +229,5 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
         codebooks=codebooks,
         vectors_dir=vdir,
         lopq_rots=lopq_rots,
+        pq_rotation=pq_rotation,
     )
