@@ -108,11 +108,20 @@ def fit_codebooks(
 
 
 def _fit_subspace_kmeans(
-    X: np.ndarray, m: int, n_codes: int, kmeans_iters: int, rng, k: int | None = None
+    X: np.ndarray,
+    m: int,
+    n_codes: int,
+    kmeans_iters: int,
+    rng,
+    k: int | None = None,
+    init: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace Lloyd k-means on (n, dim) training rows -> codebooks
     (m, n_codes, dsub). Shared by the global fit (driver-side sample) and
-    the per-list fit (inside each applyInPandas group)."""
+    the per-list fit (inside each applyInPandas group). ``init`` warm-starts
+    the centers from a previous fit (the OPQ alternation's inner step —
+    after a small rotation update the old codebooks are near-optimal, so
+    one or two Lloyd passes suffice instead of a cold restart)."""
     n, dim = X.shape
     dsub = dim // m
     if k is None:
@@ -120,7 +129,7 @@ def _fit_subspace_kmeans(
     books = np.zeros((m, n_codes, dsub))
     for j in range(m):
         sub = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
-        centers = sub[rng.choice(n, size=k, replace=False)]
+        centers = init[j][:k].copy() if init is not None else sub[rng.choice(n, size=k, replace=False)]
         for _ in range(kmeans_iters):
             # assignment via the dot expansion, DROPPING the per-row ||x||^2
             # term (constant within a row -> argmin-invariant): the fit is
@@ -184,13 +193,19 @@ def _fit_opq(
     """
     n, dim = X.shape
     rot = np.eye(dim)
-    for _ in range(max(0, opq_iters)):
+    books = None
+    for it in range(max(0, opq_iters)):
         Xr = X @ rot
-        books = _fit_subspace_kmeans(Xr, m, n_codes, inner_iters, rng)
+        # warm-start after the first pass (Ge et al. §non-parametric: one
+        # Lloyd step per alternation once the rotation updates are small);
+        # cold-start with inner_iters to seed reasonable books
+        books = _fit_subspace_kmeans(
+            Xr, m, n_codes, inner_iters if it == 0 else 1, rng, init=books
+        )
         Y = _pq_reconstruct(Xr, books)
         U, _, Vt = np.linalg.svd(X.T @ Y)
         rot = U @ Vt
-    books = _fit_subspace_kmeans(X @ rot, m, n_codes, kmeans_iters, rng)
+    books = _fit_subspace_kmeans(X @ rot, m, n_codes, kmeans_iters, rng, init=books)
     return rot, books
 
 
