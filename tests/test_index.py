@@ -686,6 +686,26 @@ def test_lopq_opq_end_to_end(spark, corpus, queries, exact, tmp_path_factory):
         max_diff = max(max_diff, abs(d - row["distance"]))
     assert max_diff <= 2e-6, f"LOPQ+OPQ ADC vs reconstruction max diff {max_diff}"
 
+    # pairing fast-fails are DRIVER-side ValueErrors (not a KeyError deep
+    # inside an executor task): rotations without books are meaningless...
+    with pytest.raises(ValueError, match="local_rots requires local_books"):
+        adc_search(
+            h_o.vectors, None, queries, k=5,
+            centroids=h_o.centroids, nprobe=8, residual=True,
+            local_rots=h_o.lopq_rots,
+        )
+    # ...and a probed cell whose books shipped but whose rotation is absent
+    # is a broken books/rots pairing (nprobe=nlist here, so the popped cell
+    # is guaranteed probed)
+    partial = dict(h_o.lopq_rots)
+    partial.pop(next(iter(partial)))
+    with pytest.raises(ValueError, match="books/rots pairing"):
+        adc_search(
+            h_o.vectors, None, queries, k=5,
+            centroids=h_o.centroids, nprobe=8, residual=True,
+            local_books=h_o.codebooks, local_rots=partial,
+        )
+
 
 def test_global_opq_end_to_end(spark, corpus, queries, exact, tmp_path_factory):
     """Global OPQ (pq_opq_iters without pq_local_codebooks): one rotation

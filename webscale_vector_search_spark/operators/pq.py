@@ -535,6 +535,11 @@ def adc_search(
     (<1 MB); rebuilding the tables is a handful of (nq x dsub)@(dsub x 256)
     GEMMs — microseconds against a per-task scan of thousands of codes.
     """
+    if local_rots is not None and local_books is None:
+        raise ValueError(
+            "local_rots requires local_books — the rotations pair with "
+            "per-cell codebooks (full-LOPQ contract)"
+        )
     if local_books is not None:
         # LOPQ serving: per-cell codebooks (see fit_codebooks_per_list),
         # as a plain dict or an already-broadcast dict. Decode is per
@@ -608,6 +613,21 @@ def adc_search(
         if isinstance(local_rots, Broadcast):
             bc_rots = local_rots
         else:
+            # fail fast DRIVER-side on a broken pairing: a probed cell whose
+            # books shipped but whose rotation is absent would otherwise
+            # surface only as a KeyError inside an executor task
+            missing = [
+                int(c) for c in probes.probed_lists
+                if int(c) in (
+                    local_books.value
+                    if isinstance(local_books, Broadcast) else local_books
+                ) and int(c) not in local_rots
+            ]
+            if missing:
+                raise ValueError(
+                    f"local_rots missing rotations for probed cells "
+                    f"{missing[:5]} — broken LOPQ books/rots pairing"
+                )
             ship_r = {
                 int(c): local_rots[int(c)].astype(np.float32)
                 for c in probes.probed_lists
