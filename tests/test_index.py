@@ -493,6 +493,24 @@ def test_compact_index_preserves_hnsw_graph_serving(spark, tmp_path_factory):
     )
     assert after.equals(before)
 
+    # compaction must RE-FREEZE the serving bundles: the old ones lived in
+    # the superseded directory — without this, every cold worker silently
+    # pays the slow parquet-decode path forever after a compaction
+    import json as _json
+    import os
+
+    from webscale_vector_search_spark.operators import hnsw_partition as hp
+
+    for s in (0, 1):
+        shard_dir = os.path.join(out, stats["vectors_dir"], f"shard_id={s}")
+        fp_file = os.path.join(shard_dir, "_graph", "fingerprint.json")
+        assert os.path.exists(fp_file), f"shard {s}: no frozen bundle after compact"
+        with open(fp_file) as f:
+            stored_fp = [tuple(t) for t in _json.load(f)]
+        assert stored_fp == list(hp._graph_fingerprint(shard_dir)), (
+            f"shard {s}: stale bundle fingerprint after compact"
+        )
+
 
 def test_hnsw_frozen_bundle_freshness_and_fallback(spark, tmp_path_factory):
     """The serving bundle (freeze_shard_graph — the faiss.write_index
@@ -533,6 +551,39 @@ def test_hnsw_frozen_bundle_freshness_and_fallback(spark, tmp_path_factory):
     # re-freeze restores the fast path
     hp.freeze_shard_graph(shard_dir)
     assert hp._load_frozen(shard_dir, 16, 64) is not None
+
+
+def test_csr_to_mutable_does_not_alias_serving_graph(spark, tmp_path_factory):
+    """to_mutable must COPY the adjacency: CSRServingGraph lazily caches
+    level-0 neighbor lists (_l0), and handing those list objects to the
+    mutable graph would let add_items corrupt the (possibly serving-cached)
+    read-only instance in place — _insert appends into existing neighbor
+    lists (`lu.append`)."""
+    import os
+
+    import numpy as np
+
+    from webscale_vector_search_spark.operators import hnsw_partition as hp
+
+    corpus = load_table(spark, "embeddings", SF_SMOKE).limit(300)
+    out = str(tmp_path_factory.mktemp("alias_idx"))
+    handle = build_index(spark, corpus, out, EngineConfig(index_type="HNSW", num_shards=1))
+    shard_dir = os.path.join(handle.vectors_dir, "shard_id=0")
+
+    g_serving = hp.read_shard_graph(shard_dir)  # CSR instance
+    n = len(g_serving.ids)
+    # snapshot adjacency THROUGH the lazy cache (populates _l0 — the alias
+    # hazard path), then extend a mutable copy
+    before = [list(g_serving._neighbors(i, 0)) for i in range(n)]
+    gm = g_serving.to_mutable()
+    rng = np.random.default_rng(0)
+    gm.add_items(rng.standard_normal((8, g_serving.V.shape[1])))
+    after = [list(g_serving._neighbors(i, 0)) for i in range(n)]
+    assert before == after, "mutating to_mutable() corrupted the serving graph"
+    # and the mutable copy DID change (inserts link into existing nodes)
+    assert any(
+        list(map(int, gm.links[i].get(0, []))) != before[i] for i in range(n)
+    )
 
 
 def test_lopq_per_cell_codebooks(spark, corpus, queries, exact, tmp_path_factory):
@@ -788,3 +839,21 @@ def test_build_index_centroid_reuse(spark, corpus, queries, tmp_path_factory):
     rb = search_index(spark, h_b, queries, k=10, nprobe=4).toPandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     assert ra.equals(rb)
+
+
+def test_reused_centroids_override_config_nlist(spark, corpus, tmp_path_factory):
+    """build_index(centroids_df=...) must record the SUPPLIED table's list
+    count, not the config's: the sidecar nlist drives the serving default
+    nprobe, and a mismatched record silently collapses recall (e.g. meta
+    nlist=8 over 1000 real lists -> default nprobe 1)."""
+    from webscale_vector_search_spark.operators.ivf import train_centroids
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+
+    cents4 = train_centroids(spark, corpus, nlist=4, seed=42, sample_fraction=1.0)
+    out = str(tmp_path_factory.mktemp("reuse_cents_idx"))
+    build_index(
+        spark, corpus, out,
+        EngineConfig(index_type="IVF", nlist=16),  # config SAYS 16...
+        centroids_df=cents4,                       # ...but 4 were supplied
+    )
+    assert read_metadata(out)["nlist"] == 4

@@ -472,6 +472,23 @@ def test_incremental_hnsw_graph_append(spark, corpus, tmp_path_factory):
     assert rec_inc >= 0.9, rec_inc
     assert rec_batch >= 0.9, rec_batch
 
+    # replay idempotency (foreachBatch is at-least-once): re-delivering
+    # already-applied rows must emit the stored graphs UNCHANGED — a raise
+    # here would wedge the stream forever on its own restart replay
+    from webscale_vector_search_spark.operators.hnsw_partition import extend_shard_graphs
+    from webscale_vector_search_spark.operators.shard import hash_shard
+
+    replay = extend_shard_graphs(
+        hash_shard(corpus.select("vec_id", "embedding"), 2),
+        os.path.join(inc_dir, "vectors"),
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    stored = inc_vec.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert replay["vec_id"].tolist() == stored["vec_id"].tolist()
+    assert replay["hnsw_level"].tolist() == stored["hnsw_level"].tolist()
+    assert [
+        [tuple(lvl) for lvl in n] for n in replay["hnsw_neighbors"]
+    ] == [[tuple(lvl) for lvl in n] for n in stored["hnsw_neighbors"]]
+
 
 def test_streaming_serve_hnsw_stored_graph(spark, corpus, tmp_path_factory):
     """T4 over a graph artifact: micro-batches traverse the PERSISTED graph
@@ -517,3 +534,44 @@ def test_streaming_serve_hnsw_stored_graph(spark, corpus, tmp_path_factory):
     )
     assert got.equals(want), "streamed HNSW serving diverged from batch search"
     assert (got.groupby("query_id").size() == 10).all()
+
+
+def test_incremental_build_metric_frame(spark, corpus, tmp_path_factory):
+    """Streamed vectors must land in the index's metric frame: a cosine
+    index stores unit vectors, so (1) a stream-seeded cosine index
+    normalizes every micro-batch, and (2) appending under a config whose
+    metric disagrees with the sidecar refuses driver-side instead of
+    silently mixing normalized and raw vectors."""
+    import numpy as np
+
+    from webscale_vector_search_spark.plans.build import build_index
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+    from webscale_vector_search_spark.streaming.build_stream import (
+        incremental_build,
+        refresh_metadata,
+    )
+
+    # (1) stream-seeded cosine FLAT index: unit-norm storage + metric sidecar
+    src = str(tmp_path_factory.mktemp("cosine_stream_src"))
+    idx = str(tmp_path_factory.mktemp("cosine_stream_idx"))
+    cfg = EngineConfig(index_type="FLAT", metric="cosine")
+    q = incremental_build(spark, _stream_corpus(spark, corpus, src), idx, cfg)
+    q.awaitTermination(120)
+    refresh_metadata(spark, idx)
+    assert read_metadata(idx)["metric"] == "cosine"
+    norms = np.array(
+        [
+            float(np.linalg.norm(r["embedding"]))
+            for r in spark.read.parquet(os.path.join(idx, "vectors")).limit(50).collect()
+        ]
+    )
+    assert np.allclose(norms, 1.0, atol=1e-5), norms[:5]
+
+    # (2) metric mismatch vs an existing artifact refuses before streaming
+    batch_idx = str(tmp_path_factory.mktemp("sql2_batch_idx"))
+    build_index(spark, corpus, batch_idx, EngineConfig(index_type="FLAT"))
+    src2 = str(tmp_path_factory.mktemp("mismatch_src"))
+    with pytest.raises(ValueError, match="metric"):
+        incremental_build(
+            spark, _stream_corpus(spark, corpus, src2), batch_idx, cfg
+        )

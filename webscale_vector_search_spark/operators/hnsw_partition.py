@@ -212,43 +212,15 @@ class PyHNSW:
     def export_rows(self, ids: np.ndarray):
         """Per-node graph rows for a columnar artifact: (level, neighbors)
         with neighbor links as GLOBAL ids (`ids[local]`), one outer list per
-        layer 0..level. Self-contained: `from_rows` on these plus the
-        vectors reproduces a search-identical graph."""
+        layer 0..level. Self-contained: `read_shard_graph` on these plus the
+        vectors reproduces a search-identical graph (the reconstruction
+        lives in _decode_parquet_graph -> CSRServingGraph)."""
         levels = np.array([max(lk) if lk else 0 for lk in self.links], dtype=np.int32)
         neighbors = [
             [[int(ids[u]) for u in lk.get(lc, ())] for lc in range(levels[i] + 1)]
             for i, lk in enumerate(self.links)
         ]
         return levels, neighbors
-
-    @classmethod
-    def from_rows(
-        cls,
-        V: np.ndarray,
-        ids: np.ndarray,
-        levels: np.ndarray,
-        neighbors,
-        entry_local: int,
-        dim: int | None = None,
-        M: int = 16,
-        ef_construction: int = 64,
-        seed: int = 42,
-    ) -> "PyHNSW":
-        """Reconstruction from stored adjacency — NO add_items, no level
-        draws, no beam construction: serving pays only traversal. Pass the
-        build's (M, ef_construction, seed) when the instance will be
-        EXTENDED afterwards (incremental append) so new inserts use the
-        same link budget."""
-        g = cls(dim if dim is not None else V.shape[1], M=M, ef_construction=ef_construction, seed=seed)
-        g.V = np.asarray(V, dtype=np.float64)
-        pos = {int(v): i for i, v in enumerate(ids)}
-        g.links = [
-            {lc: [pos[v] for v in lvl] for lc, lvl in enumerate(node_lvls)}
-            for node_lvls in neighbors
-        ]
-        g.entry = int(entry_local)
-        g.max_level = int(levels[entry_local])
-        return g
 
 
 GRAPH_SCHEMA = (
@@ -372,8 +344,12 @@ class CSRServingGraph(PyHNSW):
         """Materialize a mutable PyHNSW (list-of-dicts links) for extension."""
         g = PyHNSW(self.V.shape[1], M=self.M, ef_construction=self.ef_construction, seed=seed)
         g.V = np.asarray(self.V, dtype=np.float64)  # materialize any mmap
+        # list(...) copies are load-bearing: _neighbors(i, 0) returns the
+        # SAME list object cached in self._l0 — handing it out uncopied
+        # would let add_items on the mutable graph corrupt this (possibly
+        # serving-cached) instance's adjacency in place
         g.links = [
-            {lc: self._neighbors(i, lc) for lc in range(self._levels[i] + 1)}
+            {lc: list(self._neighbors(i, lc)) for lc in range(self._levels[i] + 1)}
             for i in range(len(self.ids))
         ]
         g.entry = self.entry
@@ -600,13 +576,25 @@ def extend_shard_graphs(
         if os.path.isdir(shard_dir):
             g = read_shard_graph(shard_dir, M=m, ef_construction=ef_construction, mutable=True)
             old_ids = g.ids
-            if np.intersect1d(old_ids, new_ids).size:
-                raise ValueError(
-                    f"shard {shard}: appended vec_ids collide with stored ones"
-                )
-            g.rng = _random.Random(seed + shard + 1_000_003 * len(old_ids))
-            g.add_items(newV)
-            ids = np.concatenate([old_ids, new_ids])
+            # replay idempotency: foreachBatch is at-least-once — a crash
+            # between the partition overwrite and the checkpoint offset
+            # commit re-delivers the same micro-batch on restart. Rows whose
+            # vec_id is already in the stored graph are SKIPPED (their first
+            # insertion stands); raising here would wedge the stream forever
+            # on its own replay. A genuine same-id-different-vector clash is
+            # indistinguishable from a replay and is likewise dropped —
+            # vec_ids are immutable, updates go through a rebuild.
+            dup = np.isin(new_ids, old_ids)
+            if dup.any():
+                newV, new_ids = newV[~dup], new_ids[~dup]
+            if new_ids.size == 0:
+                # whole batch already applied: re-emit the stored graph
+                # unchanged (the dynamic overwrite rewrites identical rows)
+                ids = old_ids
+            else:
+                g.rng = _random.Random(seed + shard + 1_000_003 * len(old_ids))
+                g.add_items(newV)
+                ids = np.concatenate([old_ids, new_ids])
         else:  # first batch ever for this shard
             g = PyHNSW(newV.shape[1], M=m, ef_construction=ef_construction, seed=seed + shard)
             g.add_items(newV)

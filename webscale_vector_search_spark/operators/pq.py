@@ -312,16 +312,6 @@ def _rots_from_pandas(pdf, dim: int) -> dict | None:
     return out or None
 
 
-def local_rots_dict(books_df: DataFrame, dim: int) -> dict | None:
-    """Per-cell OPQ rotations {centroid_id: (dim, dim) float64} from the
-    codebook table's `rot` column, or None when the table carries no
-    rotations (LOPQ without OPQ, or a pre-rotation artifact). Bounded:
-    nlist rows x dim^2 floats."""
-    if "rot" not in books_df.columns:
-        return None
-    return _rots_from_pandas(books_df.select("centroid_id", "rot").toPandas(), dim)
-
-
 def local_books_and_rots(
     books_df: DataFrame, m: int, n_codes: int, dim: int
 ) -> tuple[dict, dict | None]:

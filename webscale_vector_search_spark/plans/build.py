@@ -118,6 +118,14 @@ def build_index(
         nlist = config.resolved_nlist(n_total)
         if centroids_df is not None:
             centroids = centroids_df
+            # the sidecar's nlist drives the serving default nprobe — a
+            # reused centroid table from a different-nlist build would
+            # record the config's number, not the artifact's, and recall
+            # silently collapses (e.g. meta nlist=8 over 1000 real lists
+            # -> default nprobe 1). Derive from what was actually supplied.
+            supplied = centroids.count()
+            if supplied != nlist:
+                nlist = supplied
         else:
             centroids = ivf_ops.train_centroids(
                 spark, base, nlist, seed=config.seed, sample_fraction=config.kmeans_sample_fraction
@@ -457,6 +465,13 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
     ]:
         if d not in keep and os.path.isdir(d):
             shutil.rmtree(d)
+    if meta.get("hnsw_graph"):
+        # the frozen serving bundles lived inside the directory just
+        # superseded — without a re-freeze every cold worker would silently
+        # pay the ~6x-slower parquet decode forever after a compaction
+        from webscale_vector_search_spark.operators import hnsw_partition as hnsw_ops
+
+        hnsw_ops.freeze_graphs(next_dir, meta["num_shards"], spark=spark)
     files_after = len(glob.glob(os.path.join(next_dir, "**", "*.parquet"), recursive=True))
     return {
         "files_before": files_before,

@@ -14,8 +14,13 @@ The Spark-native translation fixes both quirks by construction:
   batch-build == incremental-build is a provable invariant (tested).
 
 Each micro-batch: assign shard/centroid -> append to the partitioned Parquet
-index. `foreachBatch` gives exactly-once appends per epoch id on restarts
-(checkpointed source offsets + idempotent dir-partition writes at scale).
+index via `foreachBatch` over checkpointed source offsets. Delivery is
+AT-LEAST-ONCE per epoch: the HNSW graph path is replay-idempotent (already
+present vec_ids are skipped inside extend_shard_graphs, and the dynamic
+partition overwrite rewrites the same content), while the plain append paths
+(FLAT/IVF/IVFPQ) can duplicate a micro-batch's rows if the stream crashes
+between the parquet commit and the offset commit — dedup on vec_id at read
+time or run compact_index after a crash recovery if exactness matters.
 """
 
 from __future__ import annotations
@@ -64,6 +69,7 @@ def incremental_build(
             vector_dim=config.vector_dim,
             total_vectors=0,
             pq_residual=config.index_type == "IVFPQ" and config.pq_residual,
+            metric=config.metric,
         )
         if config.index_type == "HNSW":
             seed_meta["hnsw_graph"] = True
@@ -77,7 +83,25 @@ def incremental_build(
     # mis-score every appended vector under the residual ADC expansion
     from webscale_vector_search_spark.sources.index_io import read_metadata
 
-    pq_residual = bool(read_metadata(out_dir).get("pq_residual"))
+    meta_now = read_metadata(out_dir)
+    pq_residual = bool(meta_now.get("pq_residual"))
+    # the appended vectors must live in the SAME metric frame as the stored
+    # ones: a cosine index stores unit-normalized vectors (plans/build.py),
+    # so the stream normalizes each batch identically — and a config whose
+    # metric disagrees with the sidecar would silently mix frames, so refuse
+    stored_metric = meta_now.get("metric", "sq_l2")
+    if stored_metric != config.metric:
+        raise ValueError(
+            f"config.metric={config.metric!r} but the index was built with "
+            f"metric={stored_metric!r} — appended vectors would be scored "
+            "in the wrong frame"
+        )
+    if config.metric == "cosine":
+        from webscale_vector_search_spark.functions.distance import with_l2_normalized
+
+        stream_df = with_l2_normalized(stream_df, "embedding")
+    elif config.metric != "sq_l2":
+        raise ValueError(f"unknown metric {config.metric!r}")
     # append into the CURRENT version directory (compact_index may have
     # flipped the sidecar pointer away from the original `vectors`)
     vectors_dir = vectors_path(out_dir)
@@ -129,7 +153,14 @@ def incremental_build(
                 freeze_graphs,
             )
 
-            sharded = hash_shard(batch_df, config.num_shards)
+            # one source evaluation per batch: the touched-shard list and the
+            # graph-extension job both read `sharded`, so cache it for the
+            # epoch (micro-batches are small by construction)
+            sharded = hash_shard(batch_df, config.num_shards).persist()
+            touched = [
+                r["shard_id"]
+                for r in sharded.select("shard_id").distinct().collect()
+            ]
             graphs = extend_shard_graphs(
                 sharded, vectors_dir, m=m_, ef_construction=efc_, seed=config.seed
             )
@@ -139,13 +170,10 @@ def incremental_build(
                 .partitionBy("shard_id")
                 .parquet(vectors_dir)
             )
+            sharded.unpersist()
             # re-freeze the serving bundles of the shards this batch touched
             # (the overwrite invalidated their fingerprints; serving would
             # still be correct via the parquet fallback, just slower)
-            touched = [
-                r["shard_id"]
-                for r in sharded.select("shard_id").distinct().collect()
-            ]
             freeze_graphs(
                 vectors_dir, config.num_shards, spark=batch_df.sparkSession, shards=touched
             )
