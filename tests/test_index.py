@@ -857,3 +857,25 @@ def test_reused_centroids_override_config_nlist(spark, corpus, tmp_path_factory)
         centroids_df=cents4,                       # ...but 4 were supplied
     )
     assert read_metadata(out)["nlist"] == 4
+
+
+def test_hnsw_stored_search_broadcast_query_batch(spark, tmp_path_factory):
+    """Query batches above the size threshold ship via Spark broadcast
+    instead of task-closure capture (VERDICT r5 #7 — closure capture
+    serialized the whole batch into every (shard, split) task description,
+    the one term that grew with batch size). Forcing threshold=0 must give
+    bit-identical results to the closure path."""
+    from webscale_vector_search_spark.operators.hnsw_partition import hnsw_stored_search
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+
+    corpus = load_table(spark, "embeddings", SF_SMOKE)
+    out = str(tmp_path_factory.mktemp("hnsw_bc_idx"))
+    handle = build_index(spark, corpus, out, EngineConfig(index_type="HNSW", num_shards=2))
+    queries = queries_from_embeddings(spark, SF_SMOKE, 20)
+    via_closure = hnsw_stored_search(
+        handle.vectors_dir, 2, queries, k=5, broadcast_threshold_bytes=1 << 30
+    ).orderBy("query_id", "rank")
+    via_broadcast = hnsw_stored_search(
+        handle.vectors_dir, 2, queries, k=5, broadcast_threshold_bytes=0
+    ).orderBy("query_id", "rank")
+    assert via_closure.collect() == via_broadcast.collect()

@@ -626,11 +626,19 @@ def hnsw_stored_search(
     k: int = 10,
     ef_search: int = 64,
     query_splits: int = 1,
+    broadcast_threshold_bytes: int = 4 << 20,
 ) -> DataFrame:
     """K9 serving over a PERSISTED graph: one task per shard loads the stored
     adjacency (worker-cached — load-once like the reference, 537-545) and
     pays only beam traversal. No add_items anywhere on this path; repeated
     serving batches hit the worker cache and pay only the search.
+
+    Query batches above `broadcast_threshold_bytes` ship via a Spark
+    broadcast (torrent distribution, fetched once per executor) instead of
+    riding the task closure — closure capture serializes the whole batch
+    into EVERY task description, which at a 100k-query batch × num_shards ×
+    splits tasks is the one remaining term that grew with batch size.
+    Below the threshold the closure is cheaper (no broadcast round-trip).
 
     Scatter plan: one task per (shard, query-split) — the reference's ZMQ
     scatter (P5), subdivided so a straggling task holds back only a
@@ -659,6 +667,10 @@ def hnsw_stored_search(
     # long-lived executors with reused workers, raise it to ~2x cores /
     # num_shards.
     n_splits = max(1, min(query_splits, len(q_ids)))
+    q_bc = None
+    if q_ids.nbytes + Q.nbytes > broadcast_threshold_bytes:
+        q_bc = spark.sparkContext.broadcast((q_ids, Q))
+        q_ids = Q = None  # keep the big arrays out of the scan closure
 
     out_schema = T.StructType(
         [
@@ -669,13 +681,14 @@ def hnsw_stored_search(
     )
 
     def scan(batches):
+        ids_all, Q_all = q_bc.value if q_bc is not None else (q_ids, Q)
         for pdf in batches:
             for shard, split in zip(pdf["shard_id"].tolist(), pdf["split"].tolist()):
                 shard_dir = os.path.join(vectors_dir, f"shard_id={int(shard)}")
                 if not os.path.isdir(shard_dir):
                     continue  # empty shard never materialized a directory
                 sel = slice(int(split), None, n_splits)  # strided = balanced
-                q_sel, Q_sel = q_ids[sel], Q[sel]
+                q_sel, Q_sel = ids_all[sel], Q_all[sel]
                 if len(q_sel) == 0:
                     continue
                 g = load_shard_graph(shard_dir)

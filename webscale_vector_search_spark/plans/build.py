@@ -424,6 +424,13 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
 
     meta = index_io.read_metadata(index_dir)
     vectors_dir = index_io.vectors_path(index_dir, meta)
+    # a crashed streaming publish can leave a partial, uncommitted epoch's
+    # files behind; folding them into the compacted base would make the
+    # stream's replay of that epoch a duplication. Drop orphans first —
+    # the replay republishes the epoch whole.
+    from webscale_vector_search_spark.streaming.build_stream import clean_orphan_epochs
+
+    clean_orphan_epochs(index_dir, vectors_dir)
     files_before = len(glob.glob(os.path.join(vectors_dir, "**", "*.parquet"), recursive=True))
     df = spark.read.parquet(vectors_dir)
     rows = df.count()

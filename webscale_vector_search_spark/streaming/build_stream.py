@@ -15,23 +15,136 @@ The Spark-native translation fixes both quirks by construction:
 
 Each micro-batch: assign shard/centroid -> append to the partitioned Parquet
 index via `foreachBatch` over checkpointed source offsets. Delivery is
-AT-LEAST-ONCE per epoch: the HNSW graph path is replay-idempotent (already
-present vec_ids are skipped inside extend_shard_graphs, and the dynamic
-partition overwrite rewrites the same content), while the plain append paths
-(FLAT/IVF/IVFPQ) can duplicate a micro-batch's rows if the stream crashes
-between the parquet commit and the offset commit — dedup on vec_id at read
-time or run compact_index after a crash recovery if exactness matters.
+EXACTLY-ONCE per epoch for every index type (Spark's documented foreachBatch
+contract is at-least-once; idempotent epoch publication upgrades it):
+
+- every appended file is stage-written under `_epoch_staging/` and published
+  into the live partition directories under an `ep{epoch_id}-` filename
+  prefix with atomic per-file renames;
+- a committed epoch drops a marker file in `_epoch_commits/`; a replayed
+  epoch whose marker exists is a no-op, and a replay of a CRASHED epoch
+  (marker absent) first deletes that epoch's partially-published files and
+  republishes — deterministic inputs make the rewrite bit-identical;
+- the HNSW graph path is additionally idempotent one level down
+  (extend_shard_graphs skips already-present vec_ids), so even a marker
+  loss degrades to a no-op rewrite, not duplication.
+
+Between a crash and the replay, readers can observe a PARTIAL final epoch
+(never duplicates); recovery converges the artifact to exactly-once.
+Single-writer assumption: one stream (plus its own auto-compaction) owns an
+index directory — concurrent manual compact_index calls should wait for the
+stream to drain (compact_index does drop orphan epoch files defensively).
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 from webscale_vector_search_spark.config import EngineConfig
 from webscale_vector_search_spark.operators.ivf import assign_centroids
 from webscale_vector_search_spark.operators.shard import hash_shard
+
+_EPOCH_COMMITS = "_epoch_commits"
+_EPOCH_STAGING = "_epoch_staging"
+
+
+def _stream_token(checkpoint_dir: str) -> str:
+    """Short identity of the stream behind a checkpoint: Spark persists a
+    query UUID in `{checkpoint}/metadata` that SURVIVES restarts of the
+    same checkpoint but differs for a fresh one. Epoch markers are scoped
+    by it — epoch ids restart at 0 under a new checkpoint, so an unscoped
+    marker from an earlier stream would silently drop a new stream's first
+    batches into the same index."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f)["id"].split("-")[0]
+    except (OSError, KeyError, ValueError):
+        return "noid"
+
+
+def _epoch_done(out_dir: str, token: str, epoch_id: int) -> bool:
+    return os.path.isfile(os.path.join(out_dir, _EPOCH_COMMITS, f"{token}-{epoch_id}"))
+
+
+def _mark_epoch(out_dir: str, token: str, epoch_id: int) -> None:
+    """Atomically record an epoch as fully published (write tmp + rename)."""
+    d = os.path.join(out_dir, _EPOCH_COMMITS)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{token}-{epoch_id}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"stream": token, "epoch_id": epoch_id}, f)
+    os.replace(tmp, os.path.join(d, f"{token}-{epoch_id}"))
+
+
+def committed_epochs(out_dir: str) -> set[tuple[str, int]]:
+    d = os.path.join(out_dir, _EPOCH_COMMITS)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for n in os.listdir(d):
+        tok, _, ep = n.rpartition("-")
+        if tok and ep.isdigit():
+            out.add((tok, int(ep)))
+    return out
+
+
+def clean_epoch_files(vectors_dir: str, token: str, epoch_id: int) -> int:
+    """Delete one epoch's published files (a crashed publish's leftovers)."""
+    victims = glob.glob(os.path.join(vectors_dir, "*", f"ep{token}-{epoch_id}-*.parquet"))
+    for p in victims:
+        os.remove(p)
+    return len(victims)
+
+
+def clean_orphan_epochs(out_dir: str, vectors_dir: str) -> int:
+    """Delete published files of every UNCOMMITTED epoch — crashed publishes
+    that a replay has not yet cleaned. compact_index calls this before
+    reading, so a manual compaction between a crash and the stream restart
+    cannot fold a partial epoch into the compacted base (the replay would
+    then re-publish it whole and duplicate the partial subset)."""
+    committed = committed_epochs(out_dir)
+    removed = 0
+    for p in glob.glob(os.path.join(vectors_dir, "*", "ep*-*-*.parquet")):
+        parts = os.path.basename(p).split("-", 2)
+        tok, ep = parts[0][2:], parts[1]
+        if ep.isdigit() and (tok, int(ep)) not in committed:
+            os.remove(p)
+            removed += 1
+    return removed
+
+
+def _publish_epoch(
+    df: DataFrame, out_dir: str, part_col: str, token: str, epoch_id: int
+) -> None:
+    """Idempotent epoch publication: stage the batch as its own partitioned
+    parquet write, then move each staged file into the live partition
+    directory under an `ep{token}-{epoch_id}-` name (one atomic rename per
+    file — staging lives inside `out_dir`, same filesystem; on an object
+    store swap the renames for the FileSystem committer). Any leftovers
+    from a crashed attempt of the SAME epoch are deleted first, so
+    replaying the epoch converges to exactly one copy."""
+    from webscale_vector_search_spark.sources.index_io import vectors_path
+
+    # resolve the CURRENT version dir per epoch: auto/manual compaction can
+    # flip the sidecar pointer mid-stream
+    vectors_dir = vectors_path(out_dir)
+    staging = os.path.join(out_dir, _EPOCH_STAGING, f"ep{epoch_id}")
+    df.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+    clean_epoch_files(vectors_dir, token, epoch_id)
+    for part_dir in sorted(glob.glob(os.path.join(staging, f"{part_col}=*"))):
+        target = os.path.join(vectors_dir, os.path.basename(part_dir))
+        os.makedirs(target, exist_ok=True)
+        for f in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
+            os.replace(
+                f, os.path.join(target, f"ep{token}-{epoch_id}-{os.path.basename(f)}")
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    _mark_epoch(out_dir, token, epoch_id)
 
 
 def incremental_build(
@@ -42,6 +155,7 @@ def incremental_build(
     centroids: DataFrame | None = None,
     codebooks=None,
     checkpoint_dir: str | None = None,
+    auto_compact_every: int | None = None,
 ):
     """Start a streaming append into an index directory.
 
@@ -49,6 +163,14 @@ def incremental_build(
     For IVF-family indexes pass the FIXED centroid table (and, for IVFPQ,
     the fixed codebooks) from the batch training job. Returns the
     StreamingQuery (caller awaits termination).
+
+    `auto_compact_every=N` runs compact_index after every Nth committed
+    epoch, inside the stream itself — a long-running append then keeps its
+    file counts bounded with no operator action (the small-file drift each
+    micro-batch adds is repaired before it compounds). It is a stream
+    policy, not an index property, hence an argument rather than an
+    EngineConfig field. Compaction flips the sidecar's version pointer;
+    every epoch re-resolves the live directory through it.
     """
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
@@ -102,19 +224,32 @@ def incremental_build(
         stream_df = with_l2_normalized(stream_df, "embedding")
     elif config.metric != "sq_l2":
         raise ValueError(f"unknown metric {config.metric!r}")
-    # append into the CURRENT version directory (compact_index may have
-    # flipped the sidecar pointer away from the original `vectors`)
-    vectors_dir = vectors_path(out_dir)
+    _tok: list = []
+
+    def _token() -> str:
+        # lazy: the checkpoint's metadata file exists once the stream starts
+        if not _tok:
+            _tok.append(_stream_token(checkpoint_dir))
+        return _tok[0]
+
+    def _maybe_auto_compact(spark_: SparkSession, epoch_id: int) -> None:
+        if auto_compact_every and (epoch_id + 1) % auto_compact_every == 0:
+            from webscale_vector_search_spark.plans.build import compact_index
+
+            compact_index(spark_, out_dir)
 
     if config.index_type == "FLAT":
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if _epoch_done(out_dir, _token(), epoch_id):
+                return  # replayed epoch, already fully published
             sharded = hash_shard(batch_df, config.num_shards)
             # cluster by target dir: without this, every batch writes
             # tasks x shards files (the small-file drift compact_index
             # exists to repair — cheaper to avoid per batch)
             sharded = sharded.repartition(config.num_shards, "shard_id")
-            sharded.write.mode("append").partitionBy("shard_id").parquet(vectors_dir)
+            _publish_epoch(sharded, out_dir, "shard_id", _token(), epoch_id)
+            _maybe_auto_compact(batch_df.sparkSession, epoch_id)
 
     elif config.index_type == "IVF":
         if centroids is None:
@@ -123,10 +258,13 @@ def incremental_build(
         cents_count = cents.count()
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if _epoch_done(out_dir, _token(), epoch_id):
+                return
             assigned = assign_centroids(batch_df, cents).repartition(
                 max(1, cents_count), "centroid_id"
             )
-            assigned.write.mode("append").partitionBy("centroid_id").parquet(vectors_dir)
+            _publish_epoch(assigned, out_dir, "centroid_id", _token(), epoch_id)
+            _maybe_auto_compact(batch_df.sparkSession, epoch_id)
 
     elif config.index_type == "HNSW":
         # true incremental graph insertion (HNSW is an incremental
@@ -148,11 +286,15 @@ def incremental_build(
             )
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if _epoch_done(out_dir, _token(), epoch_id):
+                return  # marker short-circuit; extend_shard_graphs' dup-skip
+                # below stays as defense in depth for a lost marker
             from webscale_vector_search_spark.operators.hnsw_partition import (
                 extend_shard_graphs,
                 freeze_graphs,
             )
 
+            vectors_dir = vectors_path(out_dir)
             # one source evaluation per batch: the touched-shard list and the
             # graph-extension job both read `sharded`, so cache it for the
             # epoch (micro-batches are small by construction)
@@ -177,6 +319,8 @@ def incremental_build(
             freeze_graphs(
                 vectors_dir, config.num_shards, spark=batch_df.sparkSession, shards=touched
             )
+            _mark_epoch(out_dir, _token(), epoch_id)
+            _maybe_auto_compact(batch_df.sparkSession, epoch_id)
 
     elif config.index_type == "IVFPQ":
         if centroids is None or codebooks is None:
@@ -186,6 +330,8 @@ def incremental_build(
         books = codebooks
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if _epoch_done(out_dir, _token(), epoch_id):
+                return
             from webscale_vector_search_spark.operators.pq import encode
 
             assigned = encode(
@@ -193,7 +339,8 @@ def incremental_build(
                 books,
                 centroids=cents if pq_residual else None,
             ).repartition(max(1, cents_count), "centroid_id")
-            assigned.write.mode("append").partitionBy("centroid_id").parquet(vectors_dir)
+            _publish_epoch(assigned, out_dir, "centroid_id", _token(), epoch_id)
+            _maybe_auto_compact(batch_df.sparkSession, epoch_id)
 
     else:
         raise ValueError(f"unknown index_type {config.index_type!r}")
