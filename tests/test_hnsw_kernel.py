@@ -1,0 +1,94 @@
+"""PyHNSW kernel properties for the round-6 batched/lockstep construction
+and serving paths (VERDICT r5 #1's in-container answer — hnswlib cannot be
+installed here, so the python kernel's speedups must not change semantics).
+
+Pure numpy — no SparkSession; these pin the kernel claims the Spark-level
+stored==adhoc / stream==batch tests build on:
+- batched `knn_query` is BIT-IDENTICAL to per-query `_search_layer` traversal
+- chunked construction (`add_items(batch_size>1)`) holds recall parity with
+  the sequential Malkov-Yashunin order and stays deterministic
+- the link-shrink hysteresis (`shrink_slack`) bounds every degree by
+  mmax + slack
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from webscale_vector_search_spark.operators.hnsw_partition import PyHNSW
+
+
+def _corpus(n=2000, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, dim))
+
+
+def _exact_topk(V, Q, k):
+    d = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ V.T) + (V * V).sum(1)[None, :]
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+def _recall(labels, exact):
+    k = exact.shape[1]
+    return float(
+        np.mean([len(set(l) & set(e)) for l, e in zip(labels.tolist(), exact.tolist())]) / k
+    )
+
+
+def test_batch_knn_query_bit_identical_to_per_query():
+    """The lockstep `_batch_search_layer` only fuses numpy dispatches —
+    every query's pop/push sequence must equal running `_search_layer`
+    alone (the pre-r6 serving form)."""
+    V = _corpus()
+    g = PyHNSW(V.shape[1], M=8, ef_construction=32, seed=0)
+    g.add_items(V)
+    Q = _corpus(n=64, dim=16, seed=9)
+    ef = 24
+    labels, dists = g.knn_query(Q, k=5, ef=ef)
+    for qi in range(len(Q)):
+        q = Q[qi]
+        ep = [g.entry]
+        for lc in range(g.max_level, 0, -1):
+            ep = [g._search_layer(q, ep, 1, lc)[0][1]]
+        res = g._search_layer(q, ep, ef, 0)[:5]
+        assert labels[qi].tolist() == [u for _, u in res]
+        assert np.array_equal(dists[qi], np.array([d for d, _ in res]))
+
+
+def test_chunked_build_recall_parity_and_determinism():
+    """Chunk peers search the pre-chunk snapshot (missing intra-chunk edges)
+    — the claim is statistical irrelevance at chunk ≪ graph size: recall
+    parity with the exact sequential insertion order, and bit-determinism
+    across rebuilds (same corpus + seed ⇒ identical adjacency)."""
+    V = _corpus(n=3000)
+    Q = _corpus(n=100, dim=16, seed=11)
+    exact = _exact_topk(V, Q, 10)
+
+    def build(bs):
+        g = PyHNSW(V.shape[1], M=8, ef_construction=48, seed=0)
+        g.add_items(V, batch_size=bs)
+        return g
+
+    g_seq, g_chunk = build(1), build(64)
+    r_seq = _recall(g_seq.knn_query(Q, k=10, ef=64)[0], exact)
+    r_chunk = _recall(g_chunk.knn_query(Q, k=10, ef=64)[0], exact)
+    assert r_chunk >= r_seq - 0.02, (r_chunk, r_seq)
+    assert r_chunk >= 0.9
+
+    g2 = build(64)
+    assert g_chunk.entry == g2.entry
+    assert g_chunk.links == g2.links
+
+
+def test_degree_bound_with_shrink_slack():
+    """Shrink hysteresis trades re-select call count for a bounded degree
+    overshoot: no node's list at any level may exceed mmax + shrink_slack
+    (slack=0 reproduces hnswlib's shrink-on-every-overflow)."""
+    V = _corpus(n=2000)
+    g = PyHNSW(V.shape[1], M=8, ef_construction=32, seed=0)
+    g.add_items(V)
+    for node_links in g.links:
+        for lc, lst in node_links.items():
+            mmax = g.M0 if lc == 0 else g.M
+            assert len(lst) <= mmax + g.shrink_slack
+            assert len(lst) == len(set(lst)), "duplicate links"

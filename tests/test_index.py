@@ -879,3 +879,102 @@ def test_hnsw_stored_search_broadcast_query_batch(spark, tmp_path_factory):
         handle.vectors_dir, 2, queries, k=5, broadcast_threshold_bytes=0
     ).orderBy("query_id", "rank")
     assert via_closure.collect() == via_broadcast.collect()
+
+
+def _skewed_corpus(spark, n=3000, dim=16, seed=7):
+    """~2/3 of the points in ONE tight blob (a power-law hot list), the rest
+    spread over 7 separated blobs — the shape that makes one inverted list
+    a straggler under plain sqrt(n)-list IVF."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 10.0, (8, dim))
+    hot = int(n * 2 / 3)
+    owner = np.concatenate([np.zeros(hot, dtype=int), rng.integers(1, 8, n - hot)])
+    V = centers[owner] + rng.normal(0.0, 0.3, (n, dim))
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+
+
+def test_split_oversized_lists_bounds_skew(spark, tmp_path_factory):
+    """VERDICT r5 #5: a deliberately hot list is split at build time; the
+    max/median list ratio drops under the cap factor's bound, searches stay
+    correct, and the split is deterministic."""
+    from webscale_vector_search_spark.operators.ivf import index_skew
+
+    corpus = _skewed_corpus(spark)
+    queries = (
+        corpus.limit(15)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .cache()
+    )
+    exact = knn(corpus, queries, k=10).cache()
+
+    base_cfg = dict(
+        index_type="IVF", vector_dim=16, nlist=8, kmeans_sample_fraction=1.0
+    )
+    plain_dir = str(tmp_path_factory.mktemp("skew_plain"))
+    build_index(spark, corpus, plain_dir, EngineConfig(**base_cfg))
+    split_dir = str(tmp_path_factory.mktemp("skew_split"))
+    build_index(
+        spark, corpus, split_dir, EngineConfig(**base_cfg, ivf_max_list_factor=2.0)
+    )
+
+    plain, split = index_skew(spark, plain_dir), index_skew(spark, split_dir)
+    assert plain["max_over_median"] > 3.0, "fixture corpus isn't actually skewed"
+    assert split["max_over_median"] < plain["max_over_median"]
+    # cap bound: max list <= factor * n/nlist_before (the split budget),
+    # with slack for the sampled sub-center fit's imbalance
+    cap = 2.0 * corpus.count() / 8
+    assert split["max_list"] <= 1.5 * cap
+    meta = read_metadata(split_dir)
+    assert meta["ivf_split"]["lists_split"] >= 1
+    assert meta["nlist"] == split["n_lists"] == meta["ivf_split"]["nlist_after"]
+
+    # searches stay correct: at the same probed FRACTION of lists the split
+    # index must match the plain one's recall envelope
+    r_plain = recall_at_k(search_index(spark, plain_dir, queries, k=10, nprobe=4), exact)
+    n_after = meta["nlist"]
+    nprobe_eq = max(4, int(round(4 * n_after / 8)))
+    r_split = recall_at_k(
+        search_index(spark, split_dir, queries, k=10, nprobe=nprobe_eq), exact
+    )
+    assert r_split >= min(r_plain, 0.95)
+
+    # deterministic: a rebuild produces the identical centroid table
+    split_dir2 = str(tmp_path_factory.mktemp("skew_split2"))
+    build_index(
+        spark, corpus, split_dir2, EngineConfig(**base_cfg, ivf_max_list_factor=2.0)
+    )
+    import os
+
+    a = spark.read.parquet(os.path.join(split_dir, "centroids")).orderBy("centroid_id").collect()
+    b = spark.read.parquet(os.path.join(split_dir2, "centroids")).orderBy("centroid_id").collect()
+    assert a == b
+
+
+def test_split_oversized_lists_ivfpq_residuals(spark, tmp_path_factory):
+    """IVFPQ under the list cap: residuals/codes are computed against the
+    FINAL (split) centers, so ADC + refine searches work end-to-end."""
+    corpus = _skewed_corpus(spark)
+    queries = (
+        corpus.limit(10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .cache()
+    )
+    exact = knn(corpus, queries, k=10).cache()
+    out = str(tmp_path_factory.mktemp("skew_pq"))
+    build_index(
+        spark,
+        corpus,
+        out,
+        EngineConfig(
+            index_type="IVFPQ", vector_dim=16, nlist=8, pq_m=16,
+            kmeans_sample_fraction=1.0, ivf_max_list_factor=2.0,
+        ),
+    )
+    meta = read_metadata(out)
+    assert meta["ivf_split"]["lists_split"] >= 1
+    res = search_index(spark, out, queries, k=10, nprobe=meta["nlist"])
+    # all lists probed + m=dim codes + exact refine => exact results
+    assert recall_at_k(res, exact, k=10) == 1.0

@@ -102,6 +102,16 @@ class EngineConfig:
     # sub-linear-cost property tests.
     hnsw_m: int = 16
     hnsw_ef_construction: int = 64
+    # Build-time inverted-list size cap (IVF/IVFPQ): lists larger than
+    # `ivf_max_list_factor` x (n/nlist) are split by re-clustering their
+    # own vectors into ceil(size/cap) sub-centers (FAISS's two-level
+    # quantizer analog; operators/ivf.py::split_oversized_lists). Natural
+    # corpora give power-law list sizes, and at scale one giant list makes
+    # every probe of it a straggler task AND inflates that list's residuals
+    # (costing ADC recall). None disables (uniform synthetic corpora don't
+    # need it); 2.0-4.0 is the useful range — the cap bounds the
+    # max/median list ratio that index_skew() reports.
+    ivf_max_list_factor: float | None = None
     # (per-search metric selection stays on the operators — knn(metric=...);
     # kernel selection on search_index(kernel=...). No silently-dead knobs.)
 

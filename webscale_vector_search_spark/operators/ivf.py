@@ -428,6 +428,204 @@ def ivf_search_pandas(
     )
 
 
+def _local_kmeans(V, k: int, seed: int, iters: int = 8):
+    """Tiny seeded Lloyd (k-means++ init) for sub-quantizer fits on one
+    list's SAMPLE — runs inside a task, numpy only. Returns only non-empty
+    centers (k is an upper bound)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(V)
+    k = min(k, n)
+    # k-means++ seeding
+    centers = [V[int(rng.integers(n))]]
+    d2 = ((V - centers[0]) ** 2).sum(1)
+    for _ in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centers.append(V[int(rng.choice(n, p=probs))])
+        d2 = np.minimum(d2, ((V - centers[-1]) ** 2).sum(1))
+    C = np.stack(centers)
+    for _ in range(iters):
+        d = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+        labels = d.argmin(1)
+        for j in range(len(C)):
+            pts = V[labels == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    # drop empty clusters so every returned center owns rows
+    d = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+    used = np.unique(d.argmin(1))
+    return C[used]
+
+
+def split_oversized_lists(
+    spark: SparkSession,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    max_list_factor: float,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    sample_per_center: int = 256,
+):
+    """Build-time skew hardening: cap inverted-list sizes by splitting hot
+    lists into sub-lists (FAISS's two-level coarse quantizer analog).
+
+    Natural corpora give power-law list occupancy; one giant list makes
+    every probe of it a straggler task (the probe's segment-GEMM is
+    O(list_size)) and inflates its residual magnitudes (costing IVFPQ ADC
+    recall). Lists larger than cap = max_list_factor * n/nlist are
+    re-clustered into ceil(size/cap) sub-centers fit on a bounded
+    deterministic sample of the list's OWN vectors; the parent centroid is
+    retired and the sub-centers join the centroid table under fresh ids.
+    Probe selection needs no special handling — a query near the old hot
+    centroid simply finds several of its sub-centers in the top-nprobe.
+
+    Scale shape: one counts aggregate (<= nlist driver rows), one sampled
+    fit (applyInPandas, one task per oversized list, bounded rows), and ONE
+    map-only reassignment pass that rewrites centroid_id only for rows of
+    split parents (the sub-center dict rides the closure — total centers
+    stay O(nlist/factor + nlist), small). Nothing corpus-sized shuffles or
+    reaches the driver. Deterministic: seeded per-list k-means on a
+    det_hash sample.
+
+    Returns (reassigned, new_centroids, info) where info carries
+    cap/split-list counts for index metadata and reporting.
+    """
+    import math
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from webscale_vector_search_spark.functions.hashing import det_hash
+
+    c_rows = centroids.orderBy("centroid_id").collect()
+    nlist = len(c_rows)
+    counts = {
+        r["centroid_id"]: r["cnt"]
+        for r in assigned.groupBy("centroid_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_total = sum(counts.values())
+    cap = max(1, math.ceil(max_list_factor * n_total / max(nlist, 1)))
+    oversized = {cid: c for cid, c in counts.items() if c > cap}
+    info = {"cap": cap, "lists_split": len(oversized), "nlist_before": nlist}
+    if not oversized:
+        info["nlist_after"] = nlist
+        return assigned, centroids, info
+
+    s_of = {cid: max(2, math.ceil(c / cap)) for cid, c in oversized.items()}
+    # bounded deterministic sample per oversized list: ~sample_per_center
+    # rows per sub-center, selected map-side by id hash (no shuffle)
+    thr_rows = [
+        (int(cid), int(min(10_000, math.ceil(10_000 * s_of[cid] * sample_per_center / counts[cid]))))
+        for cid in sorted(oversized)
+    ]
+    thr = spark.createDataFrame(thr_rows, "centroid_id INT, thresh INT")
+    sample = assigned.join(F.broadcast(thr), "centroid_id").filter(
+        det_hash(F.col("vec_id"), seed=seed) % 10_000 < F.col("thresh")
+    )
+
+    fit_schema = "centroid_id INT, sub INT, cvec ARRAY<FLOAT>"
+
+    def fit_one(pdf):
+        import pandas as pd
+
+        cid = int(pdf["centroid_id"].iloc[0])
+        V = np.stack(pdf.sort_values("vec_id")[vec_col].to_numpy()).astype(np.float64)
+        C = _local_kmeans(V, s_of[cid], seed=seed + cid)
+        return pd.DataFrame(
+            {
+                "centroid_id": np.full(len(C), cid, dtype=np.int32),
+                "sub": np.arange(len(C), dtype=np.int32),
+                "cvec": [c.astype(np.float32) for c in C],
+            }
+        )
+
+    sub_rows = (
+        sample.select("centroid_id", "vec_id", vec_col)
+        .groupBy("centroid_id")
+        .applyInPandas(fit_one, fit_schema)
+        .collect()  # bounded: sum(s_of) <= n/cap ~ nlist/factor centers
+    )
+
+    # new centroid table: untouched parents keep their ids; sub-centers get
+    # fresh ids above the old max (float32 round-trip: the table is the
+    # serving artifact, stored float32)
+    next_id = max(r["centroid_id"] for r in c_rows) + 1
+    new_rows = [
+        (int(r["centroid_id"]), r["cvec"]) for r in c_rows if r["centroid_id"] not in oversized
+    ]
+    sub_map = {}
+    by_parent: dict[int, list] = {}
+    for r in sorted(sub_rows, key=lambda r: (r["centroid_id"], r["sub"])):
+        by_parent.setdefault(r["centroid_id"], []).append(r["cvec"])
+    for parent in sorted(by_parent):
+        vecs = by_parent[parent]
+        ids = np.arange(next_id, next_id + len(vecs), dtype=np.int64)
+        next_id += len(vecs)
+        new_rows.extend((int(i), [float(x) for x in v]) for i, v in zip(ids, vecs))
+        sub_map[parent] = (ids, np.array(vecs, dtype=np.float64))
+    new_centroids = spark.createDataFrame(new_rows, "centroid_id INT, cvec ARRAY<FLOAT>")
+    info["nlist_after"] = len(new_rows)
+
+    schema = assigned.schema
+
+    def reassign(batches):
+        from webscale_vector_search_spark.operators.knn import list_matrix
+
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            cent_idx = batch.schema.get_field_index("centroid_id")
+            cent = batch.column(cent_idx).to_numpy().astype(np.int64, copy=True)
+            touched = False
+            for parent, (ids, C) in sub_map.items():
+                rows = np.flatnonzero(cent == parent)
+                if rows.size == 0:
+                    continue
+                touched = True
+                V = list_matrix(batch, vec_col, dtype=np.float64)[rows]
+                d = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+                cent[rows] = ids[d.argmin(1)]
+            if touched:
+                batch = batch.set_column(
+                    cent_idx,
+                    pa.field("centroid_id", pa.int32()),
+                    pa.array(cent.astype(np.int32), pa.int32()),
+                )
+            yield batch
+
+    return assigned.mapInArrow(reassign, schema), new_centroids, info
+
+
+def index_skew(spark: SparkSession, index_dir: str) -> dict:
+    """Partition-occupancy balance report over a stored index: max, median,
+    and their ratio — the straggler predictor split_oversized_lists bounds
+    (a probe task's cost is proportional to its list's size)."""
+    import numpy as np
+
+    from webscale_vector_search_spark.sources import index_io
+
+    handle = index_io.open_index(spark, index_dir)
+    part_col = "centroid_id" if "centroid_id" in handle.vectors.columns else "shard_id"
+    counts = np.array(
+        [
+            r["cnt"]
+            for r in handle.vectors.groupBy(part_col).agg(F.count("*").alias("cnt")).collect()
+        ],
+        dtype=np.int64,
+    )
+    med = float(np.median(counts)) if counts.size else 0.0
+    mx = int(counts.max()) if counts.size else 0
+    return {
+        "n_lists": int(counts.size),
+        "max_list": mx,
+        "median_list": med,
+        "max_over_median": round(mx / med, 3) if med else None,
+    }
+
+
 def assign_centroids_multi(
     corpus: DataFrame, centroids: DataFrame, n_assign: int = 2, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -134,8 +134,20 @@ def build_index(
                 centroids = ivf_ops.polish_centroids(
                     base, centroids, iters=config.centroid_polish_iters
                 )
-        centroids.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
         assigned = ivf_ops.assign_centroids(base, centroids)
+        split_info = None
+        presplit = None
+        if config.ivf_max_list_factor:
+            # skew hardening: cap hot inverted lists BEFORE codebooks/encoding
+            # so PQ residuals are computed against the final (split) centers.
+            # Persist the pre-split assignment: the counts aggregate, the
+            # sampled sub-center fit, and the reassignment all read it.
+            presplit = assigned.persist()
+            assigned, centroids, split_info = ivf_ops.split_oversized_lists(
+                spark, presplit, centroids, config.ivf_max_list_factor, seed=config.seed
+            )
+            nlist = split_info["nlist_after"]
+        centroids.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
         if config.index_type == "IVFPQ":
             pq_m = config.resolved_pq_m()
             if config.pq_opq_iters > 0 and not config.pq_residual:
@@ -207,6 +219,8 @@ def build_index(
         assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(vectors_dir)
         if config.index_type == "IVFPQ" and config.pq_local_codebooks:
             persisted_assigned.unpersist()
+        if presplit is not None:
+            presplit.unpersist()
     else:
         raise ValueError(f"unknown index_type {config.index_type!r}")
 
@@ -222,6 +236,10 @@ def build_index(
         pq_bits=config.pq_bits,
         pq_local_codebooks=config.index_type == "IVFPQ" and config.pq_local_codebooks,
     )
+    if config.index_type in ("IVF", "IVFPQ") and config.ivf_max_list_factor:
+        # skew report for operators/tooling: how many hot lists were split
+        # and at what cap (index_skew() measures the resulting balance)
+        meta["ivf_split"] = split_info
     if config.index_type == "IVFPQ" and config.pq_opq_iters > 0:
         # full LOPQ: per-cell OPQ rotations stored in the codebooks table's
         # `rot` column (readers also detect the column itself; this flag is
