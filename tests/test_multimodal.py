@@ -51,6 +51,113 @@ def test_frame_sample_plan_fanout(media):
     assert frames["media_id"].nunique() == videos
 
 
-def test_real_codec_is_an_honest_stub(media):
-    with pytest.raises(NotImplementedError, match="image codec"):
-        decode_image(media)
+def test_decode_image_bmp_png_roundtrip():
+    """The pure-python codec (r6, replacing the stub): decode(encode(x))
+    round-trips exactly for BMP-24, PNG-gray, PNG-RGB, PNG-RGBA."""
+    import numpy as np
+
+    from webscale_vector_search_spark.operators.multimodal import (
+        decode_image_bytes,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)  # odd width: BMP row pad
+    assert np.array_equal(decode_image_bytes(encode_bmp(rgb)), rgb)
+    assert np.array_equal(decode_image_bytes(encode_png(rgb)), rgb)
+    gray = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    assert np.array_equal(decode_image_bytes(encode_png(gray)), gray[:, :, None])
+    rgba = rng.integers(0, 256, (6, 4, 4), dtype=np.uint8)
+    assert np.array_equal(decode_image_bytes(encode_png(rgba)), rgba)
+
+
+def test_decode_png_all_filter_types():
+    """The unfilter paths 1-4 (Sub/Up/Average/Paeth) never run on filter-0
+    encodes — exercise each by filtering scanlines by hand per the spec and
+    checking the decoder reconstructs the original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from webscale_vector_search_spark.operators.multimodal import decode_image_bytes
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    h, w, c = px.shape
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+    for ftype in (1, 2, 3, 4):
+        raw = bytearray()
+        flat = px.reshape(h, w * c).astype(np.int16)
+        for r in range(h):
+            raw.append(ftype)
+            up = flat[r - 1] if r else np.zeros(w * c, dtype=np.int16)
+            for i in range(w * c):
+                x = int(flat[r][i])
+                left = int(flat[r][i - c]) if i >= c else 0
+                ul = int(flat[r - 1][i - c]) if (r and i >= c) else 0
+                if ftype == 1:
+                    raw.append((x - left) & 0xFF)
+                elif ftype == 2:
+                    raw.append((x - int(up[i])) & 0xFF)
+                elif ftype == 3:
+                    raw.append((x - ((left + int(up[i])) >> 1)) & 0xFF)
+                else:
+                    raw.append((x - paeth(left, int(up[i]), ul)) & 0xFF)
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_image_bytes(png), px), f"filter {ftype}"
+
+
+def test_decode_image_dataframe_and_poison_isolation(spark):
+    """decode_image over a media DataFrame: real payloads decode to shape +
+    channel means; an undecodable payload yields decode_error, not a failed
+    job (poison-file isolation — load-bearing at corpus scale)."""
+    import numpy as np
+
+    from webscale_vector_search_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    img_a = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_bmp(img_a))),
+        (2, "image", bytearray(encode_png(img_b))),
+        (3, "image", bytearray(b"not an image at all")),
+        (4, "audio", bytearray(b"\x00\x01")),  # filtered out: not an image
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id BIGINT, media_type STRING, content BINARY"
+    )
+    out = decode_image(media).toPandas().sort_values("media_id").reset_index(drop=True)
+    assert out["media_id"].tolist() == [1, 2, 3]
+    a, b, bad = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert (a["height"], a["width"], a["channels"]) == (8, 6, 3)
+    assert (b["height"], b["width"], b["channels"]) == (4, 4, 3)
+    assert np.allclose(a["channel_means"], img_a.reshape(-1, 3).mean(axis=0), atol=1e-4)
+    assert np.allclose(b["channel_means"], img_b.reshape(-1, 3).mean(axis=0), atol=1e-4)
+    import pandas as pd
+
+    assert bad["decode_error"] is not None and pd.isna(bad["height"])
