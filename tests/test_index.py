@@ -923,12 +923,16 @@ def test_split_oversized_lists_bounds_skew(spark, tmp_path_factory):
     plain, split = index_skew(spark, plain_dir), index_skew(spark, split_dir)
     assert plain["max_over_median"] > 3.0, "fixture corpus isn't actually skewed"
     assert split["max_over_median"] < plain["max_over_median"]
-    # cap bound: max list <= factor * n/nlist_before (the split budget),
-    # with slack for the sampled sub-center fit's imbalance
-    cap = 2.0 * corpus.count() / 8
-    assert split["max_list"] <= 1.5 * cap
+    # recursive split: passes repeat against the fixed cap until no list
+    # exceeds it (one k=2 pass can split a multi-blob hot list unevenly —
+    # measured 83/17 at the 10M tier), so the bound is the cap itself
+    import math
+
+    cap = math.ceil(2.0 * corpus.count() / 8)
+    assert split["max_list"] <= cap
     meta = read_metadata(split_dir)
     assert meta["ivf_split"]["lists_split"] >= 1
+    assert meta["ivf_split"]["passes"] >= 1
     assert meta["nlist"] == split["n_lists"] == meta["ivf_split"]["nlist_after"]
 
     # searches stay correct: at the same probed FRACTION of lists the split

@@ -466,6 +466,7 @@ def split_oversized_lists(
     seed: int = 42,
     vec_col: str = "embedding",
     sample_per_center: int = 256,
+    max_passes: int = 3,
 ):
     """Build-time skew hardening: cap inverted-list sizes by splitting hot
     lists into sub-lists (FAISS's two-level coarse quantizer analog).
@@ -473,50 +474,85 @@ def split_oversized_lists(
     Natural corpora give power-law list occupancy; one giant list makes
     every probe of it a straggler task (the probe's segment-GEMM is
     O(list_size)) and inflates its residual magnitudes (costing IVFPQ ADC
-    recall). Lists larger than cap = max_list_factor * n/nlist are
-    re-clustered into ceil(size/cap) sub-centers fit on a bounded
+    recall). Lists larger than cap = max_list_factor * n/nlist_original
+    are re-clustered into ceil(size/cap) sub-centers fit on a bounded
     deterministic sample of the list's OWN vectors; the parent centroid is
     retired and the sub-centers join the centroid table under fresh ids.
     Probe selection needs no special handling — a query near the old hot
     centroid simply finds several of its sub-centers in the top-nprobe.
 
-    Scale shape: one counts aggregate (<= nlist driver rows), one sampled
-    fit (applyInPandas, one task per oversized list, bounded rows), and ONE
-    map-only reassignment pass that rewrites centroid_id only for rows of
-    split parents (the sub-center dict rides the closure — total centers
-    stay O(nlist/factor + nlist), small). Nothing corpus-sized shuffles or
-    reaches the driver. Deterministic: seeded per-list k-means on a
-    det_hash sample.
+    The split RECURSES (up to `max_passes`): a hot list that holds several
+    natural clusters can split unevenly (measured at the 10M tier: an
+    18,974-row list k=2-split 83/17, leaving a child still over cap), so
+    passes repeat — against the SAME cap, computed once from the original
+    nlist — until no list exceeds it or the pass budget is spent. Each
+    pass touches only the lists still over cap.
+
+    Scale shape per pass: one counts aggregate (<= nlist driver rows), one
+    sampled fit (applyInPandas, one task per oversized list, bounded
+    rows), and ONE map-only reassignment that rewrites centroid_id only
+    for rows of split parents (the sub-center dict rides the closure —
+    total centers stay O(nlist/factor + nlist), small). Nothing
+    corpus-sized shuffles or reaches the driver. Deterministic: seeded
+    per-list k-means on a det_hash sample, seed varied per pass.
 
     Returns (reassigned, new_centroids, info) where info carries
     cap/split-list counts for index metadata and reporting.
     """
     import math
 
-    import numpy as np
-    from pyspark.sql import types as T
-
-    from webscale_vector_search_spark.functions.hashing import det_hash
-
-    c_rows = centroids.orderBy("centroid_id").collect()
-    nlist = len(c_rows)
     counts = {
         r["centroid_id"]: r["cnt"]
         for r in assigned.groupBy("centroid_id").agg(F.count("*").alias("cnt")).collect()
     }
     n_total = sum(counts.values())
-    cap = max(1, math.ceil(max_list_factor * n_total / max(nlist, 1)))
+    nlist0 = centroids.count()
+    cap = max(1, math.ceil(max_list_factor * n_total / max(nlist0, 1)))
+    info = {"cap": cap, "lists_split": 0, "nlist_before": nlist0, "passes": 0}
+    for p in range(max_passes):
+        assigned, centroids, n_split, counts = _split_pass(
+            spark, assigned, centroids, cap, counts,
+            seed=seed + 7919 * p, vec_col=vec_col, sample_per_center=sample_per_center,
+        )
+        if n_split == 0:
+            break
+        info["lists_split"] += n_split
+        info["passes"] = p + 1
+    info["nlist_after"] = centroids.count() if info["passes"] else info["nlist_before"]
+    return assigned, centroids, info
+
+
+def _split_pass(
+    spark: SparkSession,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    cap: int,
+    counts: dict[int, int],
+    seed: int,
+    vec_col: str,
+    sample_per_center: int,
+):
+    """One split round over the lists currently above `cap`; returns
+    (assigned, centroids, n_lists_split, updated_counts). `counts` is
+    passed in (and recomputed only for touched parents' children) so pass
+    p+1 does not re-aggregate the full corpus — children counts come from
+    one filtered aggregate over the split parents' rows only."""
+    import math
+
+    import numpy as np
+
+    from webscale_vector_search_spark.functions.hashing import det_hash
+
     oversized = {cid: c for cid, c in counts.items() if c > cap}
-    info = {"cap": cap, "lists_split": len(oversized), "nlist_before": nlist}
     if not oversized:
-        info["nlist_after"] = nlist
-        return assigned, centroids, info
+        return assigned, centroids, 0, counts
+    c_rows = centroids.orderBy("centroid_id").collect()
 
     s_of = {cid: max(2, math.ceil(c / cap)) for cid, c in oversized.items()}
     # bounded deterministic sample per oversized list: ~sample_per_center
     # rows per sub-center, selected map-side by id hash (no shuffle)
     thr_rows = [
-        (int(cid), int(min(10_000, math.ceil(10_000 * s_of[cid] * sample_per_center / counts[cid]))))
+        (int(cid), int(min(10_000, math.ceil(10_000 * s_of[cid] * sample_per_center / oversized[cid]))))
         for cid in sorted(oversized)
     ]
     thr = spark.createDataFrame(thr_rows, "centroid_id INT, thresh INT")
@@ -565,7 +601,6 @@ def split_oversized_lists(
         new_rows.extend((int(i), [float(x) for x in v]) for i, v in zip(ids, vecs))
         sub_map[parent] = (ids, np.array(vecs, dtype=np.float64))
     new_centroids = spark.createDataFrame(new_rows, "centroid_id INT, cvec ARRAY<FLOAT>")
-    info["nlist_after"] = len(new_rows)
 
     schema = assigned.schema
 
@@ -596,7 +631,21 @@ def split_oversized_lists(
                 )
             yield batch
 
-    return assigned.mapInArrow(reassign, schema), new_centroids, info
+    reassigned = assigned.mapInArrow(reassign, schema)
+    # updated occupancy for the next pass: untouched lists keep their
+    # counts; children are re-counted with one aggregate whose shuffle
+    # carries only the split parents' rows
+    child_ids = [int(i) for ids, _ in sub_map.values() for i in ids]
+    child_counts = {
+        r["centroid_id"]: r["cnt"]
+        for r in reassigned.filter(F.col("centroid_id").isin(child_ids))
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    new_counts = {cid: c for cid, c in counts.items() if cid not in oversized}
+    new_counts.update(child_counts)
+    return reassigned, new_centroids, len(oversized), new_counts
 
 
 def index_skew(spark: SparkSession, index_dir: str) -> dict:
