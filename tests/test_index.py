@@ -982,3 +982,40 @@ def test_split_oversized_lists_ivfpq_residuals(spark, tmp_path_factory):
     res = search_index(spark, out, queries, k=10, nprobe=meta["nlist"])
     # all lists probed + m=dim codes + exact refine => exact results
     assert recall_at_k(res, exact, k=10) == 1.0
+
+
+def test_compact_index_preserves_capped_split_lists(spark, tmp_path_factory):
+    """Compaction over a skew-capped index: split lists have non-contiguous
+    centroid ids (children above the original nlist); the version-swap
+    rewrite must preserve partition values, occupancy balance, and search
+    results exactly."""
+    from webscale_vector_search_spark.operators.ivf import index_skew
+    from webscale_vector_search_spark.plans.build import compact_index
+
+    corpus = _skewed_corpus(spark)
+    queries = (
+        corpus.limit(10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .cache()
+    )
+    out = str(tmp_path_factory.mktemp("skew_compact"))
+    build_index(
+        spark, corpus, out,
+        EngineConfig(
+            index_type="IVF", vector_dim=16, nlist=8,
+            kmeans_sample_fraction=1.0, ivf_max_list_factor=2.0,
+        ),
+    )
+    meta = read_metadata(out)
+    assert meta["ivf_split"]["lists_split"] >= 1
+    before_skew = index_skew(spark, out)
+    before = search_index(spark, out, queries, k=10, nprobe=meta["nlist"]).orderBy(
+        "query_id", "rank"
+    ).collect()
+    compact_index(spark, out)
+    after_skew = index_skew(spark, out)
+    assert after_skew == before_skew  # occupancy (and ids) preserved
+    after = search_index(spark, out, queries, k=10, nprobe=meta["nlist"]).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert after == before
