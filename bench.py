@@ -91,6 +91,27 @@ def _gen_corpus(spark, n: int, centers, seed: int, corpus_path: str) -> float | 
     return round(time.perf_counter() - t0, 1)
 
 
+def _timed(fn, warmups: int = 1, runs: int = 3):
+    """min-of-N wall clock for a DataFrame-producing thunk (the ONE timing
+    policy every tier shares). Warm-ups pay JIT/scan caches (HNSW arms use
+    2 so the per-worker graph cache is hot before timing). min-of-3 because
+    back-to-back full-bench runs on this box have measured 2x swings on
+    identical cached artifacts (see the calibration probes); the min is the
+    defensible kernel cost, the rest is box noise. Sweep arms pass runs=2 —
+    16 knob points would otherwise double the per-round bench wall-clock
+    for third-decimal precision."""
+    for _ in range(warmups):
+        fn().count()
+    best, result = float("inf"), None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df = fn()
+        df.count()
+        best = min(best, time.perf_counter() - t0)
+        result = df
+    return round(best, 4), result
+
+
 def _idx_cache_dir(cache_dir: str, itype: str, cfg, n: int) -> str:
     """Cache dir for one built index, keyed by a hash of the FULL build
     config: the build-exists check can't see config changes inside a written
@@ -221,22 +242,7 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     hc_handle = open_index(spark, handles["ivfpq_hc"])
     hnsw_handle = open_index(spark, handles["hnsw"])
 
-    def timed(fn, warmups: int = 1, runs: int = 3):
-        for _ in range(warmups):
-            fn().count()  # warm-up (JIT, scan caches; graph loads for HNSW)
-        # min-of-3: back-to-back full-bench runs on this box have measured
-        # 2x swings on identical cached artifacts (see calibration probes);
-        # the min is the defensible kernel cost, the rest is box noise
-        # (sweep arms use min-of-2 — 16 knob points would otherwise double
-        # the per-round bench wall-clock for third-decimal precision)
-        best, result = float("inf"), None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn()
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-            result = df
-        return round(best, 4), result
+    timed = _timed
 
     flat_sec, exact = timed(lambda: knn_pandas(corpus, queries, k=k))
     ivf_sec, ivf = timed(
@@ -464,17 +470,7 @@ def _ann_highdim(spark, cache_dir: str) -> dict:
         with open(builds_file, "w") as f:
             json.dump(build_secs, f)
 
-    def timed(fn, warmups: int = 1):
-        for _ in range(warmups):
-            fn().count()
-        best, result = float("inf"), None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = fn()
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-            result = df
-        return round(best, 4), result
+    timed = _timed
 
     flat_sec, exact = timed(lambda: knn_pandas(corpus, queries, k=k))
     sweep = {"ivf": [], "hnsw": [], "hnsw_m32": []}
@@ -590,16 +586,7 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
     ivf_handle = open_index(spark, handles["ivf"])
     pq_handle = open_index(spark, handles["ivfpq"])
 
-    def timed(fn, runs: int = 3):
-        fn().count()  # warm-up
-        best, result = float("inf"), None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn()
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-            result = df
-        return round(best, 4), result
+    timed = _timed
 
     flat_sec, exact = timed(lambda: knn_pandas(corpus, queries, k=k), runs=2)
     ivf_sec, ivf = timed(lambda: search_index(spark, ivf_handle, queries, k=k, nprobe=nprobe))

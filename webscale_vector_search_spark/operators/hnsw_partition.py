@@ -263,21 +263,13 @@ class PyHNSW:
                 )
 
     def _insert(self, idx: int) -> None:
-        q = self.V[idx]
+        """Sequential Malkov-Yashunin insert: draw the level, create the
+        links row, then the shared post-draw body (one copy — the chunked
+        path's promoted nodes run the identical `_insert_prepared`, so the
+        determinism fixtures pinning sequential==batch_size-1 stay honest)."""
         level = int(-math.log(max(self.rng.random(), 1e-300)) * self.mult)
         self.links.append({lc: [] for lc in range(level + 1)})
-        if self.entry < 0:
-            self.entry, self.max_level = idx, level
-            return
-        ep = [self.entry]
-        for lc in range(self.max_level, level, -1):
-            ep = [self._search_layer(q, ep, 1, lc)[0][1]]
-        for lc in range(min(level, self.max_level), -1, -1):
-            cands = self._search_layer(q, ep, self.ef_construction, lc)
-            self._link(idx, self._select_heuristic(cands, self.M), lc)
-            ep = [u for _, u in cands]
-        if level > self.max_level:
-            self.entry, self.max_level = idx, level
+        self._insert_prepared(idx, level)
 
     def _insert_chunk(self, idxs: list[int]) -> None:
         """Insert a chunk of pending nodes: search ALL of them against the
@@ -827,6 +819,12 @@ def hnsw_stored_search(
     into EVERY task description, which at a 100k-query batch × num_shards ×
     splits tasks is the one remaining term that grew with batch size.
     Below the threshold the closure is cheaper (no broadcast round-trip).
+    Broadcast lifetime: the broadcast must outlive the returned LAZY
+    DataFrame (re-executions included), so it is not explicitly
+    unpersisted here; it is released when the driver GCs the plan. A
+    long-lived serving loop issuing many large batches should `.count()`/
+    materialize and drop each result promptly (the worker-side graph cache,
+    not the result lineage, is what makes repeat serving cheap).
 
     Scatter plan: one task per (shard, query-split) — the reference's ZMQ
     scatter (P5), subdivided so a straggling task holds back only a

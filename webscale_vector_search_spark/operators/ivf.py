@@ -519,6 +519,11 @@ def split_oversized_lists(
         info["lists_split"] += n_split
         info["passes"] = p + 1
     info["nlist_after"] = centroids.count() if info["passes"] else info["nlist_before"]
+    # non-convergence is a visible signal, not a silent success: a
+    # pathological list can stay over cap for every pass (e.g. massive
+    # duplicate vectors that no center split separates)
+    info["max_list_final"] = max(counts.values()) if counts else 0
+    info["converged"] = info["max_list_final"] <= cap
     return assigned, centroids, info
 
 
@@ -615,12 +620,15 @@ def _split_pass(
             cent_idx = batch.schema.get_field_index("centroid_id")
             cent = batch.column(cent_idx).to_numpy().astype(np.int64, copy=True)
             touched = False
+            V_all = None  # flatten the embedding column once per batch, lazily
             for parent, (ids, C) in sub_map.items():
                 rows = np.flatnonzero(cent == parent)
                 if rows.size == 0:
                     continue
                 touched = True
-                V = list_matrix(batch, vec_col, dtype=np.float64)[rows]
+                if V_all is None:
+                    V_all = list_matrix(batch, vec_col, dtype=np.float64)
+                V = V_all[rows]
                 d = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
                 cent[rows] = ids[d.argmin(1)]
             if touched:

@@ -108,8 +108,11 @@ def _decode_bmp(b: bytes):
     hsize, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
     if comp != 0:
         raise ValueError(f"unsupported BMP compression {comp}")
-    if bpp not in (8, 24, 32):
-        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if bpp not in (24, 32):
+        # 8-bit BMPs are palette-indexed; decoding indices as intensities
+        # would silently corrupt stats — the module contract is raise,
+        # never mis-decode
+        raise ValueError(f"unsupported BMP bit depth {bpp} (palette forms not supported)")
     bottom_up = h > 0
     h = abs(h)
     c = bpp // 8

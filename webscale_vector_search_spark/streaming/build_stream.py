@@ -59,12 +59,16 @@ def _stream_token(checkpoint_dir: str) -> str:
     same checkpoint but differs for a fresh one. Epoch markers are scoped
     by it — epoch ids restart at 0 under a new checkpoint, so an unscoped
     marker from an earlier stream would silently drop a new stream's first
-    batches into the same index."""
-    try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as f:
-            return json.load(f)["id"].split("-")[0]
-    except (OSError, KeyError, ValueError):
-        return "noid"
+    batches into the same index.
+
+    A read failure RAISES rather than falling back to a shared constant:
+    a fallback token would commit this stream's epochs under an identity a
+    different stream could also fall back to (its epoch 0 then swallowed
+    by ours), and a later successful read would orphan our own markers —
+    both silent exactly-once violations. Raising inside foreachBatch fails
+    the batch visibly; Spark retries it after the transient error clears."""
+    with open(os.path.join(checkpoint_dir, "metadata")) as f:
+        return json.load(f)["id"].split("-")[0]
 
 
 def _epoch_done(out_dir: str, token: str, epoch_id: int) -> bool:
@@ -242,7 +246,11 @@ def incremental_build(
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             if _epoch_done(out_dir, _token(), epoch_id):
-                return  # replayed epoch, already fully published
+                # replayed epoch, already fully published — still run the
+                # compaction tick: a crash in the marker-to-offset window
+                # must not skip this epoch's scheduled compaction
+                _maybe_auto_compact(batch_df.sparkSession, epoch_id)
+                return
             sharded = hash_shard(batch_df, config.num_shards)
             # cluster by target dir: without this, every batch writes
             # tasks x shards files (the small-file drift compact_index
@@ -259,6 +267,7 @@ def incremental_build(
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             if _epoch_done(out_dir, _token(), epoch_id):
+                _maybe_auto_compact(batch_df.sparkSession, epoch_id)
                 return
             assigned = assign_centroids(batch_df, cents).repartition(
                 max(1, cents_count), "centroid_id"
@@ -287,8 +296,10 @@ def incremental_build(
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             if _epoch_done(out_dir, _token(), epoch_id):
-                return  # marker short-circuit; extend_shard_graphs' dup-skip
-                # below stays as defense in depth for a lost marker
+                # marker short-circuit; extend_shard_graphs' dup-skip below
+                # stays as defense in depth for a lost marker
+                _maybe_auto_compact(batch_df.sparkSession, epoch_id)
+                return
             from webscale_vector_search_spark.operators.hnsw_partition import (
                 extend_shard_graphs,
                 freeze_graphs,
@@ -331,6 +342,7 @@ def incremental_build(
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             if _epoch_done(out_dir, _token(), epoch_id):
+                _maybe_auto_compact(batch_df.sparkSession, epoch_id)
                 return
             from webscale_vector_search_spark.operators.pq import encode
 
