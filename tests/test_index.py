@@ -933,6 +933,8 @@ def test_split_oversized_lists_bounds_skew(spark, tmp_path_factory):
     meta = read_metadata(split_dir)
     assert meta["ivf_split"]["lists_split"] >= 1
     assert meta["ivf_split"]["passes"] >= 1
+    assert meta["ivf_split"]["converged"] is True
+    assert meta["ivf_split"]["max_list_final"] <= cap
     assert meta["nlist"] == split["n_lists"] == meta["ivf_split"]["nlist_after"]
 
     # searches stay correct: at the same probed FRACTION of lists the split
