@@ -68,6 +68,37 @@ def test_ivf_plan_partition_pruning(spark, tmp_path_factory):
     )
 
 
+def test_capped_ivf_plan_partition_pruning(spark, tmp_path_factory):
+    """The skew cap splits hot lists into NEW centroid ids (non-contiguous,
+    beyond the original nlist); static INSET pruning over the split index
+    must still reach the corpus scan — a capped index that lost pruning
+    would silently re-scan everything at 100 TB."""
+    out = str(tmp_path_factory.mktemp("plan_ivf_cap"))
+    corpus = load_table(spark, "embeddings", SF_SMOKE)
+    build_index(
+        spark,
+        corpus,
+        out,
+        EngineConfig(
+            index_type="IVF", nlist=8, kmeans_sample_fraction=1.0, ivf_max_list_factor=1.2
+        ),
+    )
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+
+    meta = read_metadata(out)
+    assert meta.get("ivf_split", {}).get("lists_split", 0) > 0, (
+        "cap=1.2 on sf0.001 must actually split lists, or the pin tests nothing"
+    )
+    q5 = queries_from_embeddings(spark, SF_SMOKE, 5)
+    fast_plan = plan_of(search_index(spark, out, q5, k=10, nprobe=4, kernel="pandas"))
+    scan_line = [l for l in fast_plan.splitlines() if "vectors" in l and "FileScan" in l][0]
+    # Catalyst renders the static probe-list filter as INSET above 10 values
+    # and a literal IN below it; either way it must sit on the corpus scan
+    assert "centroid_id" in scan_line and ("INSET" in scan_line or " IN (" in scan_line), (
+        "capped index must statically prune the corpus scan to probed sub-lists"
+    )
+
+
 def test_pricing_pushdown(spark):
     df = QUERIES["q_pricing"](spark, SF_SMOKE)
     plan = plan_of(df)

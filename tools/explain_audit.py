@@ -71,6 +71,62 @@ def explain_formatted(spark, df) -> str:
     return spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
 
 
+def _index_sections(spark, sf_dir):
+    """Plans over BUILT index artifacts (not in QUERIES — they need a build
+    step): the IVF probe paths, uncapped and skew-capped. Yields
+    (name, markers, why, df) tuples."""
+    import tempfile
+
+    from webscale_vector_search_spark.config import EngineConfig
+    from webscale_vector_search_spark.plans.build import build_index, search_index
+    from webscale_vector_search_spark.sources.fixtures import (
+        load_table,
+        queries_from_embeddings,
+    )
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    q = queries_from_embeddings(spark, sf_dir, 5)
+    root = tempfile.mkdtemp(prefix="wvss_audit_")
+
+    ivf_dir = os.path.join(root, "ivf")
+    build_index(
+        spark, corpus, ivf_dir, EngineConfig(index_type="IVF", nlist=16, kmeans_sample_fraction=1.0)
+    )
+    yield (
+        "ivf_search_sql",
+        ["BroadcastHashJoin", "dynamicpruning"],
+        "probe assignments broadcast; the corpus scan carries a DYNAMIC "
+        "partition-pruning subquery on centroid_id (the inverted-list skip)",
+        search_index(spark, ivf_dir, q, k=10, nprobe=4, kernel="sql"),
+    )
+    yield (
+        "ivf_search_pandas",
+        ["centroid_id"],
+        "probes resolve driver-side; STATIC IN-list pruning reaches the "
+        "corpus scan (INSET above 10 probed lists, literal IN below), so "
+        "only probed list partitions are read",
+        search_index(spark, ivf_dir, q, k=10, nprobe=4, kernel="pandas"),
+    )
+
+    cap_dir = os.path.join(root, "ivf_capped")
+    build_index(
+        spark,
+        corpus,
+        cap_dir,
+        EngineConfig(
+            index_type="IVF", nlist=16, kmeans_sample_fraction=1.0, ivf_max_list_factor=1.5
+        ),
+    )
+    yield (
+        "ivf_capped_search_pandas",
+        ["centroid_id"],
+        "skew-capped index (hot lists split into NEW, non-contiguous "
+        "centroid ids): static pruning must still reach the scan over the "
+        "split sub-lists — losing it would re-scan the corpus at 100 TB",
+        search_index(spark, cap_dir, q, k=10, nprobe=4, kernel="pandas"),
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("wvss-explain-audit")
@@ -83,8 +139,9 @@ def main() -> None:
         "",
     ]
     failures = []
-    for name, (markers, why) in AUDIT.items():
-        df = QUERIES[name](spark, sf_dir)
+    sections = [(n, m, w, QUERIES[n](spark, sf_dir)) for n, (m, w) in AUDIT.items()]
+    sections += list(_index_sections(spark, sf_dir))
+    for name, markers, why, df in sections:
         plan = explain_formatted(spark, df)
         missing = [m for m in markers if m not in plan]
         status = "OK" if not missing else f"MISSING {missing}"
