@@ -181,7 +181,14 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         return _idx_cache_dir(cache_dir, itype, cfg, n)
 
     builds = {
-        "ivf": EngineConfig(index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.02),
+        # uncapped arms pin ivf_max_list_factor=None explicitly: they are the
+        # UNCAPPED baselines the capped arm compares against, and the explicit
+        # None keeps their config hash (and build cache) identical to rounds
+        # built before the engine default moved to 4.0
+        "ivf": EngineConfig(
+            index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.02,
+            ivf_max_list_factor=None,
+        ),
         # pq_m=64 (dsub=1, scalar-quantized residuals): the reference's
         # dim//4 rule (m=16 @ 8-bit) measures ADC-only recall@10 0.585 on
         # this corpus because sampled k-means mis-allocates natural clusters
@@ -189,7 +196,8 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         # PER DIM makes ADC ranking near-exact and the codes still scan 2x
         # smaller than raw float32. This is the high-RECALL operating point.
         "ivfpq": EngineConfig(
-            index_type="IVFPQ", nlist=nlist, pq_m=64, kmeans_sample_fraction=0.02
+            index_type="IVFPQ", nlist=nlist, pq_m=64, kmeans_sample_fraction=0.02,
+            ivf_max_list_factor=None,
         ),
         # pq_m=32 @ 8-bit: the high-COMPRESSION operating point — 32 B/vec
         # logical vs 256 B raw float32 = 8x (16x vs the m=64 arm's 2x
@@ -201,11 +209,13 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         # reports ADC-only recall beside the compression factor.
         "ivfpq_hc": EngineConfig(
             index_type="IVFPQ", nlist=nlist, pq_m=32, kmeans_sample_fraction=0.02,
-            pq_local_codebooks=True,
+            pq_local_codebooks=True, ivf_max_list_factor=None,
         ),
         # HNSW: per-shard persisted graphs (adjacency columns), serving
         # pays traversal only; 16 shards of 62.5k nodes at n=1M
-        "hnsw": EngineConfig(index_type="HNSW", num_shards=16),
+        # the field is inert for HNSW; the explicit None keeps the cache key
+        # (a hash of the full config repr) stable across the default change
+        "hnsw": EngineConfig(index_type="HNSW", num_shards=16, ivf_max_list_factor=None),
     }
     handles = {}
     shared_centroids = None  # identical config -> identical centers; train once
@@ -443,16 +453,20 @@ def _ann_highdim(spark, cache_dir: str) -> dict:
 
     builds = {
         "ivf": EngineConfig(
-            index_type="IVF", vector_dim=dim, nlist=nlist, kmeans_sample_fraction=0.2
+            index_type="IVF", vector_dim=dim, nlist=nlist, kmeans_sample_fraction=0.2,
+            ivf_max_list_factor=None,
         ),
-        "hnsw": EngineConfig(index_type="HNSW", vector_dim=dim, num_shards=n_shards),
+        "hnsw": EngineConfig(
+            index_type="HNSW", vector_dim=dim, num_shards=n_shards,
+            ivf_max_list_factor=None,
+        ),
         # the fairness arm: M=16 could be strawmanning the graph at 512-d
         # (ann-benchmarks-class setups run M=32-48 with deeper construction
         # beams in high dim; the reference itself passes M=32) — measure
         # the stronger build before concluding the regime
         "hnsw_m32": EngineConfig(
             index_type="HNSW", vector_dim=dim, num_shards=n_shards,
-            hnsw_m=32, hnsw_ef_construction=128,
+            hnsw_m=32, hnsw_ef_construction=128, ivf_max_list_factor=None,
         ),
     }
     handles = {}
@@ -550,9 +564,14 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
     queries.count()
 
     builds = {
-        "ivf": EngineConfig(index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.02),
+        # uncapped baselines: explicit None (same rationale as the 1M tier)
+        "ivf": EngineConfig(
+            index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.02,
+            ivf_max_list_factor=None,
+        ),
         "ivfpq": EngineConfig(
-            index_type="IVFPQ", nlist=nlist, pq_m=64, kmeans_sample_fraction=0.02
+            index_type="IVFPQ", nlist=nlist, pq_m=64, kmeans_sample_fraction=0.02,
+            ivf_max_list_factor=None,
         ),
         # skew-capped arm: the uncapped 10M build measures max/median list
         # occupancy ~6x (sampled-k-means imbalance, even on a balanced

@@ -914,7 +914,8 @@ def test_split_oversized_lists_bounds_skew(spark, tmp_path_factory):
         index_type="IVF", vector_dim=16, nlist=8, kmeans_sample_fraction=1.0
     )
     plain_dir = str(tmp_path_factory.mktemp("skew_plain"))
-    build_index(spark, corpus, plain_dir, EngineConfig(**base_cfg))
+    # the uncapped baseline must opt out now that the engine default caps
+    build_index(spark, corpus, plain_dir, EngineConfig(**base_cfg, ivf_max_list_factor=None))
     split_dir = str(tmp_path_factory.mktemp("skew_split"))
     build_index(
         spark, corpus, split_dir, EngineConfig(**base_cfg, ivf_max_list_factor=2.0)

@@ -108,10 +108,15 @@ class EngineConfig:
     # quantizer analog; operators/ivf.py::split_oversized_lists). Natural
     # corpora give power-law list sizes, and at scale one giant list makes
     # every probe of it a straggler task AND inflates that list's residuals
-    # (costing ADC recall). None disables (uniform synthetic corpora don't
-    # need it); 2.0-4.0 is the useful range — the cap bounds the
-    # max/median list ratio that index_skew() reports.
-    ivf_max_list_factor: float | None = None
+    # (costing ADC recall). Default 4.0: the 10M bench measured max/median
+    # 6.0 from a BALANCED generator — real corpora are worse — and capping
+    # held recall and latency at parity, so skew hardening is on by
+    # default; the cost is one extra build pass, and the split is recorded
+    # in the sidecar (`ivf_split`, with a `converged` flag). Set None to
+    # disable (e.g. to measure an uncapped baseline); 2.0-4.0 is the
+    # useful range — the cap bounds the max/median list ratio that
+    # index_skew() reports.
+    ivf_max_list_factor: float | None = 4.0
     # (per-search metric selection stays on the operators — knn(metric=...);
     # kernel selection on search_index(kernel=...). No silently-dead knobs.)
 
