@@ -1,0 +1,191 @@
+"""serve_local — the driver-side mini-serve path (SURVEY.md §3.1's online
+path at the reference's latency floor, vector_search_cluster.py:794-812).
+
+Contract under test: serve_local(handle, queries, k) is BIT-IDENTICAL to
+search_index(spark, handle, queries, k) for every index type — same
+(query_id, rank, neighbor_id, distance) rows, same float distances — so a
+dispatcher can route small batches driver-side on batch size alone."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_ORACLE
+from webscale_vector_search_spark.config import EngineConfig
+from webscale_vector_search_spark.plans.build import build_index, search_index
+from webscale_vector_search_spark.plans.serve_local import serve_local
+from webscale_vector_search_spark.sources.fixtures import load_table, queries_from_embeddings
+from webscale_vector_search_spark.sources.index_io import open_index
+
+COLS = ["query_id", "rank", "neighbor_id", "distance"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return load_table(spark, "embeddings", SF_ORACLE).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return queries_from_embeddings(spark, SF_ORACLE, 12).cache()
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf[COLS].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return out.astype(
+        {"query_id": "int64", "rank": "int32", "neighbor_id": "int64", "distance": "float64"}
+    )
+
+
+def _assert_identical(spark_df, local_pdf):
+    a = _canon(spark_df.toPandas())
+    b = _canon(local_pdf)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def _build(spark, corpus, tmp_path_factory, name: str, cfg: EngineConfig):
+    out = str(tmp_path_factory.mktemp(name))
+    build_index(spark, corpus, out, cfg)
+    return open_index(spark, out)
+
+
+@pytest.fixture(scope="module")
+def flat_handle(spark, corpus, tmp_path_factory):
+    return _build(spark, corpus, tmp_path_factory, "sl_flat", EngineConfig(index_type="FLAT"))
+
+
+@pytest.fixture(scope="module")
+def ivf_handle(spark, corpus, tmp_path_factory):
+    return _build(
+        spark, corpus, tmp_path_factory, "sl_ivf",
+        EngineConfig(index_type="IVF", nlist=8, kmeans_sample_fraction=1.0),
+    )
+
+
+@pytest.fixture(scope="module")
+def pq_handle(spark, corpus, tmp_path_factory):
+    return _build(
+        spark, corpus, tmp_path_factory, "sl_pq",
+        EngineConfig(index_type="IVFPQ", nlist=4, pq_m=16, kmeans_sample_fraction=1.0),
+    )
+
+
+@pytest.fixture(scope="module")
+def lopq_handle(spark, corpus, tmp_path_factory):
+    return _build(
+        spark, corpus, tmp_path_factory, "sl_lopq",
+        EngineConfig(
+            index_type="IVFPQ", nlist=4, pq_m=16, kmeans_sample_fraction=1.0,
+            pq_local_codebooks=True, pq_opq_iters=1,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def hnsw_handle(spark, corpus, tmp_path_factory):
+    return _build(
+        spark, corpus, tmp_path_factory, "sl_hnsw",
+        EngineConfig(index_type="HNSW", num_shards=4),
+    )
+
+
+def test_flat_bit_identical(spark, flat_handle, queries):
+    want = search_index(spark, flat_handle, queries, k=10)
+    got = serve_local(flat_handle, queries, k=10)
+    _assert_identical(want, got)
+
+
+def test_ivf_bit_identical(spark, ivf_handle, queries):
+    want = search_index(spark, ivf_handle, queries, k=10, nprobe=3)
+    got = serve_local(ivf_handle, queries, k=10, nprobe=3)
+    _assert_identical(want, got)
+
+
+def test_ivf_default_nprobe_matches(spark, ivf_handle, queries):
+    """nprobe=None must resolve through the same default rule both sides."""
+    want = search_index(spark, ivf_handle, queries, k=5)
+    got = serve_local(ivf_handle, queries, k=5)
+    _assert_identical(want, got)
+
+
+def test_ivfpq_refined_bit_identical(spark, pq_handle, queries):
+    want = search_index(spark, pq_handle, queries, k=10, nprobe=2)
+    got = serve_local(pq_handle, queries, k=10, nprobe=2)
+    _assert_identical(want, got)
+
+
+def test_ivfpq_adc_only_bit_identical(spark, pq_handle, queries):
+    want = search_index(spark, pq_handle, queries, k=10, nprobe=2, exact_refine=False)
+    got = serve_local(pq_handle, queries, k=10, nprobe=2, exact_refine=False)
+    _assert_identical(want, got)
+
+
+def test_lopq_bit_identical(spark, lopq_handle, queries):
+    """Per-cell books + per-cell OPQ rotations (full LOPQ) through the
+    driver path — covers the float32-round-trip decode discipline."""
+    want = search_index(spark, lopq_handle, queries, k=10, nprobe=2, exact_refine=False)
+    got = serve_local(lopq_handle, queries, k=10, nprobe=2, exact_refine=False)
+    _assert_identical(want, got)
+
+
+def test_hnsw_bit_identical(spark, hnsw_handle, queries):
+    want = search_index(spark, hnsw_handle, queries, k=10, ef_search=48)
+    got = serve_local(hnsw_handle, queries, k=10, ef_search=48)
+    _assert_identical(want, got)
+
+
+def test_cosine_flat_bit_identical(spark, corpus, queries, tmp_path_factory):
+    """Cosine indexes normalize queries SQL-side in search_index; the local
+    path must reproduce the same float32 unit vectors."""
+    handle = _build(
+        spark, corpus, tmp_path_factory, "sl_cos",
+        EngineConfig(index_type="FLAT", metric="cosine"),
+    )
+    want = search_index(spark, handle, queries, k=10)
+    got = serve_local(handle, queries, k=10)
+    _assert_identical(want, got)
+
+
+def test_numpy_query_forms(spark, ivf_handle, queries):
+    """A bare numpy matrix (ids default 0..nq-1) and an (ids, matrix) tuple
+    must serve identically to the DataFrame form."""
+    rows = queries.orderBy("query_id").collect()
+    q_ids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    Q = np.stack([r["qvec"] for r in rows]).astype(np.float64)
+    via_df = _canon(serve_local(ivf_handle, queries, k=5, nprobe=2))
+    via_tuple = _canon(serve_local(ivf_handle, (q_ids, Q), k=5, nprobe=2))
+    pd.testing.assert_frame_equal(via_df, via_tuple, check_exact=True)
+    # bare matrix: same neighbors, ids renumbered 0..nq-1 (q_ids here ARE
+    # 0..nq-1 by fixture construction, so full equality holds)
+    via_np = _canon(serve_local(ivf_handle, Q, k=5, nprobe=2))
+    pd.testing.assert_frame_equal(via_df, via_np, check_exact=True)
+    # single vector -> one query, id 0
+    one = serve_local(ivf_handle, Q[0], k=5, nprobe=2)
+    assert set(one["query_id"]) == {0}
+    assert one["rank"].tolist() == list(range(1, len(one) + 1))
+
+
+def test_list_cache_reused_and_bounded(spark, ivf_handle, queries):
+    """Second serve hits the handle LRU (no re-read), and a tiny budget
+    still returns correct results (eviction, not corruption)."""
+    serve_local(ivf_handle, queries, k=5, nprobe=3)
+    cache = ivf_handle._serve_lists
+    assert len(cache) > 0
+    before = {cid: id(entry) for cid, entry in cache.items()}
+    serve_local(ivf_handle, queries, k=5, nprobe=3)
+    after = {cid: id(entry) for cid, entry in ivf_handle._serve_lists.items()}
+    assert before == after  # same arrays, not re-read
+    want = search_index(spark, ivf_handle, queries, k=5, nprobe=3)
+    got = serve_local(ivf_handle, queries, k=5, nprobe=3, cache_budget_mb=0)
+    _assert_identical(want, got)
+
+
+def test_self_query_sanity(flat_handle, queries):
+    """Self-queries (qvec == a stored embedding) must return themselves at
+    rank 1, distance 0 — the fixture's built-in invariant."""
+    got = serve_local(flat_handle, queries, k=3)
+    r1 = got[got["rank"] == 1]
+    assert (r1["query_id"].to_numpy() == r1["neighbor_id"].to_numpy()).all()
+    assert (r1["distance"].to_numpy() == 0.0).all()

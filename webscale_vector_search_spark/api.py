@@ -11,11 +11,15 @@ same vocabulary, minus the serving machinery Spark subsumes:
   and /api/v1/stats (815-830). Single-vector search returns the reference's
   response dict shape; batch search returns a DataFrame.
 
-Index types accepted: FLAT, IVF, IVFPQ, HNSW. HNSW's graph traversal is
-inherently sequential and has no idiomatic Spark form (SURVEY.md §7 hard
-part (a)); the HNSW *capability* — high-recall sub-linear ANN — is delivered
-as IVF artifacts searched with a high-recall probe default
-(nprobe = max(nlist/2, 1) instead of IVF's nlist/8).
+Index types accepted: FLAT, IVF, IVFPQ, HNSW (per-shard persisted graphs,
+served by traversal — operators/hnsw_partition.py).
+
+Latency routing: the reference's headline single-query latency comes from
+in-RAM FAISS lookups behind FastAPI (794-812) — a cost class a Spark job
+can't reach (the job-launch floor alone is ~0.2-0.3 s). `distributed_search`
+therefore serves single queries through plans/serve_local.py (the same
+kernels, driver-resident artifacts, bit-identical results) and only
+`search_batch` — the throughput shape — runs as a Spark job.
 """
 
 from __future__ import annotations
@@ -74,8 +78,16 @@ class VectorCluster:
         self.spark = spark
         self.index_dir = index_dir
         self.meta = read_metadata(index_dir)
+        self._handle = None  # opened lazily; serving reuses its caches
         self._queries_processed = 0
         self._latencies_ms: list[float] = []
+
+    def _opened(self):
+        if self._handle is None:
+            from webscale_vector_search_spark.sources.index_io import open_index
+
+            self._handle = open_index(self.spark, self.index_dir)
+        return self._handle
 
     def distributed_search(
         self, query_vector: list[float], k: int = 10, all_shards: bool = True
@@ -83,22 +95,31 @@ class VectorCluster:
         """Single-query search; response dict mirrors the reference
         (353-359, 247-250): distances ascending, ids, shard counts, timing.
 
+        Served driver-side (plans/serve_local.py — the reference's in-RAM
+        lookup shape, 794-812), so a warm call pays kernel compute only,
+        not a Spark job. Results are bit-identical to the batch path.
+
         `all_shards=False` restricts probing (the principled version of the
         reference's sum-hash routing, quirk Q1): IVF-family indexes probe
         the default nprobe lists; with all_shards=True they probe every list.
         """
+        import numpy as np
+
+        from webscale_vector_search_spark.plans.serve_local import serve_local
+
         t0 = time.perf_counter()
-        queries = self.spark.createDataFrame(
-            [(0, [float(x) for x in query_vector])], "query_id BIGINT, qvec ARRAY<FLOAT>"
-        )
         nprobe = None
+        # all_shards on list-layout indexes = probe every list (graph HNSW
+        # artifacts carry nlist=None and traverse regardless of nprobe)
         if self.meta["index_type"] in ("IVF", "IVFPQ", "HNSW") and all_shards:
-            nprobe = self.meta["nlist"]
-        rows = (
-            search_index(self.spark, self.index_dir, queries, k=k, nprobe=nprobe)
-            .orderBy("rank")
-            .collect()
+            nprobe = self.meta.get("nlist")
+        got = serve_local(
+            self._opened(),
+            np.asarray(query_vector, dtype=np.float64),
+            k=k,
+            nprobe=nprobe,
         )
+        rows = got.sort_values("rank").to_dict("records")
         elapsed_ms = (time.perf_counter() - t0) * 1000
         self._queries_processed += 1
         self._latencies_ms.append(elapsed_ms)
