@@ -62,7 +62,12 @@ def test_ivf_plan_partition_pruning(spark, tmp_path_factory):
 
     # fast path: probes resolved driver-side -> STATIC partition pruning
     fast_plan = plan_of(search_index(spark, out, q5, k=10, nprobe=4, kernel="pandas"))
-    scan_line = [l for l in fast_plan.splitlines() if "vectors" in l and "FileScan" in l][0]
+    scan_lines = [l for l in fast_plan.splitlines() if "vectors" in l and "FileScan" in l]
+    assert scan_lines, (
+        "no FileScan over the vectors directory in the plan — cannot verify "
+        "static probe pruning"
+    )
+    scan_line = scan_lines[0]
     assert "centroid_id" in scan_line and "INSET" in scan_line, (
         "pandas kernel must statically prune the corpus scan to probed lists"
     )
@@ -91,7 +96,12 @@ def test_capped_ivf_plan_partition_pruning(spark, tmp_path_factory):
     )
     q5 = queries_from_embeddings(spark, SF_SMOKE, 5)
     fast_plan = plan_of(search_index(spark, out, q5, k=10, nprobe=4, kernel="pandas"))
-    scan_line = [l for l in fast_plan.splitlines() if "vectors" in l and "FileScan" in l][0]
+    scan_lines = [l for l in fast_plan.splitlines() if "vectors" in l and "FileScan" in l]
+    assert scan_lines, (
+        "no FileScan over the vectors directory in the plan — cannot verify "
+        "static probe pruning"
+    )
+    scan_line = scan_lines[0]
     # Catalyst renders the static probe-list filter as INSET above 10 values
     # and a literal IN below it; either way it must sit on the corpus scan
     assert "centroid_id" in scan_line and ("INSET" in scan_line or " IN (" in scan_line), (

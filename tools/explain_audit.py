@@ -89,8 +89,15 @@ def _index_sections(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="wvss_audit_")
 
     ivf_dir = os.path.join(root, "ivf")
+    # explicit None: this is the UNCAPPED section the ivf_capped one below
+    # contrasts with — inheriting the engine's 4.0 default would silently
+    # make the two audits the same plan
     build_index(
-        spark, corpus, ivf_dir, EngineConfig(index_type="IVF", nlist=16, kmeans_sample_fraction=1.0)
+        spark, corpus, ivf_dir,
+        EngineConfig(
+            index_type="IVF", nlist=16, kmeans_sample_fraction=1.0,
+            ivf_max_list_factor=None,
+        ),
     )
     yield (
         "ivf_search_sql",
