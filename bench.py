@@ -768,6 +768,128 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
     return timings, meta
 
 
+def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
+    """Stretch tier (VERDICT r7 #7): 100M x 64-d, IVF-only — the last order
+    of magnitude this sandbox holds, turning the 10M->100TB extrapolation
+    into a measured 10M->100M point.
+
+    Lean by necessity: the corpus is NEVER materialized as its own parquet
+    (the deterministic splitmix generator regenerates it per build pass;
+    only the ~27 GB index artifact hits disk — the sandbox has ~65 GB
+    free), the build skips centroid polish (each polish pass is another
+    full 100M x nlist assignment GEMM, ~25 min of pure BLAS), and there is
+    no IVFPQ arm (the encode pass is the same flop class again). The
+    skew cap stays at the ENGINE DEFAULT 4.0 — this tier measures the
+    posture users actually get. Exact truth for recall comes from a FLAT
+    scan of the index's own vectors at 50 queries.
+
+    The cold build costs ~1 h, so the tier SKIPS unless its artifacts are
+    already cached or SPARK_GRAFT_ANN_100M=1 explicitly forces the build
+    (tools/prebuild_100m.py pre-pays it out-of-band).
+    """
+    import numpy as np
+
+    from webscale_vector_search_spark.config import EngineConfig
+    from webscale_vector_search_spark.operators.ivf import index_skew, recall_at_k
+    from webscale_vector_search_spark.operators.knn import knn_pandas
+    from webscale_vector_search_spark.plans.build import build_index, search_index
+    from webscale_vector_search_spark.sources.index_io import open_index, read_metadata
+
+    n, dim, ncl, seed, n_queries, k = 100_000_000, 64, 3162, 45, 50, 10
+    nlist, nprobe = 3162, 4
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 1.0, (ncl, dim)).astype(np.float32)
+
+    cfg = EngineConfig(
+        index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.002,
+        centroid_polish_iters=0,
+    )
+    idx_dir = _idx_cache_dir(cache_dir, "IVF100M", cfg, n)
+    built = os.path.exists(os.path.join(idx_dir, "shards_metadata.json"))
+    if not built and os.environ.get("SPARK_GRAFT_ANN_100M", "0") != "1":
+        return {}, {
+            "skipped": "cold cache — a ~1 h 100M build; run "
+            "tools/prebuild_100m.py or set SPARK_GRAFT_ANN_100M=1"
+        }
+    build_secs: dict[str, float] = {}
+    if not built:
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                vecs = _ann_vectors(ids, centers, seed)
+                yield pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+        corpus = spark.range(n, numPartitions=256).mapInPandas(
+            gen, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        t0 = time.perf_counter()
+        build_index(spark, corpus, idx_dir, cfg)
+        build_secs["build_ivf"] = round(time.perf_counter() - t0, 1)
+        builds_file = os.path.join(cache_dir, f"builds_n{n}.json")
+        merged = {}
+        if os.path.exists(builds_file):
+            with open(builds_file) as f:
+                merged = json.load(f)
+        merged.update(build_secs)
+        with open(builds_file, "w") as f:
+            json.dump(merged, f)
+
+    qids = np.arange(n_queries, dtype=np.int64) * (n // n_queries) + np.arange(n_queries)
+    qvecs = _ann_vectors(qids, centers, seed)
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qvecs)],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    ).cache()
+    queries.count()
+
+    handle = open_index(spark, idx_dir)
+    meta0 = read_metadata(idx_dir)
+    timed = _timed
+    # exact truth: FLAT scan over the index's own vectors (real parquet IO,
+    # 50 queries — a 100M x 64 GEMM per batch is the honest brute-force arm)
+    flat_sec, exact = timed(
+        lambda: knn_pandas(handle.vectors.select("vec_id", "embedding"), queries, k=k),
+        runs=2,
+    )
+    ivf_sec, ivf = timed(lambda: search_index(spark, handle, queries, k=k, nprobe=nprobe))
+    ivf16_sec, ivf16 = timed(
+        lambda: search_index(spark, handle, queries, k=k, nprobe=16), runs=2
+    )
+
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+
+    q1_np = (qids[:1], qvecs[:1].astype("float64"))
+    serve_local(handle, q1_np, k=k, nprobe=nprobe)  # warm the list LRU
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        serve_local(handle, q1_np, k=k, nprobe=nprobe)
+        best = min(best, time.perf_counter() - t0)
+
+    meta = {
+        "corpus": n,
+        "dim": dim,
+        "n_queries": n_queries,
+        "k": k,
+        "nlist": nlist,
+        "nprobe": nprobe,
+        "flat_sec": flat_sec,
+        "ivf_sec": ivf_sec,
+        "ivf_recall": round(recall_at_k(ivf, exact, k=k), 4),
+        "ivf_nprobe16_sec": ivf16_sec,
+        "ivf_nprobe16_recall": round(recall_at_k(ivf16, exact, k=k), 4),
+        "serve_local": {"ivf_1q_ms": round(best * 1000, 3)},
+        "ivf_split": meta0.get("ivf_split"),
+        "skew": index_skew(spark, idx_dir),
+        "build_sec": build_secs or None,
+    }
+    timings = {"q_ann100m_ivf": ivf_sec}
+    return timings, meta
+
+
 def _calibrate(spark, io_dir: str = "/tmp") -> dict:
     """Fixed-work machine-speed probes, reported beside every run so
     cross-round drift can be attributed: identical code has measured
@@ -863,6 +985,17 @@ def main() -> None:
         except Exception as e:
             ann10_meta = {"error": f"{type(e).__name__}: {e}"}
 
+    # the 100M stretch tier (VERDICT r7 #7) — self-gating: measures only
+    # when its artifacts are cached (or SPARK_GRAFT_ANN_100M=1 pays the
+    # ~1 h cold build); always safe to leave enabled
+    ann100_meta = None
+    if os.environ.get("SPARK_GRAFT_ANN_100M", "") != "0":
+        try:
+            ann100_timings, ann100_meta = _ann_100m(spark, ann_dir)
+            timings.update(ann100_timings)
+        except Exception as e:
+            ann100_meta = {"error": f"{type(e).__name__}: {e}"}
+
     # high-dim unclustered regime probe (VERDICT r5 #2); disable with
     # SPARK_GRAFT_ANN_HIGHDIM=0
     hd_meta = None
@@ -902,6 +1035,8 @@ def main() -> None:
         detail["ann_1m"] = ann_meta
     if ann10_meta is not None:
         detail["ann_10m"] = ann10_meta
+    if ann100_meta is not None:
+        detail["ann_100m"] = ann100_meta
     if hd_meta is not None:
         detail["ann_highdim"] = hd_meta
     detail["calibration"] = calibration
@@ -931,12 +1066,15 @@ def main() -> None:
             prev = json.load(f)
     except (OSError, ValueError):
         prev = {}
-    for key in ("ann_1m", "ann_10m", "ann_highdim"):
+    for key in ("ann_1m", "ann_10m", "ann_100m", "ann_highdim"):
         cur = detail.get(key)
-        if (cur is None or (isinstance(cur, dict) and "error" in cur)) and key in prev:
+        absent = cur is None or (
+            isinstance(cur, dict) and ("error" in cur or "skipped" in cur)
+        )
+        if absent and key in prev:
             carried = dict(prev[key])
             carried["carried_from_previous_run"] = True
-            if isinstance(cur, dict):
+            if isinstance(cur, dict) and "error" in cur:
                 carried["current_run_error"] = cur["error"]
             detail[key] = carried
     try:

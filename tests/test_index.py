@@ -960,6 +960,32 @@ def test_split_oversized_lists_bounds_skew(spark, tmp_path_factory):
     assert a == b
 
 
+def test_default_config_caps_skew(spark, tmp_path_factory):
+    """The r7 default flip's paper trail (VERDICT r7 #3): a DEFAULT
+    EngineConfig — no explicit ivf_max_list_factor — building over a skewed
+    corpus must run the split and record `ivf_split` (with `converged`) in
+    the sidecar. Every other skew test pins an explicit cap; this is the
+    one that proves users get the hardening without opting in."""
+    import math
+
+    cfg = EngineConfig(
+        index_type="IVF", vector_dim=16, nlist=8, kmeans_sample_fraction=1.0
+    )
+    assert cfg.ivf_max_list_factor == 4.0, "engine default under test"
+    corpus = _skewed_corpus(spark)  # hot list = 2n/3 = 5.3x n/nlist > the 4x cap
+    out = str(tmp_path_factory.mktemp("skew_default"))
+    build_index(spark, corpus, out, cfg)
+    meta = read_metadata(out)
+    info = meta.get("ivf_split")
+    assert info is not None, "default-config build must record ivf_split"
+    assert info["lists_split"] >= 1
+    assert info["converged"] is True
+    cap = math.ceil(4.0 * corpus.count() / 8)
+    assert info["cap"] == cap
+    assert info["max_list_final"] <= cap
+    assert meta["nlist"] == info["nlist_after"] > 8
+
+
 def test_split_oversized_lists_ivfpq_residuals(spark, tmp_path_factory):
     """IVFPQ under the list cap: residuals/codes are computed against the
     FINAL (split) centers, so ADC + refine searches work end-to-end."""

@@ -161,3 +161,91 @@ def test_decode_image_dataframe_and_poison_isolation(spark):
     import pandas as pd
 
     assert bad["decode_error"] is not None and pd.isna(bad["height"])
+
+
+def _mutants(seed: int = 11):
+    """Deterministic adversarial payloads from valid BMP/PNG seeds (VERDICT
+    r7 #6): truncations, CRC/length corruption, zero/negative-dim headers,
+    stride-overflow dims, zlib garbage, byte flips, and raw noise."""
+    import struct
+
+    import numpy as np
+
+    from webscale_vector_search_spark.operators.multimodal import encode_bmp, encode_png
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    bmp, png = encode_bmp(rgb), encode_png(rgb)
+    out: list[tuple[str, bytes]] = []
+    for name, b in (("bmp", bmp), ("png", png)):
+        # truncations at every region: header, mid-data, last byte
+        for cut in (1, 10, len(b) // 3, len(b) // 2, len(b) - 1):
+            out.append((f"{name}_trunc_{cut}", b[:cut]))
+        # single-byte flips across the payload (headers, lengths, CRCs, data)
+        for pos in rng.integers(0, len(b), 24):
+            mut = bytearray(b)
+            mut[pos] ^= 0xFF
+            out.append((f"{name}_flip_{pos}", bytes(mut)))
+    # zero/negative dimensions in the BMP header (w at 18, h at 22)
+    for w, h in ((0, 9), (7, 0), (0, 0), (-7, 9)):
+        mut = bytearray(bmp)
+        struct.pack_into("<ii", mut, 18, w, h)
+        out.append((f"bmp_dims_{w}x{h}", bytes(mut)))
+    # stride overflow: header claims far more pixels than the payload holds
+    mut = bytearray(bmp)
+    struct.pack_into("<ii", mut, 18, 1 << 20, 1 << 20)
+    out.append(("bmp_dims_overflow", bytes(mut)))
+    # PNG IHDR dim tampering (w/h at offset 16/20) — CRC now wrong too,
+    # which the lenient decoder ignores; dims drive the reshape
+    for w, h in ((0, 9), (7, 0), (1 << 20, 1 << 20)):
+        mut = bytearray(png)
+        struct.pack_into(">II", mut, 16, w & 0xFFFFFFFF, h & 0xFFFFFFFF)
+        out.append((f"png_dims_{w}x{h}", bytes(mut)))
+    # IDAT payload replaced with non-zlib garbage (length/CRC intact)
+    idat_at = png.index(b"IDAT")
+    (idat_len,) = struct.unpack_from(">I", png, idat_at - 4)
+    mut = bytearray(png)
+    mut[idat_at + 4 : idat_at + 4 + idat_len] = bytes(rng.integers(0, 256, idat_len))
+    out.append(("png_idat_garbage", bytes(mut)))
+    # pure noise payloads + empty + magic-only prefixes
+    out.append(("noise", bytes(rng.integers(0, 256, 64))))
+    out.append(("empty", b""))
+    out.append(("bmp_magic_only", b"BM"))
+    out.append(("png_magic_only", b"\x89PNG\r\n\x1a\n"))
+    return out
+
+
+def test_codec_fuzz_never_escapes(spark):
+    """No exception class escapes decode_image: every adversarial payload
+    either decodes to a sane shape with finite stats or lands in
+    decode_error — the poison-isolation contract at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    mutants = _mutants()
+    media = spark.createDataFrame(
+        [(i, "image", payload, len(payload), name) for i, (name, payload) in enumerate(mutants)],
+        "media_id BIGINT, media_type STRING, content BINARY, n_bytes BIGINT, content_hash STRING",
+    )
+    got = decode_image(media).toPandas().sort_values("media_id").reset_index(drop=True)
+    assert len(got) == len(mutants)  # the job survived every payload
+    names = [n for n, _ in mutants]
+    for i, row in got.iterrows():
+        if row["decode_error"] is None:
+            # a mutation the lenient decoder tolerates (e.g. a CRC flip)
+            # must still produce a sane, finite decode
+            assert row["height"] > 0 and row["width"] > 0, names[i]
+            assert row["channels"] in (1, 3, 4), names[i]
+            assert np.isfinite(np.asarray(row["channel_means"], dtype=float)).all(), names[i]
+        else:
+            assert pd.isna(row["height"]), names[i]
+    # the targeted classes MUST fail (a zero-dim header that "succeeds"
+    # would flow NaN stats downstream silently)
+    by_name = dict(zip(names, got["decode_error"]))
+    for name in (
+        "bmp_dims_0x9", "bmp_dims_7x0", "bmp_dims_0x0", "bmp_dims_-7x9",
+        "bmp_dims_overflow", "png_dims_0x9", "png_dims_7x0",
+        "png_dims_1048576x1048576", "png_idat_garbage", "noise", "empty",
+        "bmp_magic_only", "png_magic_only",
+    ):
+        assert by_name[name] is not None, f"{name} must land in decode_error"

@@ -115,6 +115,10 @@ def _decode_bmp(b: bytes):
         raise ValueError(f"unsupported BMP bit depth {bpp} (palette forms not supported)")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        # a zero/negative-dim header would "decode" to an empty array and
+        # flow NaN stats downstream — raise, never emit degenerate pixels
+        raise ValueError(f"degenerate BMP dimensions {w}x{h}")
     c = bpp // 8
     stride = (w * c + 3) & ~3
     raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
@@ -189,6 +193,8 @@ def _decode_png(b: bytes):
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if w == 0 or h == 0:
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
     c = {0: 1, 2: 3, 6: 4}[color_type]
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     stride = w * c

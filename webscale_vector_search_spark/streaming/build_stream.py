@@ -165,8 +165,10 @@ def incremental_build(
 
     `stream_df` must be a streaming DataFrame with (vec_id, embedding).
     For IVF-family indexes pass the FIXED centroid table (and, for IVFPQ,
-    the fixed codebooks) from the batch training job. Returns the
-    StreamingQuery (caller awaits termination).
+    the fixed codebooks) from the batch training job. Returns an
+    :class:`IndexBuildQuery` — the StreamingQuery plus an automatic
+    sidecar ``total_vectors`` refresh when the drain is observed through
+    awaitTermination / processAllAvailable.
 
     `auto_compact_every=N` runs compact_index after every Nth committed
     epoch, inside the stream itself — a long-running append then keeps its
@@ -179,8 +181,8 @@ def incremental_build(
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
     # a purely stream-built index must still be open_index-able: seed the
-    # sidecar if the batch job didn't; refresh_metadata() recounts after
-    # the stream drains (foreachBatch can't know the final total)
+    # sidecar if the batch job didn't; the drain-time refresh (IndexBuildQuery)
+    # recounts total_vectors (foreachBatch can't know the final total)
     from webscale_vector_search_spark.sources.index_io import (
         METADATA_FILE,
         metadata_dict,
@@ -357,12 +359,53 @@ def incremental_build(
     else:
         raise ValueError(f"unknown index_type {config.index_type!r}")
 
-    return (
+    query = (
         stream_df.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    return IndexBuildQuery(query, spark, out_dir)
+
+
+class IndexBuildQuery:
+    """The handle incremental_build returns: the StreamingQuery plus the
+    sidecar contract. When the `availableNow` run DRAINS — awaitTermination
+    or processAllAvailable returns and the query is no longer active — the
+    sidecar's ``total_vectors`` is refreshed automatically, once; operators
+    no longer have to remember :func:`refresh_metadata` (the stale-sidecar
+    trap: foreachBatch epochs cannot maintain the driver-side JSON
+    transactionally, so the recount must happen at drain). Every other
+    attribute delegates to the wrapped StreamingQuery. A caller that
+    bypasses both methods (polling ``isActive`` directly) keeps the manual
+    refresh_metadata() responsibility."""
+
+    def __init__(self, query, spark: SparkSession, out_dir: str):
+        self._query = query
+        self._spark = spark
+        self._out_dir = out_dir
+        self._refreshed = False
+
+    def _refresh_if_drained(self) -> None:
+        if not self._refreshed and not self._query.isActive:
+            self._refreshed = True
+            refresh_metadata(self._spark, self._out_dir)
+
+    def awaitTermination(self, timeout=None):
+        res = (
+            self._query.awaitTermination()
+            if timeout is None
+            else self._query.awaitTermination(timeout)
+        )
+        self._refresh_if_drained()
+        return res
+
+    def processAllAvailable(self) -> None:
+        self._query.processAllAvailable()
+        self._refresh_if_drained()
+
+    def __getattr__(self, name):
+        return getattr(self._query, name)
 
 
 def refresh_metadata(spark: SparkSession, index_dir: str) -> dict:
