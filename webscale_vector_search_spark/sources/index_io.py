@@ -122,8 +122,16 @@ def read_rotation(spark: SparkSession, index_dir: str) -> "np.ndarray | None":
 
 def write_local_codebooks(books_df, out_dir: str) -> None:
     """Per-cell (LOPQ) codebook table: one row per cell,
-    (centroid_id INT, books ARRAY<FLOAT> flat). nlist rows — tiny."""
-    books_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "codebooks"))
+    (centroid_id INT, books ARRAY<FLOAT> flat). nlist rows — tiny.
+
+    repartition(1), NOT coalesce(1): coalesce propagates the 1-partition
+    target up to the shuffle boundary, merging the applyInPandas reduce
+    stage into a single task — the "distributed" per-cell fit then runs
+    every cell sequentially on one core (measured: the 10M/3162-cell LOPQ
+    build pinned one core for the whole fit). The repartition inserts an
+    exchange AFTER the fit, so cells fit cluster-wide and only the tiny
+    (~64 kB/cell) result table funnels to one writer."""
+    books_df.repartition(1).write.mode("overwrite").parquet(os.path.join(out_dir, "codebooks"))
 
 
 def read_local_codebooks(
