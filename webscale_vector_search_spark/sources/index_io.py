@@ -144,13 +144,33 @@ def read_local_codebooks(
 ):
     """Per-cell codebooks {cid: (m, n_codes, dsub)}; with_rots=True also
     returns the per-cell OPQ rotation dict (None when the artifact carries
-    no rotations — LOPQ-without-OPQ or a pre-rotation index)."""
+    no rotations — LOPQ-without-OPQ or a pre-rotation index).
+
+    The read runs with a small columnar batch: each row carries
+    m * n_codes * dsub floats (~64 kB at m=32, 4x that with a rotation
+    column), so the default 4096-row vectorized-reader batch reserves
+    ~0.25-1 GB of contiguous heap PER COLUMN and OOMs the shared
+    local-mode JVM once nlist reaches a few thousand cells (hit at the
+    10M/3162-cell tier). 64-row batches bound it at ~4-16 MB."""
     from webscale_vector_search_spark.operators.pq import local_books_and_rots, local_books_dict
 
-    df = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    if not with_rots:
-        return local_books_dict(df, m, n_codes, dim)
-    return local_books_and_rots(df, m, n_codes, dim)
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "64")
+    try:
+        df = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+        # the collect (toPandas) must happen under the scoped conf
+        if not with_rots:
+            return local_books_dict(df, m, n_codes, dim)
+        return local_books_and_rots(df, m, n_codes, dim)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def read_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
