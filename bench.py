@@ -777,11 +777,14 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
     (the deterministic splitmix generator regenerates it per build pass;
     only the ~27 GB index artifact hits disk — the sandbox has ~65 GB
     free), the build skips centroid polish (each polish pass is another
-    full 100M x nlist assignment GEMM, ~25 min of pure BLAS), and there is
-    no IVFPQ arm (the encode pass is the same flop class again). The
-    skew cap stays at the ENGINE DEFAULT 4.0 — this tier measures the
-    posture users actually get. Exact truth for recall comes from a FLAT
-    scan of the index's own vectors at 50 queries.
+    full 100M x nlist assignment GEMM, ~25 min of pure BLAS), there is
+    no IVFPQ arm (the encode pass is the same flop class again), and the
+    skew cap is OFF: the cap's split passes persist a corpus-sized
+    DISK_ONLY cache (~30 GB) on top of the write shuffle (~26 GB) and the
+    index itself (~27 GB) — past this sandbox's disk budget; the capped
+    posture is measured at the 10M tier, and this tier reports the
+    uncapped occupancy skew it would repair. Exact truth for recall comes
+    from a FLAT scan of the index's own vectors at 50 queries.
 
     The cold build costs ~1 h, so the tier SKIPS unless its artifacts are
     already cached or SPARK_GRAFT_ANN_100M=1 explicitly forces the build
@@ -802,7 +805,7 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
 
     cfg = EngineConfig(
         index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.002,
-        centroid_polish_iters=0,
+        centroid_polish_iters=0, ivf_max_list_factor=None,
     )
     idx_dir = _idx_cache_dir(cache_dir, "IVF100M", cfg, n)
     built = os.path.exists(os.path.join(idx_dir, "shards_metadata.json"))

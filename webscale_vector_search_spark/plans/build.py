@@ -142,7 +142,16 @@ def build_index(
             # so PQ residuals are computed against the final (split) centers.
             # Persist the pre-split assignment: the counts aggregate, the
             # sampled sub-center fit, and the reassignment all read it.
-            presplit = assigned.persist()
+            # DISK_ONLY is load-bearing: this is a CORPUS-SIZED persist, and
+            # the default memory-first columnar cache builds every
+            # partition's batches in heap before spilling — measured OOM
+            # (ColumnBuilder.ensureFreeSpace) at the 100M tier on an 8 GB
+            # local JVM. Disk blocks stream per batch and bound heap at any
+            # corpus size; re-reading them is still ~10x cheaper than
+            # re-running the assignment GEMM per pass.
+            from pyspark import StorageLevel
+
+            presplit = assigned.persist(StorageLevel.DISK_ONLY)
             assigned, centroids, split_info = ivf_ops.split_oversized_lists(
                 spark, presplit, centroids, config.ivf_max_list_factor, seed=config.seed
             )
@@ -158,8 +167,12 @@ def build_index(
                 # LOPQ: per-cell codebooks, fit DISTRIBUTED (one
                 # applyInPandas group per inverted list); the assigned
                 # corpus is persisted so assignment isn't recomputed for
-                # fit, encode, and the partitioned write
-                assigned = persisted_assigned = assigned.persist()
+                # fit, encode, and the partitioned write. DISK_ONLY for the
+                # same corpus-sized-persist reason as the skew-cap path
+                # above (memory-first caching OOMs once corpus >> heap)
+                from pyspark import StorageLevel
+
+                assigned = persisted_assigned = assigned.persist(StorageLevel.DISK_ONLY)
                 books_df = pq_ops.fit_codebooks_per_list(
                     assigned,
                     pq_m,
