@@ -189,3 +189,33 @@ def test_self_query_sanity(flat_handle, queries):
     r1 = got[got["rank"] == 1]
     assert (r1["query_id"].to_numpy() == r1["neighbor_id"].to_numpy()).all()
     assert (r1["distance"].to_numpy() == 0.0).all()
+
+
+def test_search_routed_boundary(spark, ivf_handle, queries):
+    """search_routed: small batches serve driver-side, large ones as a
+    Spark job — identical rows either way (the bit-identity dividend)."""
+    from webscale_vector_search_spark.plans.serve_local import search_routed
+
+    small = _canon(
+        search_routed(spark, ivf_handle, queries, k=5, nprobe=3).toPandas()
+    )
+    large = _canon(
+        search_routed(
+            spark, ivf_handle, queries, k=5, nprobe=3, max_local_batch=2
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(small, large, check_exact=True)
+    # numpy form routes too, both sides of the boundary
+    rows = queries.orderBy("query_id").collect()
+    q_ids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    Q = np.stack([r["qvec"] for r in rows]).astype(np.float64)
+    via_np_small = _canon(
+        search_routed(spark, ivf_handle, (q_ids, Q), k=5, nprobe=3).toPandas()
+    )
+    via_np_large = _canon(
+        search_routed(
+            spark, ivf_handle, (q_ids, Q), k=5, nprobe=3, max_local_batch=2
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(small, via_np_small, check_exact=True)
+    pd.testing.assert_frame_equal(small, via_np_large, check_exact=True)

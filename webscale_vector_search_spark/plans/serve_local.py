@@ -47,8 +47,8 @@ import numpy as np
 from webscale_vector_search_spark.sources.index_io import IndexHandle
 
 # Batches at or below this are faster driver-side than as a Spark job
-# (measured: the Spark floor alone is ~100x a warm 1-query serve_local);
-# api.search uses it as the routing default.
+# (measured: the Spark floor alone is ~50-100x a warm 1-query serve_local);
+# search_routed uses it as the routing default.
 SERVE_LOCAL_MAX_BATCH = 64
 
 _DEFAULT_CACHE_MB = 4096
@@ -569,3 +569,48 @@ def serve_local(
     if not exact_refine:
         return adc
     return _refine(handle, q_ids, Q, k, adc, probes, cache_budget_mb)
+
+
+RESULT_SCHEMA = "query_id BIGINT, rank INT, neighbor_id BIGINT, distance DOUBLE"
+
+
+def search_routed(
+    spark,
+    handle: IndexHandle,
+    queries,
+    k: int = 10,
+    max_local_batch: int = SERVE_LOCAL_MAX_BATCH,
+    **search_kwargs,
+):
+    """Route a search on batch size alone — the dispatch the bit-identity
+    contract buys. Batches of at most ``max_local_batch`` queries serve
+    driver-side (:func:`serve_local`); larger ones run as a Spark job
+    (plans.build.search_index). Either way the return is a DataFrame with
+    the engine's standard result schema, and the rows are identical.
+
+    For a Spark-DataFrame `queries` the router must look at the batch to
+    size it, which costs one small collect job (limit max+1) — the values
+    are needed driver-side anyway when the small path wins. Numpy/pandas/
+    tuple forms size for free. ``search_kwargs`` pass through to either
+    path (nprobe / exact_refine / refine_factor / ef_search).
+    """
+    from webscale_vector_search_spark.plans.build import search_index
+
+    if hasattr(queries, "sparkSession"):
+        rows = queries.select("query_id", "qvec").limit(max_local_batch + 1).collect()
+        if len(rows) > max_local_batch:
+            return search_index(spark, handle, queries, k=k, **search_kwargs)
+        q_ids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+        Q = np.stack([r["qvec"] for r in rows]).astype(np.float64)
+        small = (q_ids, Q)
+    else:
+        q_ids, Q = _query_batch(queries)
+        if len(q_ids) > max_local_batch:
+            df = spark.createDataFrame(
+                [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q.astype("float32"))],
+                "query_id BIGINT, qvec ARRAY<FLOAT>",
+            )
+            return search_index(spark, handle, df, k=k, **search_kwargs)
+        small = (q_ids, Q)
+    pdf = serve_local(handle, small, k=k, **search_kwargs)
+    return spark.createDataFrame(pdf, RESULT_SCHEMA)
