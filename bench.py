@@ -688,6 +688,15 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
     hnsw_sec, hnsw_res = timed(
         lambda: search_index(spark, hnsw_handle, queries, k=k), warmups=2
     )
+    # the shard-depth recall datum: 625k-node shards at the default ef=64
+    # measure ~0.92 recall where 62.5k-node shards measure ~0.99 — ef=128
+    # buys back ~0.04 for ~10% latency, ef=192 only ~0.01 more for 2x
+    # (measured r8), so shard SIZE, not beam width, is the recall lever
+    # for graph serving at scale
+    hnsw128_sec, hnsw128 = timed(
+        lambda: search_index(spark, hnsw_handle, queries, k=k, ef_search=128),
+        warmups=2, runs=2,
+    )
     skew = index_skew(spark, handles["ivf"])
 
     # driver-side mini-serve at 10M: 625k-node graph bundles per pinned
@@ -744,6 +753,8 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
         },
         "hnsw_sec": hnsw_sec,
         "hnsw_recall": round(recall_at_k(hnsw_res, exact, k=k), 4),
+        "hnsw_ef128_sec": hnsw128_sec,
+        "hnsw_ef128_recall": round(recall_at_k(hnsw128, exact, k=k), 4),
         "hnsw_shards": 16,
         "serve_local": serve,
         "skew": skew,
