@@ -219,3 +219,19 @@ def test_search_routed_boundary(spark, ivf_handle, queries):
     )
     pd.testing.assert_frame_equal(small, via_np_small, check_exact=True)
     pd.testing.assert_frame_equal(small, via_np_large, check_exact=True)
+
+
+def test_as_arrays_fast_path(spark, ivf_handle, pq_handle, hnsw_handle, queries):
+    """as_arrays=True returns the same four columns as raw numpy arrays —
+    identical values to the DataFrame form, for every index family."""
+    for h, kw in (
+        (ivf_handle, dict(nprobe=3)),
+        (pq_handle, dict(nprobe=2)),
+        (pq_handle, dict(nprobe=2, exact_refine=False)),
+        (hnsw_handle, dict()),
+    ):
+        pdf = _canon(serve_local(h, queries, k=5, **kw))
+        arr = serve_local(h, queries, k=5, as_arrays=True, **kw)
+        assert set(arr) == {"query_id", "rank", "neighbor_id", "distance"}
+        got = _canon(pd.DataFrame(arr))
+        pd.testing.assert_frame_equal(pdf, got, check_exact=True)

@@ -113,25 +113,20 @@ def _normalize_like_sql(Q: np.ndarray) -> np.ndarray:
     return (Q / norm[:, None]).astype(np.float32).astype(np.float64)
 
 
-def _finalize(parts: list[dict], k: int):
+def _finalize_arrays(parts: list[dict], k: int) -> dict:
     """K3 on the driver: global top-k per query by (distance, vec_id) —
-    the same total order as the rank-window merge (knn.topk). Returns a
-    pandas DataFrame shaped exactly like search_index().toPandas()."""
-    import pandas as pd
-
+    the same total order as the rank-window merge (knn.topk). Returns the
+    result as flat numpy columns."""
     from webscale_vector_search_spark.operators.knn import segment_iter
 
-    empty = pd.DataFrame(
-        {
-            "query_id": pd.Series(dtype="int64"),
-            "rank": pd.Series(dtype="int32"),
-            "neighbor_id": pd.Series(dtype="int64"),
-            "distance": pd.Series(dtype="float64"),
-        }
-    )
     parts = [p for p in parts if len(p["query_id"])]
     if not parts:
-        return empty
+        return {
+            "query_id": np.empty(0, dtype=np.int64),
+            "rank": np.empty(0, dtype=np.int32),
+            "neighbor_id": np.empty(0, dtype=np.int64),
+            "distance": np.empty(0, dtype=np.float64),
+        }
     qid = np.concatenate([p["query_id"] for p in parts])
     vid = np.concatenate([p["vec_id"] for p in parts])
     dist = np.concatenate([p["distance"] for p in parts])
@@ -143,14 +138,25 @@ def _finalize(parts: list[dict], k: int):
         out_r.append(np.arange(1, len(sel) + 1, dtype=np.int32))
         out_v.append(vid[sel])
         out_d.append(dist[sel])
-    return pd.DataFrame(
-        {
-            "query_id": np.concatenate(out_q),
-            "rank": np.concatenate(out_r),
-            "neighbor_id": np.concatenate(out_v),
-            "distance": np.concatenate(out_d),
-        }
-    )
+    return {
+        "query_id": np.concatenate(out_q),
+        "rank": np.concatenate(out_r),
+        "neighbor_id": np.concatenate(out_v),
+        "distance": np.concatenate(out_d),
+    }
+
+
+def _finalize(parts: list[dict], k: int, as_arrays: bool = False):
+    """_finalize_arrays wrapped for the public result form: a pandas
+    DataFrame shaped exactly like search_index().toPandas(), or (the
+    latency fast path) the raw column dict — DataFrame construction is
+    ~1-2 ms, real money against a ~1 ms warm 1-query serve."""
+    arrays = _finalize_arrays(parts, k)
+    if as_arrays:
+        return arrays
+    import pandas as pd
+
+    return pd.DataFrame(arrays)
 
 
 # --------------------------------------------------------------------------
@@ -179,6 +185,24 @@ def _list_columns(tbl, n: int) -> dict:
 
 def _nbytes(entry: dict) -> int:
     return sum(a.nbytes for a in entry.values())
+
+
+def _list_v64(handle: IndexHandle, entry: dict):
+    """(V float64, ||v||^2) for one cached list, materialized lazily and
+    kept in the entry: the per-call astype widening + row-norm pass were
+    ~40% of a warm 1-query IVF serve (profiled). Same values as widening
+    per call — float32 -> float64 is exact — so bit-identity holds; the
+    extra bytes are charged to the LRU budget when materialized."""
+    v64 = entry.get("V64")
+    if v64 is None:
+        v64 = entry["V64"] = entry["V"].astype(np.float64)
+        entry["vsq"] = (v64 * v64).sum(1)
+        handle._serve_lists_bytes = (
+            handle.__dict__.get("_serve_lists_bytes", 0)
+            + v64.nbytes
+            + entry["vsq"].nbytes
+        )
+    return v64, entry["vsq"]
 
 
 def _list_data(handle: IndexHandle, cid: int, cache_budget_mb: int) -> dict | None:
@@ -302,8 +326,8 @@ def _ivf_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb) -> li
         if entry is None:
             continue
         qsel = probes.probe_lists[cv]
-        Vc = entry["V"].astype(np.float64)
-        d = q_sq[qsel][:, None] - 2.0 * (Q[qsel] @ Vc.T) + (Vc * Vc).sum(1)[None, :]
+        Vc, v_sq = _list_v64(handle, entry)
+        d = q_sq[qsel][:, None] - 2.0 * (Q[qsel] @ Vc.T) + v_sq[None, :]
         np.maximum(d, 0.0, out=d)
         parts.append(batch_topk_rows(d, entry["ids"], q_ids[qsel], k))
     return parts
@@ -489,10 +513,11 @@ def _refine(handle, q_ids, Q, k, adc_result, probes: _LocalProbes, cache_budget_
     sorted_ids = all_ids[order]
     V_all = np.concatenate(v_chunks).astype(np.float64)
 
+    adc_qid = np.asarray(adc_result["query_id"])
+    adc_nid = np.asarray(adc_result["neighbor_id"])
     parts = []
     for qi in range(len(q_ids)):
-        mask = adc_result["query_id"].to_numpy() == q_ids[qi]
-        cand = adc_result["neighbor_id"].to_numpy()[mask]
+        cand = adc_nid[adc_qid == q_ids[qi]]
         if cand.size == 0:
             continue
         pos = order[np.searchsorted(sorted_ids, cand)]
@@ -505,7 +530,7 @@ def _refine(handle, q_ids, Q, k, adc_result, probes: _LocalProbes, cache_budget_
                 "distance": d,
             }
         )
-    return _finalize(parts, k)
+    return parts
 
 
 # --------------------------------------------------------------------------
@@ -521,6 +546,7 @@ def serve_local(
     refine_factor: int = 10,
     ef_search: int = 64,
     cache_budget_mb: int = _DEFAULT_CACHE_MB,
+    as_arrays: bool = False,
 ):
     """Serve a small query batch from the driver — no Spark job.
 
@@ -528,7 +554,10 @@ def serve_local(
     may be a Spark/pandas DataFrame (query_id, qvec), an (ids, matrix)
     tuple, or a bare numpy matrix / vector (ids default to 0..nq-1).
     Returns a pandas DataFrame (query_id, rank, neighbor_id, distance),
-    sorted by (query_id, rank).
+    sorted by (query_id, rank) — or, with ``as_arrays=True``, the same
+    four columns as a dict of numpy arrays: DataFrame construction costs
+    ~1-2 ms, which is most of a warm 1-query serve, so latency-critical
+    loops take the array form (sub-ms measured for warm 1-query IVF).
 
     First call per handle pays the artifact warm-up (corpus block / probed
     lists / graph bundles); steady-state cost is kernel compute only —
@@ -543,10 +572,10 @@ def serve_local(
         Q = _normalize_like_sql(Q)
 
     if itype == "FLAT":
-        return _finalize(_flat_parts(handle, q_ids, Q, k), k)
+        return _finalize(_flat_parts(handle, q_ids, Q, k), k, as_arrays)
 
     if itype == "HNSW" and meta.get("hnsw_graph"):
-        return _finalize(_hnsw_parts(handle, q_ids, Q, k, ef_search), k)
+        return _finalize(_hnsw_parts(handle, q_ids, Q, k, ef_search), k, as_arrays)
 
     nlist = meta["nlist"]
     if nprobe is None:
@@ -559,16 +588,23 @@ def serve_local(
         # legacy (pre-r5) HNSW artifacts share the IVF centroid layout and
         # serve through the probe path (their default_nprobe is the
         # deliberate 3/4-of-lists near-exact scan — config.default_nprobe)
-        return _finalize(_ivf_parts(handle, q_ids, Q, k, probes, cache_budget_mb), k)
+        return _finalize(
+            _ivf_parts(handle, q_ids, Q, k, probes, cache_budget_mb), k, as_arrays
+        )
 
     if itype != "IVFPQ":
         raise ValueError(f"unknown index_type {itype!r}")
 
     adc_k = refine_factor * k if exact_refine else k
-    adc = _finalize(_adc_parts(handle, q_ids, Q, adc_k, probes, cache_budget_mb), adc_k)
+    adc = _finalize_arrays(_adc_parts(handle, q_ids, Q, adc_k, probes, cache_budget_mb), adc_k)
     if not exact_refine:
-        return adc
-    return _refine(handle, q_ids, Q, k, adc, probes, cache_budget_mb)
+        if as_arrays:
+            return adc
+        import pandas as pd
+
+        return pd.DataFrame(adc)
+    refined = _refine(handle, q_ids, Q, k, adc, probes, cache_budget_mb)
+    return _finalize(refined, k, as_arrays)
 
 
 RESULT_SCHEMA = "query_id BIGINT, rank INT, neighbor_id BIGINT, distance DOUBLE"
