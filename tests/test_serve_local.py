@@ -235,3 +235,18 @@ def test_as_arrays_fast_path(spark, ivf_handle, pq_handle, hnsw_handle, queries)
         assert set(arr) == {"query_id", "rank", "neighbor_id", "distance"}
         got = _canon(pd.DataFrame(arr))
         pd.testing.assert_frame_equal(pdf, got, check_exact=True)
+
+
+def test_cosine_ivf_bit_identical(spark, corpus, queries, tmp_path_factory):
+    """Cosine + IVF: probe selection must run over the SQL-normalized query
+    frame identically on both paths (the declared q_ann_ivf cosine arm's
+    serving twin)."""
+    handle = _build(
+        spark, corpus, tmp_path_factory, "sl_cos_ivf",
+        EngineConfig(
+            index_type="IVF", metric="cosine", nlist=8, kmeans_sample_fraction=1.0
+        ),
+    )
+    want = search_index(spark, handle, queries, k=10, nprobe=3)
+    got = serve_local(handle, queries, k=10, nprobe=3)
+    _assert_identical(want, got)
