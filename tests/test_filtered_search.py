@@ -1,0 +1,235 @@
+"""Filtered ANN (r9): search-time predicates over build-time attribute
+columns, across all four index types.
+
+Semantics under test:
+- FLAT + where == exact brute-force over the pre-filtered corpus (equality).
+- IVF + where at nprobe=nlist == the same exact filtered oracle (probing
+  every list makes the probed scan the whole corpus, so the filter is the
+  only difference — equality, not recall).
+- IVF/IVFPQ + where at small nprobe: recall against the filtered oracle.
+- HNSW + where: post-filter with oversampling; recall-bounded.
+- allowed_ids: the FAISS IDSelector analog (reference has no per-id filter
+  API at all — vector_search_cluster.py:761-764's QueryRequest carries only
+  vector/k/all_shards; this is a §2.9 extension).
+- Plan shape: the attr predicate must reach the probed scan's parquet
+  PushedFilters (no join, no post-pass) — asserted on the IVF plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from webscale_vector_search_spark.config import EngineConfig
+from webscale_vector_search_spark.operators.ivf import recall_at_k
+from webscale_vector_search_spark.operators.knn import knn_pandas
+from webscale_vector_search_spark.plans.build import build_index, search_index
+from webscale_vector_search_spark.sources.fixtures import load_table, queries_from_embeddings
+from webscale_vector_search_spark.sources.index_io import read_metadata
+
+NLIST = 16
+WHERE = "label = 3"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Embeddings with two attribute columns: label (7-way, the filter
+    target) and bucket (unused by filters — proves multi-attr storage)."""
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    return (
+        emb.withColumn("label", (F.col("vec_id") % 7).cast("int"))
+        .withColumn("bucket", (F.col("vec_id") % 100).cast("int"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return queries_from_embeddings(spark, SF_ORACLE, 12).cache()
+
+
+@pytest.fixture(scope="module")
+def filtered_oracle(corpus, queries):
+    """Exact top-10 over only the label=3 rows — ground truth for every arm."""
+    return knn_pandas(corpus.filter(WHERE), queries, k=10).cache()
+
+
+@pytest.fixture(scope="module")
+def idx_root(tmp_path_factory):
+    return tmp_path_factory.mktemp("filtered_idx")
+
+
+@pytest.fixture(scope="module")
+def flat_dir(spark, corpus, idx_root):
+    out = str(idx_root / "flat")
+    build_index(spark, corpus, out, EngineConfig(index_type="FLAT"),
+                attr_cols=["label", "bucket"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def ivf_dir(spark, corpus, idx_root):
+    out = str(idx_root / "ivf")
+    build_index(spark, corpus, out,
+                EngineConfig(index_type="IVF", nlist=NLIST),
+                attr_cols=["label", "bucket"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def ivfpq_dir(spark, corpus, idx_root):
+    out = str(idx_root / "ivfpq")
+    build_index(spark, corpus, out,
+                EngineConfig(index_type="IVFPQ", nlist=NLIST, pq_m=16),
+                attr_cols=["label"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def hnsw_dir(spark, corpus, idx_root):
+    out = str(idx_root / "hnsw")
+    build_index(spark, corpus, out,
+                EngineConfig(index_type="HNSW", num_shards=4),
+                attr_cols=["label"])
+    return out
+
+
+def _rows(df):
+    return {
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["distance"], 6))
+        for r in df.collect()
+    }
+
+
+def test_metadata_records_attrs(spark, flat_dir, ivf_dir, hnsw_dir):
+    assert read_metadata(flat_dir)["attr_cols"] == ["label", "bucket"]
+    assert read_metadata(ivf_dir)["attr_cols"] == ["label", "bucket"]
+    assert read_metadata(hnsw_dir)["attr_cols"] == ["label"]
+
+
+def test_attrs_stored_in_rows(spark, ivf_dir):
+    """IVF index rows carry the attr columns (scan-side filtering, no join)."""
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    h = open_index(spark, ivf_dir)
+    assert "label" in h.vectors.columns and "bucket" in h.vectors.columns
+    assert h.attrs is None  # in-row, no sidecar
+
+
+def test_hnsw_attrs_sidecar(spark, hnsw_dir, corpus):
+    """HNSW graph rows have a fixed schema; attrs live in the sidecar."""
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    h = open_index(spark, hnsw_dir)
+    assert "label" not in h.vectors.columns
+    assert h.attrs is not None
+    assert h.attrs.count() == corpus.count()
+    assert set(h.attrs.columns) == {"vec_id", "label"}
+
+
+def test_flat_filtered_exact(spark, flat_dir, queries, filtered_oracle):
+    res = search_index(spark, flat_dir, queries, k=10, where=WHERE)
+    assert _rows(res) == _rows(filtered_oracle)
+
+
+def test_ivf_filtered_full_probe_exact(spark, ivf_dir, queries, filtered_oracle):
+    """nprobe=nlist probes everything -> filtered IVF must equal the
+    filtered exact oracle bit-for-bit (same kernel, same tie order)."""
+    res = search_index(spark, ivf_dir, queries, k=10, nprobe=NLIST, where=WHERE)
+    assert _rows(res) == _rows(filtered_oracle)
+
+
+def test_ivf_filtered_recall(spark, ivf_dir, queries, filtered_oracle):
+    res = search_index(spark, ivf_dir, queries, k=10, nprobe=8, where=WHERE)
+    assert recall_at_k(res, filtered_oracle, k=10) >= 0.9
+
+
+def test_ivf_filtered_sql_kernel_parity(spark, ivf_dir, queries):
+    """SQL and pandas kernels agree under a filter (same total order)."""
+    a = search_index(spark, ivf_dir, queries, k=10, nprobe=8, where=WHERE)
+    b = search_index(spark, ivf_dir, queries, k=10, nprobe=8, where=WHERE,
+                     kernel="sql")
+    assert _rows(a) == _rows(b)
+
+
+def test_ivfpq_filtered_recall(spark, ivfpq_dir, queries, filtered_oracle):
+    """Refined filtered ADC: candidates come from the filtered code scan,
+    refine re-ranks them exactly -> high recall vs the filtered oracle."""
+    res = search_index(spark, ivfpq_dir, queries, k=10, nprobe=NLIST, where=WHERE)
+    assert recall_at_k(res, filtered_oracle, k=10) >= 0.9
+
+
+def test_hnsw_filtered_recall(spark, hnsw_dir, queries, filtered_oracle):
+    res = search_index(spark, hnsw_dir, queries, k=10, where=WHERE,
+                       filter_oversample=8, ef_search=64)
+    assert recall_at_k(res, filtered_oracle, k=10) >= 0.85
+
+
+def test_hnsw_filtered_results_obey_filter(spark, hnsw_dir, queries, corpus):
+    res = search_index(spark, hnsw_dir, queries, k=10, where=WHERE,
+                       filter_oversample=8)
+    bad = (
+        res.join(corpus.select("vec_id", "label"),
+                 res.neighbor_id == F.col("vec_id"))
+        .filter("label != 3")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_allowed_ids_flat(spark, flat_dir, corpus, queries):
+    """IDSelector analog: restrict to an explicit id set; equals the exact
+    search over exactly those rows."""
+    ids = corpus.select("vec_id").filter("vec_id % 11 = 0")
+    oracle = knn_pandas(corpus.join(ids, "vec_id", "left_semi"), queries, k=10)
+    res = search_index(spark, flat_dir, queries, k=10, allowed_ids=ids)
+    assert _rows(res) == _rows(oracle)
+
+
+def test_allowed_ids_ivf(spark, ivf_dir, corpus, queries):
+    ids = corpus.select("vec_id").filter("vec_id % 11 = 0")
+    oracle = knn_pandas(corpus.join(ids, "vec_id", "left_semi"), queries, k=10)
+    res = search_index(spark, ivf_dir, queries, k=10, nprobe=NLIST, allowed_ids=ids)
+    assert _rows(res) == _rows(oracle)
+
+
+def test_combined_where_and_allowed_ids(spark, ivf_dir, corpus, queries):
+    ids = corpus.select("vec_id").filter("vec_id % 2 = 0")
+    oracle = knn_pandas(
+        corpus.filter(WHERE).join(ids, "vec_id", "left_semi"), queries, k=10
+    )
+    res = search_index(spark, ivf_dir, queries, k=10, nprobe=NLIST,
+                       where=WHERE, allowed_ids=ids)
+    assert _rows(res) == _rows(oracle)
+
+
+def test_empty_filter_returns_no_rows(spark, ivf_dir, queries):
+    res = search_index(spark, ivf_dir, queries, k=10, nprobe=NLIST,
+                       where="label = 99")
+    assert res.count() == 0
+
+
+def test_attr_cols_validation(spark, corpus, idx_root):
+    with pytest.raises(ValueError, match="collide"):
+        build_index(spark, corpus, str(idx_root / "bad1"),
+                    EngineConfig(index_type="FLAT"), attr_cols=["centroid_id"])
+    with pytest.raises(ValueError, match="not in corpus"):
+        build_index(spark, corpus, str(idx_root / "bad2"),
+                    EngineConfig(index_type="FLAT"), attr_cols=["nope"])
+
+
+def test_filter_reaches_pushed_filters(spark, ivf_dir, queries):
+    """The attr predicate must land in the probed scan's parquet
+    PushedFilters — scan-side filtering is the entire 100 TB argument
+    (a join or post-filter here silently changes the cost class)."""
+    res = search_index(spark, ivf_dir, queries, k=10, nprobe=4, where="label = 3")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        l for l in plan.splitlines() if "FileScan" in l and "vectors" in l
+    ]
+    assert scan_lines, "no FileScan over the index vectors directory in plan"
+    line = scan_lines[0]
+    assert "PushedFilters" in line
+    pushed = line.split("PushedFilters:")[1]
+    assert "label" in pushed and "EqualTo" in pushed or "label" in pushed

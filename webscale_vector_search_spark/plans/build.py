@@ -58,6 +58,7 @@ def build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids_df: DataFrame | None = None,
+    attr_cols: "list[str] | None" = None,
 ) -> index_io.IndexHandle:
     """End-to-end build. Returns an opened handle on the written artifacts.
 
@@ -67,9 +68,35 @@ def build_index(
     several IVF-family indexes are built over the same corpus (e.g. IVF +
     IVFPQ variants), train once and share; with identical config the
     trained centers are identical anyway, so this only removes the
-    duplicated KMeans + polish passes."""
+    duplicated KMeans + polish passes.
+
+    `attr_cols` names corpus columns to store as FILTERABLE ATTRIBUTES
+    (the FAISS IDSelector / metadata-filter analog, as data): for
+    FLAT/IVF/IVFPQ they ride each index row through the build kernels
+    (assign/encode are pass-through on extra columns) into the partitioned
+    parquet, so a search-time `where` predicate lands in the probed scan's
+    PushedFilters — filtering costs row-group stats + column decode, never
+    a join. HNSW graph rows have a fixed schema, so attrs are written to an
+    `attrs/` sidecar instead (one map-only pass, no shuffle) and filtered
+    searches pay a candidates-only semi-join (see search_index)."""
     validate_vectors(corpus, config.vector_dim, vec_col)
-    base = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    attr_cols = list(attr_cols) if attr_cols else None
+    if attr_cols:
+        reserved = {
+            "vec_id", "embedding", "centroid_id", "codes", "shard_id",
+            "hnsw_level", "hnsw_neighbors",
+        }
+        clash = reserved.intersection(attr_cols)
+        if clash:
+            raise ValueError(f"attr_cols collide with index columns: {sorted(clash)}")
+        missing = [c for c in attr_cols if c not in corpus.columns]
+        if missing:
+            raise ValueError(f"attr_cols not in corpus: {missing}")
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        *[F.col(c) for c in (attr_cols or [])],
+    )
     if config.metric == "cosine":
         # unit vectors make every sq_l2 kernel downstream rank as cosine
         from webscale_vector_search_spark.functions.distance import with_l2_normalized
@@ -114,6 +141,13 @@ def build_index(
         # bundles that load ~6x faster than the parquet decode (parquet
         # stays canonical; the loader fingerprint-checks and falls back)
         hnsw_ops.freeze_graphs(vectors_dir, config.num_shards, spark=spark)
+        if attr_cols:
+            # graph rows have a fixed schema (build_one), so attributes go
+            # to a sidecar table: map-only write, input partitioning kept —
+            # no shuffle even when the corpus is the 100 TB side
+            base.select("vec_id", *attr_cols).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "attrs")
+            )
     elif config.index_type in ("IVF", "IVFPQ"):
         nlist = config.resolved_nlist(n_total)
         if centroids_df is not None:
@@ -248,6 +282,7 @@ def build_index(
         pq_residual=config.index_type == "IVFPQ" and config.pq_residual,
         pq_bits=config.pq_bits,
         pq_local_codebooks=config.index_type == "IVFPQ" and config.pq_local_codebooks,
+        attr_cols=attr_cols,
     )
     if config.index_type in ("IVF", "IVFPQ") and config.ivf_max_list_factor:
         # skew report for operators/tooling: how many hot lists were split
@@ -268,6 +303,53 @@ def build_index(
     return index_io.open_index(spark, out_dir)
 
 
+def _apply_filter(df: DataFrame, where, allowed_ids: DataFrame | None) -> DataFrame:
+    """Compose the search-time predicate onto an index scan. `where` (SQL
+    string or Column) lands in the scan's PushedFilters next to the
+    centroid_id partition filter; `allowed_ids` (a DataFrame with a vec_id
+    column — the FAISS IDSelector analog) becomes a broadcast left-semi,
+    map-side against the streamed scan."""
+    if where is not None:
+        df = df.filter(where)
+    if allowed_ids is not None:
+        df = df.join(F.broadcast(allowed_ids.select("vec_id")), "vec_id", "left_semi")
+    return df
+
+
+def _postfilter_topk(res: DataFrame, attr_src: DataFrame, where,
+                     allowed_ids: DataFrame | None, k: int) -> DataFrame:
+    """Filtered top-k for graph searches: a beam traversal has no scan to
+    push predicates into, so the oversampled candidates are validated
+    against the attribute source and re-ranked. Candidates-only IO — the
+    attrs scan carries a broadcast semi-join on the ≤ |queries|·k' result
+    ids, and only the tiny surviving id set is broadcast back."""
+    cand = res.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    valid = attr_src
+    if where is not None:
+        valid = valid.filter(where)
+    if allowed_ids is not None:
+        valid = valid.join(F.broadcast(allowed_ids.select("vec_id")), "vec_id", "left_semi")
+    valid = valid.join(F.broadcast(cand), "vec_id", "left_semi").select("vec_id")
+    kept = res.join(
+        F.broadcast(valid.withColumnRenamed("vec_id", "neighbor_id")),
+        "neighbor_id",
+        "left_semi",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "distance",
+        )
+    )
+
+
 def search_index(
     spark: SparkSession,
     index_dir: str | index_io.IndexHandle,
@@ -278,6 +360,9 @@ def search_index(
     refine_factor: int = 10,
     kernel: str = "pandas",
     ef_search: int = 64,
+    where=None,
+    allowed_ids: DataFrame | None = None,
+    filter_oversample: int = 4,
 ) -> DataFrame:
     """Search previously-built artifacts (the online path of §3.1, batch form).
 
@@ -308,6 +393,22 @@ def search_index(
     identical results to kernel='sql' (the tie-stable batch top-k makes both
     follow the (distance, vec_id) total order), ~3-5x faster measured on a
     1M-vector corpus.
+
+    Filtered search (`where` / `allowed_ids`): `where` is a SQL predicate
+    string (or Column) over attribute columns stored at build time
+    (build_index attr_cols); `allowed_ids` is a DataFrame with a `vec_id`
+    column restricting the candidate set (the FAISS IDSelector analog).
+    - FLAT/IVF/IVFPQ evaluate the predicate IN the (probed) scan — exact
+      filtered semantics within the probed lists; the predicate reaches the
+      parquet scan's PushedFilters, so filtering costs row-group pruning +
+      column decode, never a join or a post-pass. Recall under a filter of
+      selectivity s: the probed lists hold ~s of their usual candidates, so
+      for highly selective filters raise nprobe (~1/s growth restores the
+      unfiltered candidate count).
+    - HNSW traverses blind (a beam has no scan), so the graph is searched
+      for k*filter_oversample candidates (ef widened to match) and the
+      survivors re-ranked — standard post-filter ANN; recall degrades when
+      selectivity < 1/filter_oversample, prefer IVF for heavy filters.
     """
     from webscale_vector_search_spark.operators.knn import knn, knn_pandas
 
@@ -317,6 +418,7 @@ def search_index(
         else index_io.open_index(spark, index_dir)
     )
     itype = handle.meta["index_type"]
+    filtered = where is not None or allowed_ids is not None
     if handle.meta.get("metric", "sq_l2") == "cosine":
         # the stored vectors are unit-normalized; normalizing the query batch
         # makes every sq_l2 kernel below rank as cosine (distance emitted is
@@ -326,26 +428,45 @@ def search_index(
         queries = with_l2_normalized(queries, "qvec")
     if itype == "FLAT":
         fn = knn_pandas if kernel == "pandas" else knn
-        return fn(handle.vectors, queries, k=k)
+        return fn(_apply_filter(handle.vectors, where, allowed_ids), queries, k=k)
 
     if itype == "HNSW" and handle.meta.get("hnsw_graph"):
         # persisted-graph artifact: serving pays ONLY traversal (graphs are
         # loaded once per python worker — hnsw_partition.load_shard_graph)
         if kernel != "pandas":
             # graph traversal has no SQL form; the no-Python fallback is the
-            # exact scan (right answers, exact cost — explicit, not probed)
-            return knn(
-                handle.vectors.select("vec_id", "embedding"), queries, k=k
-            )
+            # exact scan (right answers, exact cost — explicit, not probed).
+            # attrs live in the sidecar for graph artifacts, so the exact
+            # fallback under a filter goes through the post-filter (exact
+            # here: the unfiltered scan returns the true top-k' superset
+            # only if k' covers the filtered depth — so filter the scan
+            # directly via a candidates join instead): simplest correct
+            # form, semi-join the sidecar's valid ids into the scan.
+            vecs = handle.vectors.select("vec_id", "embedding")
+            if filtered:
+                valid = handle.attrs if handle.attrs is not None else handle.vectors
+                if where is not None:
+                    valid = valid.filter(where)
+                if allowed_ids is not None:
+                    valid = valid.join(
+                        F.broadcast(allowed_ids.select("vec_id")), "vec_id", "left_semi"
+                    )
+                vecs = vecs.join(valid.select("vec_id"), "vec_id", "left_semi")
+            return knn(vecs, queries, k=k)
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_stored_search
 
-        return hnsw_stored_search(
+        k_search = k * filter_oversample if filtered else k
+        res = hnsw_stored_search(
             handle.vectors_dir,
             handle.meta["num_shards"],
             queries,
-            k=k,
-            ef_search=ef_search,
+            k=k_search,
+            ef_search=max(ef_search, 2 * k_search) if filtered else ef_search,
         )
+        if not filtered:
+            return res
+        attr_src = handle.attrs if handle.attrs is not None else handle.vectors
+        return _postfilter_topk(res, attr_src, where, allowed_ids, k)
 
     nlist = handle.meta["nlist"]
     if nprobe is None:
@@ -358,19 +479,26 @@ def search_index(
         # per-partition graph inside the search pass
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_partition_search
 
-        return hnsw_partition_search(handle.vectors, queries, k=k)
+        res = hnsw_partition_search(
+            handle.vectors, queries, k=k * filter_oversample if filtered else k
+        )
+        if not filtered:
+            return res
+        attr_src = handle.attrs if handle.attrs is not None else handle.vectors
+        return _postfilter_topk(res, attr_src, where, allowed_ids, k)
 
     if itype in ("IVF", "HNSW"):
+        vecs = _apply_filter(handle.vectors, where, allowed_ids)
         if kernel == "pandas":
             return ivf_ops.ivf_search_pandas(
-                handle.vectors,
+                vecs,
                 handle.centroids,
                 queries,
                 k=k,
                 nprobe=nprobe,
                 centroid_np=handle.centroid_arrays(),
             )
-        return ivf_ops.ivf_search(handle.vectors, handle.centroids, queries, k=k, nprobe=nprobe)
+        return ivf_ops.ivf_search(vecs, handle.centroids, queries, k=k, nprobe=nprobe)
 
     # IVFPQ: per-query probe-masked ADC over statically pruned code lists
     from webscale_vector_search_spark.operators.ivf import DriverProbes
@@ -398,7 +526,7 @@ def search_index(
                 )
             rots_arg = handle._lopq_rots_bc
     adc = pq_ops.adc_search(
-        handle.vectors,
+        _apply_filter(handle.vectors, where, allowed_ids),
         None if is_local else handle.codebooks,
         queries,
         k=(refine_factor * k if exact_refine else k),

@@ -71,8 +71,13 @@ def metadata_dict(
     pq_residual: bool = False,
     pq_bits: int = 8,
     pq_local_codebooks: bool = False,
+    attr_cols: "list[str] | None" = None,
 ) -> dict:
     return {
+        # filterable attribute columns carried in the index rows (FLAT/IVF/
+        # IVFPQ) or in the attrs/ sidecar table (HNSW — the graph rows have
+        # a fixed schema). None/absent = an unfiltered (pre-r9) index.
+        "attr_cols": list(attr_cols) if attr_cols else None,
         "num_shards": num_shards,
         "index_type": index_type,
         "vector_dim": vector_dim,
@@ -209,6 +214,11 @@ class IndexHandle:
     # serving side-reads whole shard partitions from it (graph traversal
     # needs the complete shard, not Spark's split-by-bytes scan units)
     vectors_dir: str | None = None
+    # attrs/ sidecar table (vec_id + attr columns) — written for HNSW
+    # indexes built with attr_cols (graph rows can't carry them); None for
+    # index types that store attrs in the vectors rows, and for indexes
+    # built without attributes
+    attrs: DataFrame | None = None
 
     def centroid_arrays(self) -> tuple:
         """(c_ids int64, C float64) numpy views of the centroid table,
@@ -250,6 +260,10 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
         else:
             codebooks = read_codebooks(spark, index_dir)
             pq_rotation = read_rotation(spark, index_dir)
+    attrs = None
+    attrs_dir = os.path.join(index_dir, "attrs")
+    if os.path.isdir(attrs_dir):
+        attrs = spark.read.parquet(attrs_dir)
     return IndexHandle(
         meta=meta,
         vectors=vectors,
@@ -258,4 +272,5 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
         vectors_dir=vdir,
         lopq_rots=lopq_rots,
         pq_rotation=pq_rotation,
+        attrs=attrs,
     )
