@@ -219,6 +219,108 @@ def test_attr_cols_validation(spark, corpus, idx_root):
                     EngineConfig(index_type="FLAT"), attr_cols=["nope"])
 
 
+def _canon_pdf(pdf):
+    import pandas as pd
+
+    cols = ["query_id", "rank", "neighbor_id", "distance"]
+    return (
+        pdf[cols]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        .astype({"query_id": "int64", "rank": "int32",
+                 "neighbor_id": "int64", "distance": "float64"})
+    )
+
+
+def _assert_serve_identical(spark_df, local_pdf):
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        _canon_pdf(spark_df.toPandas()), _canon_pdf(local_pdf), check_exact=True
+    )
+
+
+WHERE_FN = staticmethod(lambda a: a["label"] == 3)
+
+
+def test_serve_ivf_filtered_bit_identical(spark, ivf_dir, queries):
+    """Driver-side filtered serving must equal the Spark path exactly —
+    same probes, same mask, same tie order."""
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    h = open_index(spark, ivf_dir)
+    want = search_index(spark, h, queries, k=10, nprobe=8, where=WHERE)
+    got = serve_local(h, queries, k=10, nprobe=8, where=lambda a: a["label"] == 3)
+    _assert_serve_identical(want, got)
+
+
+def test_serve_flat_filtered_bit_identical(spark, flat_dir, queries):
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    h = open_index(spark, flat_dir)
+    want = search_index(spark, h, queries, k=10, where=WHERE)
+    got = serve_local(h, queries, k=10, where=lambda a: a["label"] == 3)
+    _assert_serve_identical(want, got)
+
+
+def test_serve_ivfpq_filtered_bit_identical(spark, ivfpq_dir, queries):
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    h = open_index(spark, ivfpq_dir)
+    want = search_index(spark, h, queries, k=10, nprobe=NLIST, where=WHERE)
+    got = serve_local(h, queries, k=10, nprobe=NLIST,
+                      where=lambda a: a["label"] == 3)
+    _assert_serve_identical(want, got)
+
+
+def test_serve_hnsw_filtered_bit_identical(spark, hnsw_dir, queries):
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    h = open_index(spark, hnsw_dir)
+    want = search_index(spark, h, queries, k=10, where=WHERE,
+                        filter_oversample=8, ef_search=64)
+    got = serve_local(h, queries, k=10, where=lambda a: a["label"] == 3,
+                      filter_oversample=8, ef_search=64)
+    _assert_serve_identical(want, got)
+
+
+def test_serve_allowed_ids_bit_identical(spark, ivf_dir, corpus, queries):
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    ids_df = corpus.select("vec_id").filter("vec_id % 11 = 0")
+    ids_np = [r["vec_id"] for r in ids_df.collect()]
+    h = open_index(spark, ivf_dir)
+    want = search_index(spark, h, queries, k=10, nprobe=8, allowed_ids=ids_df)
+    got = serve_local(h, queries, k=10, nprobe=8, allowed_ids=ids_np)
+    _assert_serve_identical(want, got)
+
+
+def test_serve_rejects_sql_string_where(spark, ivf_dir, queries):
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    h = open_index(spark, ivf_dir)
+    with pytest.raises(TypeError, match="callable"):
+        serve_local(h, queries, k=10, where="label = 3")
+
+
+def test_routed_sql_where_demotes_to_spark(spark, ivf_dir, queries):
+    """A SQL-string filter on a small batch routes to the Spark path (the
+    driver path has no SQL parser) and still returns the right rows."""
+    from webscale_vector_search_spark.plans.serve_local import search_routed
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    h = open_index(spark, ivf_dir)
+    want = search_index(spark, h, queries, k=10, nprobe=8, where=WHERE)
+    got = search_routed(spark, h, queries, k=10, nprobe=8, where=WHERE)
+    assert _rows(got) == _rows(want)
+
+
 def test_filter_reaches_pushed_filters(spark, ivf_dir, queries):
     """The attr predicate must land in the probed scan's parquet
     PushedFilters — scan-side filtering is the entire 100 TB argument

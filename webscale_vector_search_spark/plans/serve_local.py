@@ -169,9 +169,12 @@ def _dataset(path: str):
     return pads.dataset(path, format="parquet")
 
 
-def _list_columns(tbl, n: int) -> dict:
-    """Decode (vec_id, embedding[, codes]) Arrow columns to numpy via the
-    same flatten-the-values-buffer route as knn.list_matrix."""
+def _list_columns(tbl, n: int, attr_names: tuple = ()) -> dict:
+    """Decode (vec_id, embedding[, codes][, attrs]) Arrow columns to numpy
+    via the same flatten-the-values-buffer route as knn.list_matrix. Attr
+    columns are stored under "a:<name>" keys (scalar columns, zero-copy
+    where the dtype allows) so filtered serving can mask without re-reading
+    the parquet."""
     out = {"ids": tbl.column("vec_id").to_numpy().astype(np.int64, copy=False)}
     emb = tbl.column("embedding").combine_chunks()
     out["V"] = emb.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
@@ -180,7 +183,39 @@ def _list_columns(tbl, n: int) -> dict:
         out["codes"] = (
             codes.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
         )
+    for name in attr_names:
+        if name in tbl.schema.names:
+            out["a:" + name] = tbl.column(name).to_numpy(zero_copy_only=False)
     return out
+
+
+def _attr_names(handle: IndexHandle) -> tuple:
+    return tuple(handle.meta.get("attr_cols") or ())
+
+
+def _entry_mask(entry: dict, where, allowed_sorted) -> "np.ndarray | None":
+    """Valid-row mask for one cached list under (where, allowed_ids).
+    None = every row valid (the unfiltered fast path stays allocation-free).
+    `where` is a vectorized callable over {attr_name: ndarray} — the driver
+    path deliberately has no SQL parser; the Spark path owns SQL strings."""
+    mask = None
+    if where is not None:
+        attrs = {k[2:]: v for k, v in entry.items() if k.startswith("a:")}
+        if not attrs:
+            raise ValueError(
+                "filtered serve_local needs an index built with attr_cols"
+            )
+        mask = np.asarray(where(attrs), dtype=bool)
+        if mask.shape != entry["ids"].shape:
+            raise ValueError("where callable must return one bool per row")
+    if allowed_sorted is not None:
+        pos = np.searchsorted(allowed_sorted, entry["ids"])
+        pos_c = np.minimum(pos, len(allowed_sorted) - 1)
+        allow = (pos < len(allowed_sorted)) & (allowed_sorted[pos_c] == entry["ids"])
+        mask = allow if mask is None else (mask & allow)
+    if mask is not None and mask.all():
+        return None
+    return mask
 
 
 def _nbytes(entry: dict) -> int:
@@ -218,9 +253,14 @@ def _list_data(handle: IndexHandle, cid: int, cache_budget_mb: int) -> dict | No
     if not os.path.isdir(path):
         return None
     ds = _dataset(path)
-    cols = ["vec_id", "embedding"] + (["codes"] if "codes" in ds.schema.names else [])
+    attr_names = tuple(a for a in _attr_names(handle) if a in ds.schema.names)
+    cols = (
+        ["vec_id", "embedding"]
+        + (["codes"] if "codes" in ds.schema.names else [])
+        + list(attr_names)
+    )
     tbl = ds.to_table(columns=cols)
-    entry = _list_columns(tbl, tbl.num_rows)
+    entry = _list_columns(tbl, tbl.num_rows, attr_names)
     used = handle.__dict__.get("_serve_lists_bytes", 0) + _nbytes(entry)
     budget = cache_budget_mb * (1 << 20)
     while cache and used > budget:
@@ -237,8 +277,10 @@ def _flat_data(handle: IndexHandle) -> dict:
     exactly like list_matrix does executor-side."""
     cached = handle.__dict__.get("_serve_flat")
     if cached is None:
-        tbl = _dataset(handle.vectors_dir).to_table(columns=["vec_id", "embedding"])
-        cached = handle._serve_flat = _list_columns(tbl, tbl.num_rows)
+        ds = _dataset(handle.vectors_dir)
+        attr_names = tuple(a for a in _attr_names(handle) if a in ds.schema.names)
+        tbl = ds.to_table(columns=["vec_id", "embedding"] + list(attr_names))
+        cached = handle._serve_flat = _list_columns(tbl, tbl.num_rows, attr_names)
     return cached
 
 
@@ -301,11 +343,64 @@ class _LocalProbes:
 # per-index-type kernels (the executors' scan bodies, driver-resident data)
 
 
-def _flat_parts(handle, q_ids, Q, k, chunk_rows: int = 131072) -> list[dict]:
+def _member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership of vals in a sorted unique array (bool mask)."""
+    pos = np.searchsorted(sorted_arr, vals)
+    pos_c = np.minimum(pos, len(sorted_arr) - 1)
+    return (pos < len(sorted_arr)) & (sorted_arr[pos_c] == vals)
+
+
+def _attrs_sidecar(handle: IndexHandle) -> "dict | None":
+    """The attrs/ sidecar (HNSW filtered serving), loaded once per handle:
+    vec_id-sorted id array + one numpy column per attribute."""
+    cached = handle.__dict__.get("_serve_attrs")
+    if cached is None:
+        path = os.path.join(os.path.dirname(handle.vectors_dir), "attrs")
+        if not os.path.isdir(path):
+            return None
+        names = _attr_names(handle)
+        tbl = _dataset(path).to_table(columns=["vec_id", *names]).sort_by("vec_id")
+        cached = handle._serve_attrs = {
+            "ids": tbl.column("vec_id").to_numpy().astype(np.int64, copy=False),
+            **{
+                "a:" + n: tbl.column(n).to_numpy(zero_copy_only=False)
+                for n in names
+            },
+        }
+    return cached
+
+
+def _mask_parts(parts: list[dict], handle, where, allowed_sorted) -> list[dict]:
+    """Post-filter raw result parts (graph serving: the beam traversed
+    blind, so candidates are validated afterwards via the attrs sidecar)."""
+    side = _attrs_sidecar(handle) if where is not None else None
+    if where is not None and side is None:
+        raise ValueError("filtered serve_local needs an index built with attr_cols")
+    out = []
+    for p in parts:
+        vids = np.asarray(p["vec_id"])
+        keep = np.ones(len(vids), dtype=bool)
+        if where is not None:
+            pos = np.searchsorted(side["ids"], vids)
+            attrs = {k[2:]: v[pos] for k, v in side.items() if k.startswith("a:")}
+            keep &= np.asarray(where(attrs), dtype=bool)
+        if allowed_sorted is not None:
+            keep &= _member(allowed_sorted, vids)
+        rows = np.flatnonzero(keep)
+        out.append({key: np.asarray(v)[rows] for key, v in p.items()})
+    return out
+
+
+def _flat_parts(handle, q_ids, Q, k, chunk_rows: int = 131072,
+                where=None, allowed_sorted=None) -> list[dict]:
     from webscale_vector_search_spark.operators.knn import batch_topk_rows
 
     data = _flat_data(handle)
     ids, V32 = data["ids"], data["V"]
+    mask = _entry_mask(data, where, allowed_sorted)
+    if mask is not None:
+        rows = np.flatnonzero(mask)
+        ids, V32 = ids[rows], V32[rows]
     q_sq = (Q * Q).sum(1)
     parts = []
     for s in range(0, len(ids), chunk_rows):
@@ -316,7 +411,8 @@ def _flat_parts(handle, q_ids, Q, k, chunk_rows: int = 131072) -> list[dict]:
     return parts
 
 
-def _ivf_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb) -> list[dict]:
+def _ivf_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb,
+               where=None, allowed_sorted=None) -> list[dict]:
     from webscale_vector_search_spark.operators.knn import batch_topk_rows
 
     q_sq = (Q * Q).sum(1)
@@ -327,9 +423,16 @@ def _ivf_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb) -> li
             continue
         qsel = probes.probe_lists[cv]
         Vc, v_sq = _list_v64(handle, entry)
+        ids = entry["ids"]
+        mask = _entry_mask(entry, where, allowed_sorted)
+        if mask is not None:
+            rows = np.flatnonzero(mask)
+            if rows.size == 0:
+                continue
+            Vc, v_sq, ids = Vc[rows], v_sq[rows], ids[rows]
         d = q_sq[qsel][:, None] - 2.0 * (Q[qsel] @ Vc.T) + v_sq[None, :]
         np.maximum(d, 0.0, out=d)
-        parts.append(batch_topk_rows(d, entry["ids"], q_ids[qsel], k))
+        parts.append(batch_topk_rows(d, ids, q_ids[qsel], k))
     return parts
 
 
@@ -430,7 +533,8 @@ def _hnsw_parts(handle, q_ids, Q, k, ef_search) -> list[dict]:
     ]
 
 
-def _adc_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb) -> list[dict]:
+def _adc_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb,
+               where=None, allowed_sorted=None) -> list[dict]:
     """pq.adc_search's scan body over driver-cached code lists: residual
     decode-then-GEMM (global or per-cell LOPQ books, with their stored OPQ
     rotations), or the float32-LUT gather for raw-code artifacts."""
@@ -464,6 +568,13 @@ def _adc_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb) -> li
             continue
         qsel = probes.probe_lists[cv]
         codes = entry["codes"].astype(np.int64, copy=False)
+        ids = entry["ids"]
+        mask = _entry_mask(entry, where, allowed_sorted)
+        if mask is not None:
+            rows = np.flatnonzero(mask)
+            if rows.size == 0:
+                continue
+            codes, ids = codes[rows], ids[rows]
         if residual:
             if is_local:
                 # the float32 round-trip mirrors the handle-level broadcast
@@ -490,7 +601,7 @@ def _adc_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb) -> li
             np.maximum(d, 0.0, out=d)
         else:
             d = lut[qsel][:, j_idx, codes].sum(axis=2, dtype=np.float64)
-        parts.append(batch_topk_rows(d, entry["ids"], q_ids[qsel], k))
+        parts.append(batch_topk_rows(d, ids, q_ids[qsel], k))
     return parts
 
 
@@ -547,6 +658,9 @@ def serve_local(
     ef_search: int = 64,
     cache_budget_mb: int = _DEFAULT_CACHE_MB,
     as_arrays: bool = False,
+    where=None,
+    allowed_ids=None,
+    filter_oversample: int = 4,
 ):
     """Serve a small query batch from the driver — no Spark job.
 
@@ -564,18 +678,60 @@ def serve_local(
     measured ~1000x under the Spark path's job floor for 1-query IVF/HNSW.
     ``cache_budget_mb`` bounds the inverted-list LRU (FLAT's corpus block
     and HNSW's mmap'd bundles are whole-artifact by nature).
+
+    Filtered serving mirrors search_index's where/allowed_ids — same
+    semantics (scan-side mask for FLAT/IVF/IVFPQ, post-filter with
+    `filter_oversample` for HNSW), same results — EXCEPT that `where` here
+    is a vectorized CALLABLE over {attr_name: ndarray} -> bool ndarray,
+    not a SQL string: the driver path deliberately carries no SQL parser,
+    the Spark path owns SQL. `allowed_ids` is any int sequence/array.
     """
     meta = handle.meta
     itype = meta["index_type"]
     q_ids, Q = _query_batch(queries)
     if meta.get("metric", "sq_l2") == "cosine":
         Q = _normalize_like_sql(Q)
+    if where is not None and not callable(where):
+        raise TypeError(
+            "serve_local `where` must be a vectorized callable over the attr "
+            "columns (SQL-string predicates are the Spark path's form — "
+            "use search_index/search_routed for those)"
+        )
+    allowed_sorted = None
+    if allowed_ids is not None:
+        allowed_sorted = np.unique(
+            np.fromiter(allowed_ids, dtype=np.int64)
+            if not isinstance(allowed_ids, np.ndarray)
+            else allowed_ids.astype(np.int64, copy=False)
+        )
+    filtered = where is not None or allowed_sorted is not None
 
     if itype == "FLAT":
-        return _finalize(_flat_parts(handle, q_ids, Q, k), k, as_arrays)
+        return _finalize(
+            _flat_parts(handle, q_ids, Q, k, where=where, allowed_sorted=allowed_sorted),
+            k,
+            as_arrays,
+        )
 
     if itype == "HNSW" and meta.get("hnsw_graph"):
-        return _finalize(_hnsw_parts(handle, q_ids, Q, k, ef_search), k, as_arrays)
+        k_search = k * filter_oversample if filtered else k
+        parts = _hnsw_parts(
+            handle, q_ids, Q, k_search,
+            max(ef_search, 2 * k_search) if filtered else ef_search,
+        )
+        if filtered:
+            # cut to the global top-k_search FIRST (what hnsw_stored_search
+            # returns), then mask — masking per-shard parts first would keep
+            # filtered candidates the Spark path's global cut discards, and
+            # the bit-identity contract would quietly break
+            cand = _finalize_arrays(parts, k_search)
+            part = {
+                "query_id": cand["query_id"],
+                "vec_id": cand["neighbor_id"],
+                "distance": cand["distance"],
+            }
+            parts = _mask_parts([part], handle, where, allowed_sorted)
+        return _finalize(parts, k, as_arrays)
 
     nlist = meta["nlist"]
     if nprobe is None:
@@ -589,14 +745,21 @@ def serve_local(
         # serve through the probe path (their default_nprobe is the
         # deliberate 3/4-of-lists near-exact scan — config.default_nprobe)
         return _finalize(
-            _ivf_parts(handle, q_ids, Q, k, probes, cache_budget_mb), k, as_arrays
+            _ivf_parts(handle, q_ids, Q, k, probes, cache_budget_mb,
+                       where=where, allowed_sorted=allowed_sorted),
+            k,
+            as_arrays,
         )
 
     if itype != "IVFPQ":
         raise ValueError(f"unknown index_type {itype!r}")
 
     adc_k = refine_factor * k if exact_refine else k
-    adc = _finalize_arrays(_adc_parts(handle, q_ids, Q, adc_k, probes, cache_budget_mb), adc_k)
+    adc = _finalize_arrays(
+        _adc_parts(handle, q_ids, Q, adc_k, probes, cache_budget_mb,
+                   where=where, allowed_sorted=allowed_sorted),
+        adc_k,
+    )
     if not exact_refine:
         if as_arrays:
             return adc
@@ -628,14 +791,33 @@ def search_routed(
     size it, which costs one small collect job (limit max+1) — the values
     are needed driver-side anyway when the small path wins. Numpy/pandas/
     tuple forms size for free. ``search_kwargs`` pass through to either
-    path (nprobe / exact_refine / refine_factor / ef_search).
+    path (nprobe / exact_refine / refine_factor / ef_search / where /
+    allowed_ids / filter_oversample).
+
+    Filter-form routing: a SQL-string `where` is Spark-only, a callable
+    `where` is driver-only — a string on a small batch demotes the batch to
+    the Spark path (correct, just not sub-ms); a callable on a large batch
+    raises (the Spark kernels can't run a driver callable — pass SQL).
     """
     from webscale_vector_search_spark.plans.build import search_index
 
+    where = search_kwargs.get("where")
+    sql_where = where is not None and not callable(where)
+    if sql_where:
+        max_local_batch = -1  # force the Spark path; serve_local has no SQL parser
+
+    def _spark_path(qdf):
+        if where is not None and callable(where):
+            raise TypeError(
+                "callable `where` can't run on the Spark path (batch too "
+                "large for serve_local) — pass a SQL predicate string"
+            )
+        return search_index(spark, handle, qdf, k=k, **search_kwargs)
+
     if hasattr(queries, "sparkSession"):
-        rows = queries.select("query_id", "qvec").limit(max_local_batch + 1).collect()
+        rows = queries.select("query_id", "qvec").limit(max(max_local_batch + 1, 0)).collect()
         if len(rows) > max_local_batch:
-            return search_index(spark, handle, queries, k=k, **search_kwargs)
+            return _spark_path(queries)
         q_ids = np.array([r["query_id"] for r in rows], dtype=np.int64)
         Q = np.stack([r["qvec"] for r in rows]).astype(np.float64)
         small = (q_ids, Q)
@@ -646,7 +828,7 @@ def search_routed(
                 [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q.astype("float32"))],
                 "query_id BIGINT, qvec ARRAY<FLOAT>",
             )
-            return search_index(spark, handle, df, k=k, **search_kwargs)
+            return _spark_path(df)
         small = (q_ids, Q)
     pdf = serve_local(handle, small, k=k, **search_kwargs)
     return spark.createDataFrame(pdf, RESULT_SCHEMA)
