@@ -422,7 +422,7 @@ def test_hnsw_stored_graph_equivalence_and_worker_cache(spark, tmp_path_factory)
     handle = build_index(spark, corpus, out, cfg)
     meta = read_metadata(out)
     assert meta["hnsw_graph"] is True
-    assert meta["hnsw"] == {"m": 16, "ef_construction": 64}
+    assert meta["hnsw"] == {"m": 16, "ef_construction": 64, "seed": 42}
     assert {"hnsw_level", "hnsw_neighbors", "hnsw_entry"} <= set(handle.vectors.columns)
 
     # (1) bit-exact: reload shard 0 from parquet; rebuild the same graph

@@ -298,9 +298,60 @@ def build_index(
         # hnsw_stored_search; its absence means a legacy centroid-layout
         # HNSW index (pre-r5), served by the rebuild-per-call path
         meta["hnsw_graph"] = True
-        meta["hnsw"] = {"m": config.hnsw_m, "ef_construction": config.hnsw_ef_construction}
+        # seed recorded so a delete-compaction can rebuild affected shards'
+        # graphs with the same level draws as the original build
+        meta["hnsw"] = {
+            "m": config.hnsw_m,
+            "ef_construction": config.hnsw_ef_construction,
+            "seed": config.seed,
+        }
     index_io.write_metadata(out_dir, meta)
     return index_io.open_index(spark, out_dir)
+
+
+def delete_vectors(spark: SparkSession, index_dir: str, ids) -> int:
+    """Logical delete (tombstones) — the index-maintenance operation the
+    reference lacks entirely (its only delete is rebuilding the shard,
+    create_sharded_index; vector_search_cluster.py:977-1068).
+
+    `ids` is a DataFrame with a vec_id column, or any int sequence/array.
+    The ids append to a `tombstones/` parquet table beside the index; every
+    search path (Spark and serve_local, all four index types) excludes them
+    from results immediately, and `compact_index` MATERIALIZES them — the
+    rewrite drops the rows, rebuilds HNSW graphs without the deleted nodes,
+    and clears the tombstone table.
+
+    LSM-style contract, 100 TB posture: deletes are metadata-sized (ids
+    only, appended — the corpus parquet is immutable between compactions),
+    searches pay one broadcast anti-join on the pending set, and the set
+    stays broadcast-bounded because compaction folds it in. Deleting an id
+    twice (or an id that never existed) is harmless — the table is a set
+    under the anti-join. Returns the number of ids appended this call."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    if isinstance(ids, SparkDF):
+        df = ids.select(F.col("vec_id").cast("long")).distinct()
+    else:
+        vals = sorted({int(x) for x in ids})
+        df = spark.createDataFrame([(v,) for v in vals], "vec_id BIGINT")
+    n = df.count()
+    if n == 0:
+        return 0
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    # ids-only table, one small file per delete call (compaction clears it)
+    df.coalesce(1).write.mode("append").parquet(tomb_dir)
+    meta = index_io.read_metadata(index_dir)
+    meta["has_tombstones"] = True
+    index_io.write_metadata(index_dir, meta)
+    return n
+
+
+def _live(df: DataFrame, tombstones: DataFrame | None) -> DataFrame:
+    """Exclude tombstoned rows from an index scan: broadcast anti-join —
+    map-side against the streamed corpus, pending-delete-set sized."""
+    if tombstones is not None:
+        df = df.join(F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti")
+    return df
 
 
 def _apply_filter(df: DataFrame, where, allowed_ids: DataFrame | None) -> DataFrame:
@@ -316,25 +367,37 @@ def _apply_filter(df: DataFrame, where, allowed_ids: DataFrame | None) -> DataFr
     return df
 
 
-def _postfilter_topk(res: DataFrame, attr_src: DataFrame, where,
-                     allowed_ids: DataFrame | None, k: int) -> DataFrame:
+def _postfilter_topk(res: DataFrame, attr_src: DataFrame | None, where,
+                     allowed_ids: DataFrame | None, k: int,
+                     tombstones: DataFrame | None = None) -> DataFrame:
     """Filtered top-k for graph searches: a beam traversal has no scan to
     push predicates into, so the oversampled candidates are validated
     against the attribute source and re-ranked. Candidates-only IO — the
     attrs scan carries a broadcast semi-join on the ≤ |queries|·k' result
-    ids, and only the tiny surviving id set is broadcast back."""
-    cand = res.select(F.col("neighbor_id").alias("vec_id")).distinct()
-    valid = attr_src
-    if where is not None:
-        valid = valid.filter(where)
-    if allowed_ids is not None:
-        valid = valid.join(F.broadcast(allowed_ids.select("vec_id")), "vec_id", "left_semi")
-    valid = valid.join(F.broadcast(cand), "vec_id", "left_semi").select("vec_id")
-    kept = res.join(
-        F.broadcast(valid.withColumnRenamed("vec_id", "neighbor_id")),
-        "neighbor_id",
-        "left_semi",
-    )
+    ids, and only the tiny surviving id set is broadcast back. Pending
+    tombstones drop out first (broadcast anti-join on neighbor_id)."""
+    kept = res
+    if tombstones is not None:
+        kept = kept.join(
+            F.broadcast(tombstones.select(F.col("vec_id").alias("neighbor_id"))),
+            "neighbor_id",
+            "left_anti",
+        )
+    if where is not None or allowed_ids is not None:
+        cand = kept.select(F.col("neighbor_id").alias("vec_id")).distinct()
+        valid = attr_src
+        if where is not None:
+            valid = valid.filter(where)
+        if allowed_ids is not None:
+            valid = valid.join(
+                F.broadcast(allowed_ids.select("vec_id")), "vec_id", "left_semi"
+            )
+        valid = valid.join(F.broadcast(cand), "vec_id", "left_semi").select("vec_id")
+        kept = kept.join(
+            F.broadcast(valid.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+            "left_semi",
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
@@ -419,6 +482,7 @@ def search_index(
     )
     itype = handle.meta["index_type"]
     filtered = where is not None or allowed_ids is not None
+    tomb = handle.tombstones  # pending logical deletes (delete_vectors)
     if handle.meta.get("metric", "sq_l2") == "cosine":
         # the stored vectors are unit-normalized; normalizing the query batch
         # makes every sq_l2 kernel below rank as cosine (distance emitted is
@@ -428,7 +492,11 @@ def search_index(
         queries = with_l2_normalized(queries, "qvec")
     if itype == "FLAT":
         fn = knn_pandas if kernel == "pandas" else knn
-        return fn(_apply_filter(handle.vectors, where, allowed_ids), queries, k=k)
+        return fn(
+            _live(_apply_filter(handle.vectors, where, allowed_ids), tomb),
+            queries,
+            k=k,
+        )
 
     if itype == "HNSW" and handle.meta.get("hnsw_graph"):
         # persisted-graph artifact: serving pays ONLY traversal (graphs are
@@ -442,7 +510,7 @@ def search_index(
             # only if k' covers the filtered depth — so filter the scan
             # directly via a candidates join instead): simplest correct
             # form, semi-join the sidecar's valid ids into the scan.
-            vecs = handle.vectors.select("vec_id", "embedding")
+            vecs = _live(handle.vectors.select("vec_id", "embedding"), tomb)
             if filtered:
                 valid = handle.attrs if handle.attrs is not None else handle.vectors
                 if where is not None:
@@ -455,18 +523,21 @@ def search_index(
             return knn(vecs, queries, k=k)
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_stored_search
 
-        k_search = k * filter_oversample if filtered else k
+        # pending deletes post-filter like a mild predicate: oversample 2x
+        # (tombstones are a small fraction by the compaction contract)
+        k_search = k * filter_oversample if filtered else (2 * k if tomb is not None else k)
+        widen = filtered or tomb is not None
         res = hnsw_stored_search(
             handle.vectors_dir,
             handle.meta["num_shards"],
             queries,
             k=k_search,
-            ef_search=max(ef_search, 2 * k_search) if filtered else ef_search,
+            ef_search=max(ef_search, 2 * k_search) if widen else ef_search,
         )
-        if not filtered:
+        if not widen:
             return res
         attr_src = handle.attrs if handle.attrs is not None else handle.vectors
-        return _postfilter_topk(res, attr_src, where, allowed_ids, k)
+        return _postfilter_topk(res, attr_src, where, allowed_ids, k, tombstones=tomb)
 
     nlist = handle.meta["nlist"]
     if nprobe is None:
@@ -479,16 +550,15 @@ def search_index(
         # per-partition graph inside the search pass
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_partition_search
 
-        res = hnsw_partition_search(
-            handle.vectors, queries, k=k * filter_oversample if filtered else k
-        )
-        if not filtered:
+        k_leg = k * filter_oversample if filtered else (2 * k if tomb is not None else k)
+        res = hnsw_partition_search(handle.vectors, queries, k=k_leg)
+        if not (filtered or tomb is not None):
             return res
         attr_src = handle.attrs if handle.attrs is not None else handle.vectors
-        return _postfilter_topk(res, attr_src, where, allowed_ids, k)
+        return _postfilter_topk(res, attr_src, where, allowed_ids, k, tombstones=tomb)
 
     if itype in ("IVF", "HNSW"):
-        vecs = _apply_filter(handle.vectors, where, allowed_ids)
+        vecs = _live(_apply_filter(handle.vectors, where, allowed_ids), tomb)
         if kernel == "pandas":
             return ivf_ops.ivf_search_pandas(
                 vecs,
@@ -526,7 +596,7 @@ def search_index(
                 )
             rots_arg = handle._lopq_rots_bc
     adc = pq_ops.adc_search(
-        _apply_filter(handle.vectors, where, allowed_ids),
+        _live(_apply_filter(handle.vectors, where, allowed_ids), tomb),
         None if is_local else handle.codebooks,
         queries,
         k=(refine_factor * k if exact_refine else k),
@@ -592,8 +662,45 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
     clean_orphan_epochs(index_dir, vectors_dir)
     files_before = len(glob.glob(os.path.join(vectors_dir, "**", "*.parquet"), recursive=True))
     df = spark.read.parquet(vectors_dir)
-    rows = df.count()
     part_col = "centroid_id" if "centroid_id" in df.columns else "shard_id"
+    # materialize pending deletes: the rewrite is the one pass that touches
+    # every row anyway, so folding the tombstones in here is free — the
+    # anti-join broadcasts the (bounded) pending set against the streamed
+    # scan, and the tombstone table clears after the pointer flip
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    tomb = None
+    if os.path.isdir(tomb_dir) and glob.glob(os.path.join(tomb_dir, "*.parquet")):
+        tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
+        df = df.join(F.broadcast(tomb), "vec_id", "left_anti")
+    if tomb is not None and meta.get("hnsw_graph"):
+        # dropping graph rows leaves neighbors pointing at deleted nodes —
+        # rebuild the graphs of shards that actually lost nodes (same m/ef/
+        # seed as the original build: bit-deterministic per shard), keep the
+        # untouched shards' adjacency as-is
+        from webscale_vector_search_spark.operators import hnsw_partition as hnsw_ops
+
+        affected = [
+            r["shard_id"]
+            for r in spark.read.parquet(vectors_dir)
+            .join(F.broadcast(tomb), "vec_id", "left_semi")
+            .select("shard_id")
+            .distinct()
+            .collect()
+        ]
+        if affected:
+            hparams = meta.get("hnsw") or {}
+            rebuilt = hnsw_ops.build_hnsw_graphs(
+                df.filter(F.col("shard_id").isin(affected)).select(
+                    "vec_id", "embedding", "shard_id"
+                ),
+                m=hparams.get("m", 16),
+                ef_construction=hparams.get("ef_construction", 64),
+                seed=hparams.get("seed", 42),
+            )
+            # the rebuilt plan is expensive (per-shard graph construction);
+            # it runs for the count below AND the write — persist once
+            df = df.filter(~F.col("shard_id").isin(affected)).unionByName(rebuilt).persist()
+    rows = df.count()
 
     total_bytes = sum(
         os.path.getsize(p)
@@ -624,7 +731,17 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
     # commit: flip the sidecar pointer (atomic), then GC all versions except
     # the one just written and its immediate predecessor
     meta["vectors_dir"] = os.path.basename(next_dir)
+    if tomb is not None:
+        # deletes are now physical: the live count becomes the total, and
+        # the tombstone table clears. Crash-safe order — pointer flip first,
+        # tombstone removal after: a reader between the two anti-joins
+        # already-absent ids, which is a no-op
+        meta["total_vectors"] = rows
+        meta.pop("has_tombstones", None)
     index_io.write_metadata(index_dir, meta)
+    if tomb is not None:
+        df.unpersist()
+        shutil.rmtree(tomb_dir, ignore_errors=True)
     keep = {next_dir, vectors_dir}
     for d in glob.glob(os.path.join(index_dir, "vectors.v*")) + [
         os.path.join(index_dir, "vectors")
@@ -644,6 +761,7 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
         "files_after": files_after,
         "rows": rows,
         "vectors_dir": os.path.basename(next_dir),
+        "tombstones_applied": tomb is not None,
     }
 
 
@@ -655,7 +773,9 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
 
     handle = index_io.open_index(spark, index_dir)
     part_col = "centroid_id" if "centroid_id" in handle.vectors.columns else "shard_id"
-    hist = shard_histogram(handle.vectors, part_col)
+    # stats report LIVE rows: pending tombstones are subtracted the same
+    # way every search path subtracts them
+    hist = shard_histogram(_live(handle.vectors, handle.tombstones), part_col)
     return hist.withColumn("index_type", F.lit(handle.meta["index_type"])).withColumn(
         "vector_dim", F.lit(handle.meta["vector_dim"])
     )

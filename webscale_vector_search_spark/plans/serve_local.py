@@ -193,21 +193,26 @@ def _attr_names(handle: IndexHandle) -> tuple:
     return tuple(handle.meta.get("attr_cols") or ())
 
 
-def _entry_mask(entry: dict, where, allowed_sorted) -> "np.ndarray | None":
-    """Valid-row mask for one cached list under (where, allowed_ids).
+def _entry_mask(entry: dict, where, allowed_sorted, tomb_sorted=None) -> "np.ndarray | None":
+    """Valid-row mask for one cached list under (where, allowed_ids,
+    pending tombstones).
     None = every row valid (the unfiltered fast path stays allocation-free).
     `where` is a vectorized callable over {attr_name: ndarray} — the driver
     path deliberately has no SQL parser; the Spark path owns SQL strings."""
     mask = None
+    if tomb_sorted is not None:
+        live = ~_member(tomb_sorted, entry["ids"])
+        mask = live
     if where is not None:
         attrs = {k[2:]: v for k, v in entry.items() if k.startswith("a:")}
         if not attrs:
             raise ValueError(
                 "filtered serve_local needs an index built with attr_cols"
             )
-        mask = np.asarray(where(attrs), dtype=bool)
-        if mask.shape != entry["ids"].shape:
+        wm = np.asarray(where(attrs), dtype=bool)
+        if wm.shape != entry["ids"].shape:
             raise ValueError("where callable must return one bool per row")
+        mask = wm if mask is None else (mask & wm)
     if allowed_sorted is not None:
         pos = np.searchsorted(allowed_sorted, entry["ids"])
         pos_c = np.minimum(pos, len(allowed_sorted) - 1)
@@ -370,9 +375,11 @@ def _attrs_sidecar(handle: IndexHandle) -> "dict | None":
     return cached
 
 
-def _mask_parts(parts: list[dict], handle, where, allowed_sorted) -> list[dict]:
+def _mask_parts(parts: list[dict], handle, where, allowed_sorted,
+                tomb_sorted=None) -> list[dict]:
     """Post-filter raw result parts (graph serving: the beam traversed
-    blind, so candidates are validated afterwards via the attrs sidecar)."""
+    blind, so candidates are validated afterwards via the attrs sidecar;
+    pending tombstones drop out by id membership)."""
     side = _attrs_sidecar(handle) if where is not None else None
     if where is not None and side is None:
         raise ValueError("filtered serve_local needs an index built with attr_cols")
@@ -380,6 +387,8 @@ def _mask_parts(parts: list[dict], handle, where, allowed_sorted) -> list[dict]:
     for p in parts:
         vids = np.asarray(p["vec_id"])
         keep = np.ones(len(vids), dtype=bool)
+        if tomb_sorted is not None:
+            keep &= ~_member(tomb_sorted, vids)
         if where is not None:
             pos = np.searchsorted(side["ids"], vids)
             attrs = {k[2:]: v[pos] for k, v in side.items() if k.startswith("a:")}
@@ -392,12 +401,12 @@ def _mask_parts(parts: list[dict], handle, where, allowed_sorted) -> list[dict]:
 
 
 def _flat_parts(handle, q_ids, Q, k, chunk_rows: int = 131072,
-                where=None, allowed_sorted=None) -> list[dict]:
+                where=None, allowed_sorted=None, tomb_sorted=None) -> list[dict]:
     from webscale_vector_search_spark.operators.knn import batch_topk_rows
 
     data = _flat_data(handle)
     ids, V32 = data["ids"], data["V"]
-    mask = _entry_mask(data, where, allowed_sorted)
+    mask = _entry_mask(data, where, allowed_sorted, tomb_sorted)
     if mask is not None:
         rows = np.flatnonzero(mask)
         ids, V32 = ids[rows], V32[rows]
@@ -412,7 +421,7 @@ def _flat_parts(handle, q_ids, Q, k, chunk_rows: int = 131072,
 
 
 def _ivf_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb,
-               where=None, allowed_sorted=None) -> list[dict]:
+               where=None, allowed_sorted=None, tomb_sorted=None) -> list[dict]:
     from webscale_vector_search_spark.operators.knn import batch_topk_rows
 
     q_sq = (Q * Q).sum(1)
@@ -424,7 +433,7 @@ def _ivf_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb,
         qsel = probes.probe_lists[cv]
         Vc, v_sq = _list_v64(handle, entry)
         ids = entry["ids"]
-        mask = _entry_mask(entry, where, allowed_sorted)
+        mask = _entry_mask(entry, where, allowed_sorted, tomb_sorted)
         if mask is not None:
             rows = np.flatnonzero(mask)
             if rows.size == 0:
@@ -534,7 +543,7 @@ def _hnsw_parts(handle, q_ids, Q, k, ef_search) -> list[dict]:
 
 
 def _adc_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb,
-               where=None, allowed_sorted=None) -> list[dict]:
+               where=None, allowed_sorted=None, tomb_sorted=None) -> list[dict]:
     """pq.adc_search's scan body over driver-cached code lists: residual
     decode-then-GEMM (global or per-cell LOPQ books, with their stored OPQ
     rotations), or the float32-LUT gather for raw-code artifacts."""
@@ -569,7 +578,7 @@ def _adc_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb,
         qsel = probes.probe_lists[cv]
         codes = entry["codes"].astype(np.int64, copy=False)
         ids = entry["ids"]
-        mask = _entry_mask(entry, where, allowed_sorted)
+        mask = _entry_mask(entry, where, allowed_sorted, tomb_sorted)
         if mask is not None:
             rows = np.flatnonzero(mask)
             if rows.size == 0:
@@ -705,21 +714,29 @@ def serve_local(
             else allowed_ids.astype(np.int64, copy=False)
         )
     filtered = where is not None or allowed_sorted is not None
+    tomb_sorted = handle.tombstone_array()  # pending deletes, None if clean
 
     if itype == "FLAT":
         return _finalize(
-            _flat_parts(handle, q_ids, Q, k, where=where, allowed_sorted=allowed_sorted),
+            _flat_parts(handle, q_ids, Q, k, where=where,
+                        allowed_sorted=allowed_sorted, tomb_sorted=tomb_sorted),
             k,
             as_arrays,
         )
 
     if itype == "HNSW" and meta.get("hnsw_graph"):
-        k_search = k * filter_oversample if filtered else k
+        # tombstones post-filter like a mild predicate (2x oversample);
+        # user filters use filter_oversample — mirror search_index exactly
+        k_search = (
+            k * filter_oversample if filtered
+            else (2 * k if tomb_sorted is not None else k)
+        )
+        widen = filtered or tomb_sorted is not None
         parts = _hnsw_parts(
             handle, q_ids, Q, k_search,
-            max(ef_search, 2 * k_search) if filtered else ef_search,
+            max(ef_search, 2 * k_search) if widen else ef_search,
         )
-        if filtered:
+        if widen:
             # cut to the global top-k_search FIRST (what hnsw_stored_search
             # returns), then mask — masking per-shard parts first would keep
             # filtered candidates the Spark path's global cut discards, and
@@ -730,7 +747,7 @@ def serve_local(
                 "vec_id": cand["neighbor_id"],
                 "distance": cand["distance"],
             }
-            parts = _mask_parts([part], handle, where, allowed_sorted)
+            parts = _mask_parts([part], handle, where, allowed_sorted, tomb_sorted)
         return _finalize(parts, k, as_arrays)
 
     nlist = meta["nlist"]
@@ -746,7 +763,8 @@ def serve_local(
         # deliberate 3/4-of-lists near-exact scan — config.default_nprobe)
         return _finalize(
             _ivf_parts(handle, q_ids, Q, k, probes, cache_budget_mb,
-                       where=where, allowed_sorted=allowed_sorted),
+                       where=where, allowed_sorted=allowed_sorted,
+                       tomb_sorted=tomb_sorted),
             k,
             as_arrays,
         )
@@ -757,7 +775,8 @@ def serve_local(
     adc_k = refine_factor * k if exact_refine else k
     adc = _finalize_arrays(
         _adc_parts(handle, q_ids, Q, adc_k, probes, cache_budget_mb,
-                   where=where, allowed_sorted=allowed_sorted),
+                   where=where, allowed_sorted=allowed_sorted,
+                   tomb_sorted=tomb_sorted),
         adc_k,
     )
     if not exact_refine:

@@ -219,6 +219,26 @@ class IndexHandle:
     # index types that store attrs in the vectors rows, and for indexes
     # built without attributes
     attrs: DataFrame | None = None
+    # tombstones/ table (vec_id) — ids logically deleted since the last
+    # compaction (plans.build.delete_vectors); None when no deletes are
+    # pending. Searches exclude these; compact_index materializes them.
+    tombstones: DataFrame | None = None
+    _tombstone_np: "np.ndarray | None" = None
+
+    def tombstone_array(self) -> "np.ndarray | None":
+        """Sorted unique int64 tombstoned ids, collected once per handle —
+        the serving paths (probe masks, post-filters) consume the numpy
+        form on every batch. None when the index has no pending deletes.
+        The set is bounded by design: tombstones accumulate only between
+        compactions (see docs/SCALE.md)."""
+        if self.tombstones is None:
+            return None
+        if self._tombstone_np is None:
+            rows = self.tombstones.select("vec_id").collect()
+            self._tombstone_np = np.unique(
+                np.array([r["vec_id"] for r in rows], dtype=np.int64)
+            )
+        return self._tombstone_np
 
     def centroid_arrays(self) -> tuple:
         """(c_ids int64, C float64) numpy views of the centroid table,
@@ -264,6 +284,12 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
     attrs_dir = os.path.join(index_dir, "attrs")
     if os.path.isdir(attrs_dir):
         attrs = spark.read.parquet(attrs_dir)
+    tombstones = None
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if os.path.isdir(tomb_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb_dir)
+    ):
+        tombstones = spark.read.parquet(tomb_dir)
     return IndexHandle(
         meta=meta,
         vectors=vectors,
@@ -273,4 +299,5 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
         lopq_rots=lopq_rots,
         pq_rotation=pq_rotation,
         attrs=attrs,
+        tombstones=tombstones,
     )
