@@ -456,6 +456,160 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     return timings, meta
 
 
+def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
+    """Filtered search + delete/compact maintenance arms (r9 features),
+    measured on the 1M corpus.
+
+    Filtered: the attr predicate rides the probed scan's PushedFilters, so
+    a filtered IVF search should cost ~the unfiltered search (same probed
+    lists, one extra column's decode) while returning only matching rows.
+    Selectivity 10% (label = vec_id % 10); the nprobe-scaled arm shows the
+    documented recall restoration (~1/s probe growth).
+
+    Maintenance: deletes mutate, so the arm copies the cached pristine
+    index, deletes 1% of ids, times the search with pending tombstones
+    (broadcast anti-join cost), compacts (materialization cost), and times
+    the post-compaction search (back to baseline).
+    """
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from webscale_vector_search_spark.config import EngineConfig
+    from webscale_vector_search_spark.operators.ivf import recall_at_k
+    from webscale_vector_search_spark.operators.knn import knn_pandas
+    from webscale_vector_search_spark.plans.build import (
+        build_index,
+        compact_index,
+        delete_vectors,
+        search_index,
+    )
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    n, dim, ncl, seed, n_queries, k = 1_000_000, 64, 1000, 42, 1000, 10
+    nlist, nprobe = 1000, 4
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 1.0, (ncl, dim)).astype(np.float32)
+    corpus_path = os.path.join(cache_dir, f"corpus_n{n}")
+    _gen_corpus(spark, n, centers, seed, corpus_path)
+    corpus = spark.read.parquet(corpus_path).withColumn(
+        "label", (F.col("vec_id") % 10).cast("int")
+    )
+
+    qids = np.arange(n_queries, dtype=np.int64) * (n // n_queries) + np.arange(n_queries)
+    qvecs = _ann_vectors(qids, centers, seed)
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qvecs)],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    ).cache()
+    queries.count()
+
+    cfg = EngineConfig(
+        index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.02,
+        ivf_max_list_factor=None,
+    )
+    # attr_cols is a build_index arg, not an EngineConfig field — the attr'd
+    # artifact needs its own cache name or it would collide with the plain
+    # IVF index of identical config
+    idx_dir = _idx_cache_dir(cache_dir, "IVF_ATTR", cfg, n)
+    build_secs = {}
+    if not os.path.exists(os.path.join(idx_dir, "shards_metadata.json")):
+        t0 = time.perf_counter()
+        build_index(spark, corpus, idx_dir, cfg, attr_cols=["label"])
+        build_secs["build_ivf_attr"] = round(time.perf_counter() - t0, 1)
+
+    handle = open_index(spark, idx_dir)
+    timed = _timed
+    WHERE = "label = 3"
+
+    base_sec, _ = timed(lambda: search_index(spark, handle, queries, k=k, nprobe=nprobe))
+    filt_sec, filt = timed(
+        lambda: search_index(spark, handle, queries, k=k, nprobe=nprobe, where=WHERE)
+    )
+    np_scaled = min(nlist, nprobe * 10)  # ~1/selectivity probe growth
+    filt40_sec, filt40 = timed(
+        lambda: search_index(spark, handle, queries, k=k, nprobe=np_scaled, where=WHERE)
+    )
+    # filtered exact oracle (one pass, not timed as an arm)
+    exact_f = knn_pandas(corpus.filter(WHERE), queries, k=k)
+    exact_f = exact_f.cache()
+    exact_f.count()
+
+    # driver-side filtered serving latency (callable mask form)
+    q1_np = (qids[:1], qvecs[:1].astype("float64"))
+
+    def timed_local(fn, warmups: int = 2, runs: int = 10):
+        for _ in range(warmups):
+            fn()
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best * 1000, 3)
+
+    serve_f_ms = timed_local(
+        lambda: serve_local(handle, q1_np, k=k, nprobe=nprobe,
+                            where=lambda a: a["label"] == 3)
+    )
+    serve_ms = timed_local(lambda: serve_local(handle, q1_np, k=k, nprobe=nprobe))
+
+    # ---- maintenance: delete 1% -> search (pending) -> compact -> search
+    maint_dir = os.path.join(cache_dir, "idx_maint_scratch")
+    if os.path.isdir(maint_dir):
+        shutil.rmtree(maint_dir)
+    shutil.copytree(idx_dir, maint_dir)
+    dead = corpus.select("vec_id").filter("vec_id % 100 = 7")
+    n_dead = dead.count()
+    t0 = time.perf_counter()
+    delete_vectors(spark, maint_dir, dead)
+    delete_sec = round(time.perf_counter() - t0, 4)
+    m_handle = open_index(spark, maint_dir)
+    tomb_sec, _ = timed(
+        lambda: search_index(spark, m_handle, queries, k=k, nprobe=nprobe)
+    )
+    t0 = time.perf_counter()
+    compact_report = compact_index(spark, maint_dir)
+    compact_sec = round(time.perf_counter() - t0, 1)
+    c_handle = open_index(spark, maint_dir)
+    post_sec, _ = timed(
+        lambda: search_index(spark, c_handle, queries, k=k, nprobe=nprobe)
+    )
+
+    meta = {
+        "corpus": n,
+        "selectivity": 0.1,
+        "where": WHERE,
+        "base_sec": base_sec,
+        "filtered_sec": filt_sec,
+        "filtered_recall": round(recall_at_k(filt, exact_f, k=k), 4),
+        "filtered_npX_sec": filt40_sec,
+        "filtered_npX_nprobe": np_scaled,
+        "filtered_npX_recall": round(recall_at_k(filt40, exact_f, k=k), 4),
+        "serve_1q_ms": serve_ms,
+        "serve_filtered_1q_ms": serve_f_ms,
+        "maint": {
+            "n_deleted": n_dead,
+            "delete_sec": delete_sec,
+            "tombstone_search_sec": tomb_sec,
+            "compact_sec": compact_sec,
+            "post_compact_search_sec": post_sec,
+            "files_after": compact_report["files_after"],
+        },
+        "build_sec": build_secs or None,
+    }
+    timings = {
+        "q_ann1m_filtered": filt_sec,
+        "q_ann1m_tombstone": tomb_sec,
+    }
+    exact_f.unpersist()
+    queries.unpersist()
+    shutil.rmtree(maint_dir, ignore_errors=True)
+    return timings, meta
+
+
 def _ann_highdim(spark, cache_dir: str) -> dict:
     """The graph-vs-lists regime probe at HIGH dim with NO cluster structure
     (VERDICT r5 #2): 100k x 512-d uniform-hypercube vectors. The 1M tier's
@@ -1007,6 +1161,18 @@ def main() -> None:
         except Exception as e:  # the headline line must print regardless
             ann_meta = {"error": f"{type(e).__name__}: {e}"}
 
+    # filtered-search + delete/compact maintenance arms (r9); disable with
+    # SPARK_GRAFT_ANN_FILTERED=0
+    annf_meta = None
+    if os.environ.get("SPARK_GRAFT_ANN_FILTERED", "1") != "0" and os.environ.get(
+        "SPARK_GRAFT_ANN_TIER", "1"
+    ) != "0":
+        try:
+            annf_timings, annf_meta = _ann_filtered_maint(spark, ann_dir)
+            timings.update(annf_timings)
+        except Exception as e:
+            annf_meta = {"error": f"{type(e).__name__}: {e}"}
+
     # the 10M tier (one order above 1M; VERDICT r5 #4) — builds cache like
     # the 1M tier (first run pays them once); disable with
     # SPARK_GRAFT_ANN_10M=0
@@ -1066,6 +1232,8 @@ def main() -> None:
     detail = dict(out)
     if ann_meta is not None:
         detail["ann_1m"] = ann_meta
+    if annf_meta is not None:
+        detail["ann_filtered"] = annf_meta
     if ann10_meta is not None:
         detail["ann_10m"] = ann10_meta
     if ann100_meta is not None:

@@ -236,6 +236,70 @@ def test_compaction_rebuilds_hnsw_graphs(spark, corpus, dead_ids, queries,
     assert dangling == 0
 
 
+def test_tombstone_anti_join_is_broadcast(spark, ivf_dir, queries):
+    """The tombstone exclusion must be a BROADCAST left-anti against the
+    streamed probed scan — a shuffled anti-join would exchange the corpus
+    at 100 TB."""
+    res = search_index(spark, ivf_dir, queries, k=10, nprobe=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti, "no anti-join in the tombstoned search plan"
+    assert any("Broadcast" in l for l in anti), (
+        "tombstone anti-join is not broadcast:\n" + "\n".join(anti)
+    )
+
+
+def test_incremental_delete_stream(spark, corpus, queries, idx_root):
+    """Streaming deletes: a file stream of ids drains through
+    incremental_delete and the ids are excluded from the next search —
+    identical to having called delete_vectors in batch."""
+    from webscale_vector_search_spark.streaming.build_stream import incremental_delete
+
+    out = str(idx_root / "ivf_stream_del")
+    build_index(spark, corpus, out, EngineConfig(index_type="IVF", nlist=NLIST))
+    src = str(idx_root / "del_ids_src")
+    dead = corpus.select("vec_id").filter(DEAD)
+    dead.repartition(3).write.mode("overwrite").parquet(src)
+    ids_stream = (
+        spark.readStream.schema(dead.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_delete(spark, ids_stream, out,
+                           trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert not q.isActive
+    live_oracle = knn_pandas(corpus.filter(f"NOT ({DEAD})"), queries, k=10)
+    res = search_index(spark, out, queries, k=10, nprobe=NLIST)
+    assert _rows(res) == _rows(live_oracle)
+
+
+def test_compaction_keeps_tombstones_added_during_rewrite(spark, corpus,
+                                                          queries, idx_root):
+    """The compaction race guard: tombstone files appended AFTER the
+    rewrite's snapshot read must survive the commit as pending (only the
+    snapshotted files are removed). Simulated by appending a second delete
+    between snapshot and commit via the same file-level mechanism
+    compaction uses — here, sequentially: delete A, compact, delete B must
+    still be pending and excluded."""
+    import glob as _glob
+
+    out = str(idx_root / "ivf_race")
+    build_index(spark, corpus, out, EngineConfig(index_type="IVF", nlist=NLIST))
+    delete_vectors(spark, out, [0, 9, 18])
+    compact_index(spark, out)
+    assert not os.path.isdir(os.path.join(out, "tombstones"))
+    # second wave lands after the compaction — pending, flagged, excluded
+    delete_vectors(spark, out, [27, 36])
+    meta = read_metadata(out)
+    assert meta.get("has_tombstones") is True
+    files = _glob.glob(os.path.join(out, "tombstones", "*.parquet"))
+    assert files
+    res = search_index(spark, out, queries, k=10, nprobe=NLIST)
+    gone = {0, 9, 18, 27, 36}
+    assert not any(r["neighbor_id"] in gone for r in res.collect())
+
+
 def test_delete_unknown_ids_harmless(spark, corpus, queries, idx_root):
     out = str(idx_root / "ivf_unknown")
     build_index(spark, corpus, out, EngineConfig(index_type="IVF", nlist=NLIST))

@@ -115,6 +115,44 @@ def _index_sections(spark, sf_dir):
         search_index(spark, ivf_dir, q, k=10, nprobe=4, kernel="pandas"),
     )
 
+    attr_dir = os.path.join(root, "ivf_attr")
+    from pyspark.sql import functions as F
+
+    build_index(
+        spark,
+        corpus.withColumn("label", (F.col("vec_id") % 7).cast("int")),
+        attr_dir,
+        EngineConfig(
+            index_type="IVF", nlist=16, kmeans_sample_fraction=1.0,
+            ivf_max_list_factor=None,
+        ),
+        attr_cols=["label"],
+    )
+    yield (
+        "ivf_filtered_search",
+        ["centroid_id", "PushedFilters"],
+        "filtered ANN (r9): the attr predicate must land in the probed "
+        "scan's PushedFilters BESIDE the centroid_id partition filter — "
+        "scan-side filtering, no join, no post-pass; a plan that filters "
+        "after the kernel changes the cost class at 100 TB",
+        search_index(spark, attr_dir, q, k=10, nprobe=4, where="label = 3"),
+    )
+
+    from webscale_vector_search_spark.plans.build import delete_vectors
+
+    delete_vectors(spark, attr_dir, [0, 1, 2])
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    yield (
+        "ivf_tombstone_search",
+        ["BroadcastHashJoin", "LeftAnti"],
+        "pending deletes (r9): the tombstone exclusion is a BROADCAST "
+        "left-anti against the streamed probed scan — map-side, "
+        "pending-set-sized; a shuffled anti-join here would exchange the "
+        "corpus",
+        search_index(spark, open_index(spark, attr_dir), q, k=10, nprobe=4),
+    )
+
     cap_dir = os.path.join(root, "ivf_capped")
     build_index(
         spark,

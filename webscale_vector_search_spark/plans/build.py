@@ -669,8 +669,13 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
     # scan, and the tombstone table clears after the pointer flip
     tomb_dir = os.path.join(index_dir, "tombstones")
     tomb = None
-    if os.path.isdir(tomb_dir) and glob.glob(os.path.join(tomb_dir, "*.parquet")):
-        tomb = spark.read.parquet(tomb_dir).select("vec_id").distinct()
+    # snapshot the tombstone FILE LIST now and read exactly those files:
+    # a concurrent delete_vectors (e.g. incremental_delete) may append new
+    # files during the rewrite — those must survive this compaction as
+    # pending, so only the snapshotted files are removed at commit
+    tomb_files = sorted(glob.glob(os.path.join(tomb_dir, "*.parquet")))
+    if tomb_files:
+        tomb = spark.read.parquet(*tomb_files).select("vec_id").distinct()
         df = df.join(F.broadcast(tomb), "vec_id", "left_anti")
     if tomb is not None and meta.get("hnsw_graph"):
         # dropping graph rows leaves neighbors pointing at deleted nodes —
@@ -732,16 +737,28 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
     # the one just written and its immediate predecessor
     meta["vectors_dir"] = os.path.basename(next_dir)
     if tomb is not None:
-        # deletes are now physical: the live count becomes the total, and
-        # the tombstone table clears. Crash-safe order — pointer flip first,
-        # tombstone removal after: a reader between the two anti-joins
-        # already-absent ids, which is a no-op
+        # deletes are now physical: the live count becomes the total. Only
+        # drop the has_tombstones flag if no NEW tombstone files landed
+        # during the rewrite — those stay pending for the next compaction.
         meta["total_vectors"] = rows
-        meta.pop("has_tombstones", None)
+        new_pending = set(glob.glob(os.path.join(tomb_dir, "*.parquet"))) - set(tomb_files)
+        if not new_pending:
+            meta.pop("has_tombstones", None)
     index_io.write_metadata(index_dir, meta)
     if tomb is not None:
         df.unpersist()
-        shutil.rmtree(tomb_dir, ignore_errors=True)
+        # crash-safe order — pointer flip first, tombstone removal after: a
+        # reader between the two anti-joins already-absent ids (a no-op).
+        # Remove exactly the snapshotted files; concurrent appends survive.
+        for p in tomb_files:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        if os.path.isdir(tomb_dir) and not any(
+            f.endswith(".parquet") for f in os.listdir(tomb_dir)
+        ):
+            shutil.rmtree(tomb_dir, ignore_errors=True)
     keep = {next_dir, vectors_dir}
     for d in glob.glob(os.path.join(index_dir, "vectors.v*")) + [
         os.path.join(index_dir, "vectors")

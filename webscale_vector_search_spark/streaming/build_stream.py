@@ -204,6 +204,7 @@ def incremental_build(
             seed_meta["hnsw"] = {
                 "m": config.hnsw_m,
                 "ef_construction": config.hnsw_ef_construction,
+                "seed": config.seed,
             }
         write_metadata(out_dir, seed_meta)
     # the appended codes MUST match the sidecar's encoding: a residual
@@ -426,3 +427,40 @@ def refresh_metadata(spark: SparkSession, index_dir: str) -> dict:
     meta["total_vectors"] = total
     write_metadata(index_dir, meta)
     return meta
+
+
+def incremental_delete(
+    spark: SparkSession,
+    ids_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
+):
+    """Stream deletions into an index: each micro-batch of (vec_id) rows
+    appends to the tombstone table (plans.build.delete_vectors), taking
+    effect on the next search.
+
+    No epoch markers needed: tombstones are a SET under the search-time
+    anti-join, so a crash-replayed batch re-appends the same ids and
+    changes nothing — idempotent by data structure rather than by
+    bookkeeping (contrast incremental_build, whose appends need staged
+    publication). Compaction (manual or the append stream's
+    auto_compact_every) materializes and clears as usual; a tombstone
+    appended concurrently with a compaction lands after the rewrite's
+    snapshot read and simply stays pending for the next one.
+    """
+    from webscale_vector_search_spark.plans.build import delete_vectors
+
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_delete_checkpoint")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        delete_vectors(spark, index_dir, batch_df.select("vec_id"))
+
+    writer = (
+        ids_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
