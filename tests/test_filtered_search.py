@@ -210,6 +210,32 @@ def test_empty_filter_returns_no_rows(spark, ivf_dir, queries):
     assert res.count() == 0
 
 
+def test_empty_allowlist_returns_no_rows(spark, ivf_dir, queries):
+    """An empty allowlist means no candidates — both paths, no crash."""
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    res = search_index(spark, ivf_dir, queries, k=10, nprobe=4,
+                       allowed_ids=[])
+    assert res.count() == 0
+    h = open_index(spark, ivf_dir)
+    pdf = serve_local(h, queries, k=10, nprobe=4, allowed_ids=[])
+    assert len(pdf) == 0
+
+
+def test_allowed_ids_plain_sequence_spark_path(spark, ivf_dir, corpus, queries):
+    """search_index coerces plain id sequences (serve_local's form), so a
+    routed call is valid on both sides of the batch-size split."""
+    ids = [r["vec_id"] for r in
+           corpus.select("vec_id").filter("vec_id % 11 = 0").collect()]
+    oracle = knn_pandas(
+        corpus.filter(F.col("vec_id").isin(ids)), queries, k=10
+    )
+    res = search_index(spark, ivf_dir, queries, k=10, nprobe=NLIST,
+                       allowed_ids=ids)
+    assert _rows(res) == _rows(oracle)
+
+
 def test_attr_cols_validation(spark, corpus, idx_root):
     with pytest.raises(ValueError, match="collide"):
         build_index(spark, corpus, str(idx_root / "bad1"),

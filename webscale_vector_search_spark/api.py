@@ -133,9 +133,13 @@ class VectorCluster:
             "query_time_ms": elapsed_ms,
         }
 
-    def search_batch(self, queries: DataFrame, k: int = 10, nprobe: int | None = None) -> DataFrame:
-        """The Spark-native unit: a query DataFrame in, results out (lazy)."""
-        return search_index(self.spark, self.index_dir, queries, k=k, nprobe=nprobe)
+    def search_batch(self, queries: DataFrame, k: int = 10,
+                     nprobe: int | None = None, **search_kwargs) -> DataFrame:
+        """The Spark-native unit: a query DataFrame in, results out (lazy).
+        Extra kwargs pass through to search_index (where / allowed_ids /
+        exact_refine / ef_search / ...)."""
+        return search_index(self.spark, self.index_dir, queries, k=k,
+                            nprobe=nprobe, **search_kwargs)
 
     def get_stats(self) -> dict:
         """/api/v1/stats analog (815-830, 414-434)."""

@@ -346,6 +346,228 @@ def delete_vectors(spark: SparkSession, index_dir: str, ids) -> int:
     return n
 
 
+def _clear_tombstones_for(spark: SparkSession, index_dir: str, ids: DataFrame) -> None:
+    """Drop the given ids from the pending tombstone table (re-insertion:
+    an appended row must not be hidden by a stale tombstone for its id).
+    The table is pending-set-sized, so the rewrite is a driver-cheap job:
+    read all, anti-join, write fresh, swap."""
+    import glob
+    import shutil
+
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    files = sorted(glob.glob(os.path.join(tomb_dir, "*.parquet")))
+    if not files:
+        return
+    kept = (
+        spark.read.parquet(*files)
+        .select("vec_id")
+        .join(F.broadcast(ids.select("vec_id")), "vec_id", "left_anti")
+    )
+    tmp_dir = tomb_dir + ".rewrite"
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+    has_rows = bool(
+        glob.glob(os.path.join(tmp_dir, "*.parquet"))
+    ) and spark.read.parquet(tmp_dir).limit(1).count() > 0
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+    if has_rows:
+        os.replace(tmp_dir, tomb_dir)
+    else:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        meta = index_io.read_metadata(index_dir)
+        if meta.pop("has_tombstones", None) is not None:
+            index_io.write_metadata(index_dir, meta)
+
+
+def append_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Batch-append rows to an EXISTING index, deriving every build
+    parameter from the stored artifact (sidecar + centroids + codebooks +
+    rotation) — the batch twin of streaming/build_stream.incremental_build,
+    and implemented THROUGH it: the rows drain as a one-shot availableNow
+    stream, reusing the staged exactly-once publication, the HNSW
+    incremental graph insertion, and the drain-time sidecar refresh.
+
+    Append means NEW ids: appending an id that already exists in the index
+    (live or tombstoned) leaves two physical rows for it — use
+    :func:`upsert_vectors`, which physically replaces old versions and
+    clears stale tombstones, for replace-or-insert semantics. (The check
+    is not performed here: it would cost a full id semi-join per append,
+    and pure appends — the streaming-ingest shape — never need it.)
+    Attribute columns declared at build time must be present on `df`
+    (they ride the index rows / attrs sidecar like the original build).
+
+    Returns the number of rows appended. Per-cell-LOPQ indexes refuse
+    (their encoder is per-list; rebuild instead)."""
+    import shutil
+    import tempfile
+
+    meta = index_io.read_metadata(index_dir)
+    itype = meta["index_type"]
+    attr_cols = meta.get("attr_cols") or []
+    missing = [c for c in attr_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"index stores attr_cols {attr_cols} — appended rows must carry "
+            f"them too (missing: {missing})"
+        )
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        *[F.col(c) for c in attr_cols],
+    )
+    n_new = base.count()
+    if n_new == 0:
+        return 0
+
+    cfg_kwargs: dict = dict(
+        index_type=itype,
+        num_shards=meta["num_shards"],
+        vector_dim=meta["vector_dim"],
+        metric=meta.get("metric", "sq_l2"),
+    )
+    if itype == "IVFPQ":
+        cfg_kwargs.update(
+            pq_m=meta["pq_m"],
+            pq_bits=meta.get("pq_bits", 8),
+            pq_residual=bool(meta.get("pq_residual")),
+        )
+    if itype == "HNSW":
+        h = meta.get("hnsw") or {}
+        cfg_kwargs.update(
+            hnsw_m=h.get("m", 16),
+            hnsw_ef_construction=h.get("ef_construction", 64),
+            seed=h.get("seed", 42),
+        )
+    config = EngineConfig(**cfg_kwargs)
+
+    centroids = codebooks = None
+    cent_dir = os.path.join(index_dir, "centroids")
+    if itype in ("IVF", "IVFPQ") or (itype == "HNSW" and not meta.get("hnsw_graph")):
+        centroids = spark.read.parquet(cent_dir)
+    if itype == "IVFPQ":
+        codebooks = index_io.read_codebooks(spark, index_dir)
+
+    from webscale_vector_search_spark.streaming.build_stream import incremental_build
+
+    stage = tempfile.mkdtemp(prefix="wvss_append_")
+    try:
+        src = os.path.join(stage, "rows")
+        base.write.parquet(src)
+        stream = spark.readStream.schema(base.schema).parquet(src)
+        q = incremental_build(
+            spark,
+            stream,
+            index_dir,
+            config,
+            centroids=centroids,
+            codebooks=codebooks,
+            checkpoint_dir=os.path.join(stage, "ckpt"),
+        )
+        q.awaitTermination(3600)  # drain-time sidecar refresh included
+        if q.isActive:
+            q.stop()
+            raise RuntimeError("append stream failed to drain")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    if itype == "HNSW" and meta.get("hnsw_graph") and attr_cols:
+        base.select("vec_id", *attr_cols).write.mode("append").parquet(
+            os.path.join(index_dir, "attrs")
+        )
+    return n_new
+
+
+def upsert_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Replace-or-insert by id: physically remove any existing rows with
+    the incoming ids, then append the new rows.
+
+    Physical removal, NOT tombstones — a tombstone for an upserted id would
+    hide the new row too (the exclusion joins on vec_id alone, by design:
+    it keeps deletes metadata-sized). The removal is partition-targeted:
+    one semi-join locates the partitions holding old versions, and only
+    those rewrite (dynamic partition overwrite). HNSW shards that lose
+    nodes rebuild their graph (same m/ef/seed, the compaction path's rule)
+    before the append's incremental insertion runs. Stale tombstones for
+    the incoming ids clear too — an id deleted yesterday and upserted
+    today must be visible.
+
+    Returns the number of rows appended."""
+    ids = df.select(F.col(id_col).alias("vec_id")).distinct()
+    _physical_delete(spark, index_dir, ids)
+    _clear_tombstones_for(spark, index_dir, ids)
+    return append_vectors(spark, index_dir, df, id_col=id_col, vec_col=vec_col)
+
+
+def _physical_delete(spark: SparkSession, index_dir: str, ids: DataFrame) -> int:
+    """Remove rows by id from the stored partitions, touching only the
+    partitions that contain them. Used by upsert (tombstones can't express
+    replace-by-id); plain deletes should prefer delete_vectors (cheaper)."""
+    meta = index_io.read_metadata(index_dir)
+    vectors_dir = index_io.vectors_path(index_dir, meta)
+    vecs = spark.read.parquet(vectors_dir)
+    part_col = "centroid_id" if "centroid_id" in vecs.columns else "shard_id"
+    affected = [
+        r[part_col]
+        for r in vecs.join(F.broadcast(ids), "vec_id", "left_semi")
+        .select(part_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    kept = vecs.filter(F.col(part_col).isin(affected)).join(
+        F.broadcast(ids), "vec_id", "left_anti"
+    )
+    if meta.get("hnsw_graph"):
+        # dropping graph rows dangles adjacency: rebuild the affected
+        # shards' graphs over their surviving rows (compaction's rule)
+        from webscale_vector_search_spark.operators import hnsw_partition as hnsw_ops
+
+        h = meta.get("hnsw") or {}
+        kept = hnsw_ops.build_hnsw_graphs(
+            kept.select("vec_id", "embedding", "shard_id"),
+            m=h.get("m", 16),
+            ef_construction=h.get("ef_construction", 64),
+            seed=h.get("seed", 42),
+        )
+    kept = kept.persist()
+    # dynamic overwrite only rewrites partitions PRESENT in the output: a
+    # partition whose every row was removed produces no output rows and
+    # would silently keep its old files — those directories are dropped
+    # explicitly after the write
+    surviving = {r[part_col] for r in kept.select(part_col).distinct().collect()}
+    emptied = [p for p in affected if p not in surviving]
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(vectors_dir)
+    )
+    kept.unpersist()
+    import shutil
+
+    for p in emptied:
+        shutil.rmtree(os.path.join(vectors_dir, f"{part_col}={p}"), ignore_errors=True)
+    if meta.get("hnsw_graph"):
+        from webscale_vector_search_spark.operators import hnsw_partition as hnsw_ops
+
+        hnsw_ops.freeze_graphs(
+            vectors_dir, meta["num_shards"], spark=spark,
+            shards=[p for p in affected if p in surviving],
+        )
+    return len(affected)
+
+
 def _live(df: DataFrame, tombstones: DataFrame | None) -> DataFrame:
     """Exclude tombstoned rows from an index scan: broadcast anti-join —
     map-side against the streamed corpus, pending-delete-set sized."""
@@ -481,6 +703,12 @@ def search_index(
         else index_io.open_index(spark, index_dir)
     )
     itype = handle.meta["index_type"]
+    if allowed_ids is not None and not isinstance(allowed_ids, DataFrame):
+        # accept the same plain-sequence form serve_local takes, so a
+        # search_routed call is valid on both sides of the batch-size split
+        allowed_ids = spark.createDataFrame(
+            [(int(x),) for x in allowed_ids], "vec_id BIGINT"
+        )
     filtered = where is not None or allowed_ids is not None
     tomb = handle.tombstones  # pending logical deletes (delete_vectors)
     if handle.meta.get("metric", "sq_l2") == "cosine":

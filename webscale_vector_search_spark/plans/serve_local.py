@@ -214,9 +214,7 @@ def _entry_mask(entry: dict, where, allowed_sorted, tomb_sorted=None) -> "np.nda
             raise ValueError("where callable must return one bool per row")
         mask = wm if mask is None else (mask & wm)
     if allowed_sorted is not None:
-        pos = np.searchsorted(allowed_sorted, entry["ids"])
-        pos_c = np.minimum(pos, len(allowed_sorted) - 1)
-        allow = (pos < len(allowed_sorted)) & (allowed_sorted[pos_c] == entry["ids"])
+        allow = _member(allowed_sorted, entry["ids"])
         mask = allow if mask is None else (mask & allow)
     if mask is not None and mask.all():
         return None
@@ -349,7 +347,11 @@ class _LocalProbes:
 
 
 def _member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
-    """Membership of vals in a sorted unique array (bool mask)."""
+    """Membership of vals in a sorted unique array (bool mask). An empty
+    allowlist means nothing is a member (no -1 indexing on the empty
+    array)."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(vals), dtype=bool)
     pos = np.searchsorted(sorted_arr, vals)
     pos_c = np.minimum(pos, len(sorted_arr) - 1)
     return (pos < len(sorted_arr)) & (sorted_arr[pos_c] == vals)

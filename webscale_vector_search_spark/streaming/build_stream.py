@@ -339,9 +339,21 @@ def incremental_build(
     elif config.index_type == "IVFPQ":
         if centroids is None or codebooks is None:
             raise ValueError("IVFPQ incremental build requires fixed centroids AND codebooks")
+        if meta_now.get("pq_local_codebooks"):
+            raise ValueError(
+                "incremental append to a per-cell-LOPQ index is not supported "
+                "(the stream encodes with one global codebook); use a "
+                "global-codebook IVFPQ for streaming ingest"
+            )
         cents = centroids
         cents_count = cents.count()
         books = codebooks
+        # a global-OPQ index stores rotated codes: appended batches must
+        # encode through the SAME stored rotation or their codes are
+        # silently mis-scored by the rotated ADC decode at search time
+        from webscale_vector_search_spark.sources.index_io import read_rotation
+
+        stored_rot = read_rotation(spark, out_dir)
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             if _epoch_done(out_dir, _token(), epoch_id):
@@ -353,6 +365,7 @@ def incremental_build(
                 assign_centroids(batch_df, cents),
                 books,
                 centroids=cents if pq_residual else None,
+                rotation=stored_rot,
             ).repartition(max(1, cents_count), "centroid_id")
             _publish_epoch(assigned, out_dir, "centroid_id", _token(), epoch_id)
             _maybe_auto_compact(batch_df.sparkSession, epoch_id)
