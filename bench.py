@@ -863,6 +863,14 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
             spark, hc_handle, queries, k=k, nprobe=nprobe, exact_refine=False
         )
     )
+    # two-stage form at 10M (the 1M tier showed refine buys recall back to
+    # 1.0 for candidates-only IO; measure it one order up — the refine join
+    # volume is |queries| * 4k rows, corpus-size-independent)
+    hc_ref_sec, hc_ref = timed(
+        lambda: search_index(
+            spark, hc_handle, queries, k=k, nprobe=nprobe, refine_factor=4
+        )
+    )
     hnsw_sec, hnsw_res = timed(
         lambda: search_index(spark, hnsw_handle, queries, k=k), warmups=2
     )
@@ -923,6 +931,9 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
             "compression_x": 8.0,
             "adc_sec": hc_adc_sec,
             "adc_recall": round(recall_at_k(hc_adc, exact, k=k), 4),
+            "refine_factor": 4,
+            "refined_sec": hc_ref_sec,
+            "refined_recall": round(recall_at_k(hc_ref, exact, k=k), 4),
         },
         "hnsw_sec": hnsw_sec,
         "hnsw_recall": round(recall_at_k(hnsw_res, exact, k=k), 4),
