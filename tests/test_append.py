@@ -23,6 +23,7 @@ from webscale_vector_search_spark.operators.knn import knn_pandas
 from webscale_vector_search_spark.plans.build import (
     append_vectors,
     build_index,
+    compact_index,
     delete_vectors,
     search_index,
     upsert_vectors,
@@ -181,6 +182,59 @@ def test_upsert_new_ids_is_plain_append(spark, corpus, extra, full, queries,
     upsert_vectors(spark, out, extra)
     res = search_index(spark, out, queries, k=10, nprobe=NLIST)
     assert _rows(res) == _rows(knn_pandas(full, queries, k=10))
+
+
+def test_full_index_lifecycle(spark, full, queries, tmp_path_factory):
+    """One index through its whole life: build(attrs) -> delete ->
+    filtered search -> append -> compact -> upsert -> final searches match
+    a pandas-side oracle at every step. Integration seams (tombstones x
+    attrs x compaction x append) are exactly where unit tests miss."""
+    out = str(tmp_path_factory.mktemp("lifecycle"))
+    lab = lambda df: df.withColumn("label", (F.col("vec_id") % 5).cast("int"))
+    n = full.count()
+    old = lab(full.filter(F.col("vec_id") < int(n * 0.7)))
+    build_index(spark, old, out, EngineConfig(index_type="IVF", nlist=NLIST),
+                attr_cols=["label"])
+
+    # 1. delete a slice; filtered search obeys both exclusions
+    delete_vectors(spark, out, old.select("vec_id").filter("vec_id % 4 = 0"))
+    live1 = old.filter("vec_id % 4 != 0")
+    res = search_index(spark, out, queries, k=10, nprobe=NLIST, where="label = 2")
+    assert _rows(res) == _rows(knn_pandas(live1.filter("label = 2"), queries, k=10))
+
+    # 2. append new rows (with attrs); they join the searchable set
+    new = lab(full.filter(F.col("vec_id") >= int(n * 0.7)))
+    append_vectors(spark, out, new)
+    live2 = live1.unionByName(new)
+    res = search_index(spark, out, queries, k=10, nprobe=NLIST)
+    assert _rows(res) == _rows(knn_pandas(live2, queries, k=10))
+
+    # 3. compact: tombstones materialize, results unchanged
+    compact_index(spark, out)
+    assert open_index(spark, out).tombstones is None
+    res = search_index(spark, out, queries, k=10, nprobe=NLIST, where="label = 2")
+    assert _rows(res) == _rows(knn_pandas(live2.filter("label = 2"), queries, k=10))
+
+    # 4. upsert moved vectors; final state exact
+    moved = live2.filter("vec_id % 7 = 0").withColumn(
+        "embedding", F.reverse(F.col("embedding"))
+    )
+    upsert_vectors(spark, out, moved)
+    final = live2.filter("vec_id % 7 != 0").unionByName(moved)
+    h = open_index(spark, out)
+    assert h.vectors.count() == final.count()
+    res = search_index(spark, h, queries, k=10, nprobe=NLIST)
+    assert _rows(res) == _rows(knn_pandas(final, queries, k=10))
+    # the serving path agrees after the whole life
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+
+    got = serve_local(h, queries, k=10, nprobe=NLIST)
+    want = {(r["query_id"], r["rank"], r["neighbor_id"], round(r["distance"], 6))
+            for r in res.collect()}
+    have = {(int(a), int(b), int(c), round(float(d), 6))
+            for a, b, c, d in zip(got["query_id"], got["rank"],
+                                  got["neighbor_id"], got["distance"])}
+    assert have == want
 
 
 def test_append_opq_index_rotates_codes(spark, corpus, extra, full, queries,
