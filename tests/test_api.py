@@ -49,6 +49,16 @@ def test_create_index_from_npy_and_search(spark, npy_corpus_path, tmp_path_facto
     stats = cluster.get_stats()
     assert stats["total_queries"] == 1
     assert stats["total_vectors"] == 80
+    assert stats["pending_deletes"] == 0
+
+    # stats report the LIVE count under pending deletes (r9)
+    from webscale_vector_search_spark.plans.build import delete_vectors
+
+    delete_vectors(spark, out, [0, 1, 2])
+    stats2 = VectorCluster(spark, out).get_stats()
+    assert stats2["total_vectors"] == 77
+    assert stats2["stored_vectors"] == 80
+    assert stats2["pending_deletes"] == 3
 
 
 def test_hnsw_capability_high_recall(spark, tmp_path_factory):

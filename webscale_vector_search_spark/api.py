@@ -142,16 +142,27 @@ class VectorCluster:
                             nprobe=nprobe, **search_kwargs)
 
     def get_stats(self) -> dict:
-        """/api/v1/stats analog (815-830, 414-434)."""
+        """/api/v1/stats analog (815-830, 414-434).
+
+        `total_vectors` reports the LIVE count: the sidecar total minus
+        pending tombstones (delete_vectors since the last compaction) —
+        what searches through this cluster can actually return. The raw
+        sidecar number stays available as `stored_vectors`; `pending_
+        deletes` makes the difference explicit (reference has no delete,
+        so no such field — §2.9 extension surface)."""
         lat = sorted(self._latencies_ms)
         n = len(lat)
+        tomb = self._opened().tombstone_array()
+        pending = int(len(tomb)) if tomb is not None else 0
         return {
             "total_queries": self._queries_processed,
             "avg_latency_ms": sum(lat) / n if n else 0.0,
             "p50_latency_ms": lat[n // 2] if n else 0.0,
             "p95_latency_ms": lat[int(n * 0.95)] if n else 0.0,
             "p99_latency_ms": lat[int(n * 0.99)] if n else 0.0,
-            "total_vectors": self.meta["total_vectors"],
+            "total_vectors": self.meta["total_vectors"] - pending,
+            "stored_vectors": self.meta["total_vectors"],
+            "pending_deletes": pending,
             "num_shards": self.meta["num_shards"],
             "index_type": self.meta["index_type"],
         }
