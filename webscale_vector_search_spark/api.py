@@ -83,10 +83,18 @@ class VectorCluster:
         self._latencies_ms: list[float] = []
 
     def _opened(self):
+        """The cluster's long-lived handle, freshness-probed on every use:
+        deletes/appends/compactions issued after the first search are
+        visible to the next one (IndexHandle.maybe_refresh — a stat-only
+        probe when nothing changed). `self.meta` tracks the handle's meta
+        so pointer flips and total updates propagate to stats too."""
         if self._handle is None:
             from webscale_vector_search_spark.sources.index_io import open_index
 
             self._handle = open_index(self.spark, self.index_dir)
+        else:
+            self._handle.maybe_refresh()
+        self.meta = self._handle.meta
         return self._handle
 
     def distributed_search(
@@ -108,13 +116,14 @@ class VectorCluster:
         from webscale_vector_search_spark.plans.serve_local import serve_local
 
         t0 = time.perf_counter()
+        handle = self._opened()  # refreshes self.meta if the index mutated
         nprobe = None
         # all_shards on list-layout indexes = probe every list (graph HNSW
         # artifacts carry nlist=None and traverse regardless of nprobe)
         if self.meta["index_type"] in ("IVF", "IVFPQ", "HNSW") and all_shards:
             nprobe = self.meta.get("nlist")
         got = serve_local(
-            self._opened(),
+            handle,
             np.asarray(query_vector, dtype=np.float64),
             k=k,
             nprobe=nprobe,
@@ -146,14 +155,16 @@ class VectorCluster:
 
         `total_vectors` reports the LIVE count: the sidecar total minus
         pending tombstones (delete_vectors since the last compaction) —
-        what searches through this cluster can actually return. The raw
+        what searches through this cluster can actually return. The
+        pending count is EXACT — |tombstones ∩ stored ids|, one cached
+        column-pruned scan (IndexHandle.live_pending_count) — so deleting
+        an id that never existed doesn't deflate the live count. The raw
         sidecar number stays available as `stored_vectors`; `pending_
         deletes` makes the difference explicit (reference has no delete,
         so no such field — §2.9 extension surface)."""
         lat = sorted(self._latencies_ms)
         n = len(lat)
-        tomb = self._opened().tombstone_array()
-        pending = int(len(tomb)) if tomb is not None else 0
+        pending = self._opened().live_pending_count()
         return {
             "total_queries": self._queries_processed,
             "avg_latency_ms": sum(lat) / n if n else 0.0,

@@ -341,16 +341,27 @@ def delete_vectors(spark: SparkSession, index_dir: str, ids) -> int:
     # ids-only table, one small file per delete call (compaction clears it)
     df.coalesce(1).write.mode("append").parquet(tomb_dir)
     meta = index_io.read_metadata(index_dir)
-    meta["has_tombstones"] = True
-    index_io.write_metadata(index_dir, meta)
+    if not meta.get("has_tombstones"):
+        # flag once: repeat deletes then mutate only the tombstones dir, so
+        # an open handle's freshness probe takes the cheap re-read-the-
+        # pending-set path instead of a full reopen (maybe_refresh)
+        meta["has_tombstones"] = True
+        index_io.write_metadata(index_dir, meta)
     return n
 
 
 def _clear_tombstones_for(spark: SparkSession, index_dir: str, ids: DataFrame) -> None:
     """Drop the given ids from the pending tombstone table (re-insertion:
     an appended row must not be hidden by a stale tombstone for its id).
-    The table is pending-set-sized, so the rewrite is a driver-cheap job:
-    read all, anti-join, write fresh, swap."""
+
+    Same snapshot discipline as compact_index's tombstone materialization:
+    snapshot the file list, write the kept set as a NEW file (appended into
+    the same directory), then os.remove exactly the snapshotted files — a
+    delete_vectors append landing mid-rewrite is not in the snapshot and
+    survives untouched, and a crash between the append and the removals
+    only leaves duplicates (harmless: the table is a set under the
+    search-time anti-join). The table is pending-set-sized, so the rewrite
+    is a driver-cheap job."""
     import glob
     import shutil
 
@@ -363,16 +374,17 @@ def _clear_tombstones_for(spark: SparkSession, index_dir: str, ids: DataFrame) -
         .select("vec_id")
         .join(F.broadcast(ids.select("vec_id")), "vec_id", "left_anti")
     )
-    tmp_dir = tomb_dir + ".rewrite"
-    kept.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-    has_rows = bool(
-        glob.glob(os.path.join(tmp_dir, "*.parquet"))
-    ) and spark.read.parquet(tmp_dir).limit(1).count() > 0
-    shutil.rmtree(tomb_dir, ignore_errors=True)
-    if has_rows:
-        os.replace(tmp_dir, tomb_dir)
-    else:
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+    if kept.limit(1).count() > 0:
+        kept.coalesce(1).write.mode("append").parquet(tomb_dir)
+    for p in files:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    if not any(
+        f.endswith(".parquet") for f in os.listdir(tomb_dir)
+    ):
+        shutil.rmtree(tomb_dir, ignore_errors=True)
         meta = index_io.read_metadata(index_dir)
         if meta.pop("has_tombstones", None) is not None:
             index_io.write_metadata(index_dir, meta)
@@ -475,8 +487,10 @@ def append_vectors(
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     if itype == "HNSW" and meta.get("hnsw_graph") and attr_cols:
+        # resolve through the pointer: an upsert/compaction may have moved
+        # the live attrs table to an attrs.v{N} directory
         base.select("vec_id", *attr_cols).write.mode("append").parquet(
-            os.path.join(index_dir, "attrs")
+            index_io.attrs_path(index_dir, index_io.read_metadata(index_dir))
         )
     return n_new
 
@@ -494,12 +508,16 @@ def upsert_vectors(
     Physical removal, NOT tombstones — a tombstone for an upserted id would
     hide the new row too (the exclusion joins on vec_id alone, by design:
     it keeps deletes metadata-sized). The removal is partition-targeted:
-    one semi-join locates the partitions holding old versions, and only
-    those rewrite (dynamic partition overwrite). HNSW shards that lose
-    nodes rebuild their graph (same m/ef/seed, the compaction path's rule)
-    before the append's incremental insertion runs. Stale tombstones for
-    the incoming ids clear too — an id deleted yesterday and upserted
-    today must be visible.
+    one semi-join locates the partitions holding old versions; only those
+    rewrite, into a fresh `vectors.v{N}` committed by the sidecar pointer
+    flip (compact_index's protocol — a concurrent reader never observes a
+    half-rewritten index, and a crash mid-rewrite leaves the old version
+    current). HNSW shards that lose nodes rebuild their graph (same
+    m/ef/seed, the compaction path's rule) before the append's incremental
+    insertion runs, and the attrs/ sidecar drops the replaced ids' rows in
+    the same commit (stale attribute rows would corrupt filtered search).
+    Stale tombstones for the incoming ids clear too — an id deleted
+    yesterday and upserted today must be visible.
 
     Returns the number of rows appended."""
     ids = df.select(F.col(id_col).alias("vec_id")).distinct()
@@ -508,24 +526,123 @@ def upsert_vectors(
     return append_vectors(spark, index_dir, df, id_col=id_col, vec_col=vec_col)
 
 
+def _next_version_dir(index_dir: str, stem: str = "vectors") -> str:
+    """Next `<stem>.v{N}` path under the index root (compaction/upsert's
+    versioned-directory commit protocol; see compact_index)."""
+    import glob
+
+    versions = [
+        int(os.path.basename(d).rsplit(".v", 1)[1])
+        for d in glob.glob(os.path.join(index_dir, f"{stem}.v*"))
+        if os.path.basename(d).rsplit(".v", 1)[1].isdigit()
+    ]
+    return os.path.join(index_dir, f"{stem}.v{(max(versions) + 1) if versions else 1}")
+
+
+def _gc_versions(index_dir: str, keep: set, stem: str = "vectors") -> None:
+    """Drop superseded version directories, keeping the paths in `keep`
+    (the just-committed version and its immediate predecessor, for
+    in-flight readers that resolved the pointer before the flip)."""
+    import glob
+    import shutil
+
+    for d in glob.glob(os.path.join(index_dir, f"{stem}.v*")) + [
+        os.path.join(index_dir, stem)
+    ]:
+        if d not in keep and os.path.isdir(d):
+            shutil.rmtree(d)
+
+
+def _link_forward_partition(src: str, dst: str) -> None:
+    """Carry one partition directory of immutable files into a new version
+    directory: hardlinks on the same filesystem (instant, no data copy —
+    GC of the old version only unlinks names), byte-copy fallback across
+    devices. On an object store this step is the manifest/copy-forward a
+    real deployment would do; the commit protocol is identical.
+
+    HNSW frozen bundles ride along, but their fingerprint.json binds the
+    bundle to the parquet files' absolute PATHS — written fresh for the new
+    location (never through a hardlink, which would corrupt the old
+    version's fingerprint), so serving keeps the fast bundle load instead
+    of silently falling back to the parquet decode."""
+    import shutil
+
+    fp_rewrites = []
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out_root = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out_root, exist_ok=True)
+        for f in files:
+            s = os.path.join(root, f)
+            d = os.path.join(out_root, f)
+            if f == "fingerprint.json":
+                fp_rewrites.append(out_root)
+                continue
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+    for bundle_dir in fp_rewrites:
+        from webscale_vector_search_spark.operators.hnsw_partition import (
+            _graph_fingerprint,
+        )
+        import json
+
+        shard_dir = os.path.dirname(bundle_dir)
+        with open(os.path.join(bundle_dir, "fingerprint.json"), "w") as f:
+            json.dump([list(t) for t in _graph_fingerprint(shard_dir)], f)
+
+
+def _rewrite_attrs_without(
+    spark: SparkSession, index_dir: str, meta: dict, ids: DataFrame
+) -> bool:
+    """Anti-join the given ids out of the attrs/ sidecar into a fresh
+    `attrs.v{N}` and point meta['attrs_dir'] at it — the caller commits by
+    writing the sidecar (ONE write also flips vectors_dir, so vectors and
+    attrs change together atomically). Without this, an upsert/compaction
+    of an attributed HNSW index leaves stale duplicate vec_id rows whose
+    old attribute values corrupt filtered search. Returns True when a
+    rewrite happened (caller then GCs old attrs versions after commit)."""
+    cur = index_io.attrs_path(index_dir, meta)
+    if not os.path.isdir(cur):
+        return False
+    kept = spark.read.parquet(cur).join(
+        F.broadcast(ids.select("vec_id")), "vec_id", "left_anti"
+    )
+    next_dir = _next_version_dir(index_dir, "attrs")
+    kept.write.mode("overwrite").parquet(next_dir)
+    meta["attrs_dir"] = os.path.basename(next_dir)
+    return True
+
+
 def _physical_delete(spark: SparkSession, index_dir: str, ids: DataFrame) -> int:
     """Remove rows by id from the stored partitions, touching only the
     partitions that contain them. Used by upsert (tombstones can't express
-    replace-by-id); plain deletes should prefer delete_vectors (cheaper)."""
+    replace-by-id); plain deletes should prefer delete_vectors (cheaper).
+
+    Commit protocol == compact_index: the post-delete state materializes in
+    a fresh `vectors.v{N}` (untouched partition dirs carried forward as
+    hardlinks — their files are immutable; only affected partitions
+    rewrite), then ONE sidecar write flips the `vectors_dir` pointer (and
+    `attrs_dir`, when an attrs sidecar exists). A concurrent reader holds a
+    complete old version for the whole rewrite; a crash anywhere before the
+    flip leaves the old version current and only an orphaned .v{N} to GC —
+    never a half-rewritten index, never a resurrected partition (the old
+    in-place dynamic-overwrite + post-hoc rmtree had both failure modes)."""
     meta = index_io.read_metadata(index_dir)
     vectors_dir = index_io.vectors_path(index_dir, meta)
     vecs = spark.read.parquet(vectors_dir)
     part_col = "centroid_id" if "centroid_id" in vecs.columns else "shard_id"
-    affected = [
+    affected = {
         r[part_col]
         for r in vecs.join(F.broadcast(ids), "vec_id", "left_semi")
         .select(part_col)
         .distinct()
         .collect()
-    ]
+    }
     if not affected:
         return 0
-    kept = vecs.filter(F.col(part_col).isin(affected)).join(
+    kept = vecs.filter(F.col(part_col).isin(list(affected))).join(
         F.broadcast(ids), "vec_id", "left_anti"
     )
     if meta.get("hnsw_graph"):
@@ -540,30 +657,46 @@ def _physical_delete(spark: SparkSession, index_dir: str, ids: DataFrame) -> int
             ef_construction=h.get("ef_construction", 64),
             seed=h.get("seed", 42),
         )
-    kept = kept.persist()
-    # dynamic overwrite only rewrites partitions PRESENT in the output: a
-    # partition whose every row was removed produces no output rows and
-    # would silently keep its old files — those directories are dropped
-    # explicitly after the write
-    surviving = {r[part_col] for r in kept.select(part_col).distinct().collect()}
-    emptied = [p for p in affected if p not in surviving]
-    (
-        kept.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(part_col)
-        .parquet(vectors_dir)
-    )
-    kept.unpersist()
-    import shutil
-
-    for p in emptied:
-        shutil.rmtree(os.path.join(vectors_dir, f"{part_col}={p}"), ignore_errors=True)
+    next_dir = _next_version_dir(index_dir)
+    # rewrite ONLY the affected partitions into the fresh version; a
+    # partition whose every row was removed simply writes nothing (the old
+    # protocol needed an explicit rmtree for exactly this case)
+    kept.write.mode("overwrite").partitionBy(part_col).parquet(next_dir)
+    surviving = {
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in os.listdir(next_dir)
+        if d.startswith(f"{part_col}=")
+    } if os.path.isdir(next_dir) else set()
+    # carry the untouched partitions forward (hardlink, no data movement)
+    for entry in os.listdir(vectors_dir):
+        if not entry.startswith(f"{part_col}="):
+            continue
+        val = entry.split("=", 1)[1]
+        if val.isdigit() and int(val) in affected:
+            continue
+        _link_forward_partition(
+            os.path.join(vectors_dir, entry), os.path.join(next_dir, entry)
+        )
     if meta.get("hnsw_graph"):
         from webscale_vector_search_spark.operators import hnsw_partition as hnsw_ops
 
         hnsw_ops.freeze_graphs(
-            vectors_dir, meta["num_shards"], spark=spark,
-            shards=[p for p in affected if p in surviving],
+            next_dir, meta["num_shards"], spark=spark,
+            shards=sorted(affected & surviving),
+        )
+    attrs_rewritten = False
+    if meta.get("attr_cols"):
+        attrs_rewritten = _rewrite_attrs_without(spark, index_dir, meta, ids)
+    # commit: one atomic sidecar write flips vectors (and attrs) together
+    old_attrs = index_io.attrs_path(index_dir) if attrs_rewritten else None
+    meta["vectors_dir"] = os.path.basename(next_dir)
+    index_io.write_metadata(index_dir, meta)
+    _gc_versions(index_dir, keep={next_dir, vectors_dir})
+    if attrs_rewritten:
+        _gc_versions(
+            index_dir,
+            keep={os.path.join(index_dir, meta["attrs_dir"]), old_attrs},
+            stem="attrs",
         )
     return len(affected)
 
@@ -697,11 +830,13 @@ def search_index(
     """
     from webscale_vector_search_spark.operators.knn import knn, knn_pandas
 
-    handle = (
-        index_dir
-        if isinstance(index_dir, index_io.IndexHandle)
-        else index_io.open_index(spark, index_dir)
-    )
+    if isinstance(index_dir, index_io.IndexHandle):
+        handle = index_dir
+        # long-lived handle freshness: deletes/appends/compactions landing
+        # since open apply to this search (stat-only probe when clean)
+        handle.maybe_refresh()
+    else:
+        handle = index_io.open_index(spark, index_dir)
     itype = handle.meta["index_type"]
     if allowed_ids is not None and not isinstance(allowed_ids, DataFrame):
         # accept the same plain-sequence form serve_local takes, so a
@@ -963,6 +1098,14 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
     )
     # commit: flip the sidecar pointer (atomic), then GC all versions except
     # the one just written and its immediate predecessor
+    attrs_rewritten = False
+    old_attrs = None
+    if tomb is not None and meta.get("attr_cols"):
+        # materializing deletes must also drop the deleted ids' attrs
+        # sidecar rows (HNSW): leftovers would later collide with an upsert
+        # re-adding the id — the same commit flips both pointers
+        old_attrs = index_io.attrs_path(index_dir, meta)
+        attrs_rewritten = _rewrite_attrs_without(spark, index_dir, meta, tomb)
     meta["vectors_dir"] = os.path.basename(next_dir)
     if tomb is not None:
         # deletes are now physical: the live count becomes the total. Only
@@ -987,12 +1130,13 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
             f.endswith(".parquet") for f in os.listdir(tomb_dir)
         ):
             shutil.rmtree(tomb_dir, ignore_errors=True)
-    keep = {next_dir, vectors_dir}
-    for d in glob.glob(os.path.join(index_dir, "vectors.v*")) + [
-        os.path.join(index_dir, "vectors")
-    ]:
-        if d not in keep and os.path.isdir(d):
-            shutil.rmtree(d)
+    _gc_versions(index_dir, keep={next_dir, vectors_dir})
+    if attrs_rewritten:
+        _gc_versions(
+            index_dir,
+            keep={os.path.join(index_dir, meta["attrs_dir"]), old_attrs},
+            stem="attrs",
+        )
     if meta.get("hnsw_graph"):
         # the frozen serving bundles lived inside the directory just
         # superseded — without a re-freeze every cold worker would silently

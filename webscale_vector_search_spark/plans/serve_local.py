@@ -362,7 +362,10 @@ def _attrs_sidecar(handle: IndexHandle) -> "dict | None":
     vec_id-sorted id array + one numpy column per attribute."""
     cached = handle.__dict__.get("_serve_attrs")
     if cached is None:
-        path = os.path.join(os.path.dirname(handle.vectors_dir), "attrs")
+        from webscale_vector_search_spark.sources.index_io import attrs_path
+
+        root = handle.index_dir or os.path.dirname(handle.vectors_dir)
+        path = attrs_path(root, handle.meta)
         if not os.path.isdir(path):
             return None
         names = _attr_names(handle)
@@ -697,6 +700,10 @@ def serve_local(
     not a SQL string: the driver path deliberately carries no SQL parser,
     the Spark path owns SQL. `allowed_ids` is any int sequence/array.
     """
+    # freshness probe (stat-only, ~µs): deletes/appends/compactions landing
+    # after open take effect on the very next batch served through this
+    # handle — the serving-loop case long-lived handles exist for
+    handle.maybe_refresh()
     meta = handle.meta
     itype = meta["index_type"]
     q_ids, Q = _query_batch(queries)

@@ -49,15 +49,51 @@ def read_metadata(index_dir: str) -> dict:
 def vectors_path(index_dir: str, meta: dict | None = None) -> str:
     """Resolve the CURRENT vectors directory through the sidecar pointer.
 
-    compact_index writes each compaction to a fresh `vectors.v{N}` directory
-    and flips `vectors_dir` in the sidecar (an atomic os.replace), so a
-    reader that resolves through here always sees one complete directory —
-    never a half-swapped one. Indexes that were never compacted have no
-    pointer and resolve to the original `vectors`.
+    compact_index (and upsert's physical rewrite) write each new state to a
+    fresh `vectors.v{N}` directory and flip `vectors_dir` in the sidecar (an
+    atomic os.replace), so a reader that resolves through here always sees
+    one complete directory — never a half-swapped one. Indexes that were
+    never rewritten have no pointer and resolve to the original `vectors`.
     """
     if meta is None:
         meta = read_metadata(index_dir)
     return os.path.join(index_dir, meta.get("vectors_dir", "vectors"))
+
+
+def attrs_path(index_dir: str, meta: dict | None = None) -> str:
+    """Resolve the CURRENT attrs/ sidecar directory (HNSW filterable
+    attributes) through the same pointer discipline as vectors_path:
+    upsert/compaction rewrite the attrs table into `attrs.v{N}` and flip
+    `attrs_dir` in the SAME sidecar write that flips `vectors_dir`, so the
+    two tables commit together."""
+    if meta is None:
+        meta = read_metadata(index_dir)
+    return os.path.join(index_dir, meta.get("attrs_dir", "attrs"))
+
+
+def _has_parquet(path: str) -> bool:
+    try:
+        return any(f.endswith(".parquet") for f in os.listdir(path))
+    except OSError:
+        return False
+
+
+def mutation_fingerprint(index_dir: str) -> tuple:
+    """Cheap stat-only snapshot of everything that can change under an open
+    handle: the metadata sidecar (pointer flips, appends refresh totals) and
+    the tombstone table's file list. A few os.stat calls — safe to probe on
+    every serve_local batch (~µs against a sub-ms serve)."""
+    try:
+        st = os.stat(os.path.join(index_dir, METADATA_FILE))
+        sidecar = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        sidecar = None
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    try:
+        tomb = tuple(sorted(f for f in os.listdir(tomb_dir) if f.endswith(".parquet")))
+    except OSError:
+        tomb = ()
+    return (sidecar, tomb)
 
 
 def metadata_dict(
@@ -224,6 +260,69 @@ class IndexHandle:
     # pending. Searches exclude these; compact_index materializes them.
     tombstones: DataFrame | None = None
     _tombstone_np: "np.ndarray | None" = None
+    # root of the index (the directory holding the sidecar) + the mutation
+    # fingerprint captured at open — maybe_refresh()'s staleness baseline
+    index_dir: str | None = None
+    _fingerprint: tuple | None = None
+
+    def maybe_refresh(self) -> bool:
+        """Freshness contract for long-lived handles: probe the on-disk
+        state (stat-only, ~µs) and fold in any mutation since open.
+
+        - Tombstone-table-only change (a delete_vectors between searches):
+          re-read the pending set, keep every vector/artifact cache — the
+          vectors didn't move.
+        - Sidecar change (compaction / append / upsert pointer flip or
+          total bump): full in-place reopen; serving caches rebuild lazily
+          against the new version directory.
+
+        Every search entry point (search_index-with-handle, serve_local,
+        api.VectorCluster) probes this per call, which is what makes the
+        delete_vectors contract — "every search path excludes them
+        immediately" — true for handles opened before the delete. Returns
+        True when anything was refreshed. Handles constructed without an
+        index_dir (ad-hoc fixtures) never refresh."""
+        if self.index_dir is None:
+            return False
+        fp = mutation_fingerprint(self.index_dir)
+        if fp == self._fingerprint:
+            return False
+        old = self._fingerprint
+        spark = self.vectors.sparkSession
+        if old is not None and fp[0] == old[0]:
+            tomb_dir = os.path.join(self.index_dir, "tombstones")
+            self.tombstones = (
+                spark.read.parquet(tomb_dir) if _has_parquet(tomb_dir) else None
+            )
+            self._tombstone_np = None
+            self.__dict__.pop("_pending_live", None)
+            self._fingerprint = fp
+            return True
+        fresh = open_index(spark, self.index_dir)
+        self.__dict__.clear()
+        self.__dict__.update(fresh.__dict__)
+        return True
+
+    def live_pending_count(self) -> int:
+        """|tombstones ∩ stored ids| — the exact pending-delete count
+        (delete_vectors takes any id set; ids that never existed must not
+        deflate the live count a stats call reports). One column-pruned
+        scan of the id column with the pending set broadcast (map-side
+        semi-join), cached on the handle until the tombstone table
+        changes."""
+        if self.tombstones is None:
+            return 0
+        cached = self.__dict__.get("_pending_live")
+        if cached is None:
+            from pyspark.sql import functions as F
+
+            cached = self._pending_live = (
+                self.vectors.select("vec_id")
+                .join(F.broadcast(self.tombstones.select("vec_id")), "vec_id", "left_semi")
+                .distinct()
+                .count()
+            )
+        return cached
 
     def tombstone_array(self) -> "np.ndarray | None":
         """Sorted unique int64 tombstoned ids, collected once per handle —
@@ -254,6 +353,10 @@ class IndexHandle:
 
 
 def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
+    # fingerprint FIRST: a mutation landing mid-open makes this stale, so
+    # the handle's next maybe_refresh() probe sees the change and reloads —
+    # fingerprinting after the reads could silently miss that window
+    fingerprint = mutation_fingerprint(index_dir)
     meta = read_metadata(index_dir)
     vdir = vectors_path(index_dir, meta)
     vectors = spark.read.parquet(vdir)
@@ -281,14 +384,14 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
             codebooks = read_codebooks(spark, index_dir)
             pq_rotation = read_rotation(spark, index_dir)
     attrs = None
-    attrs_dir = os.path.join(index_dir, "attrs")
-    if os.path.isdir(attrs_dir):
+    attrs_dir = attrs_path(index_dir, meta)
+    # _has_parquet, not isdir: an upsert that removed every attributed row
+    # leaves a legitimately empty attrs version directory
+    if _has_parquet(attrs_dir):
         attrs = spark.read.parquet(attrs_dir)
     tombstones = None
     tomb_dir = os.path.join(index_dir, "tombstones")
-    if os.path.isdir(tomb_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(tomb_dir)
-    ):
+    if _has_parquet(tomb_dir):
         tombstones = spark.read.parquet(tomb_dir)
     return IndexHandle(
         meta=meta,
@@ -300,4 +403,6 @@ def open_index(spark: SparkSession, index_dir: str) -> IndexHandle:
         pq_rotation=pq_rotation,
         attrs=attrs,
         tombstones=tombstones,
+        index_dir=index_dir,
+        _fingerprint=fingerprint,
     )
