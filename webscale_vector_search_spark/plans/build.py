@@ -271,6 +271,16 @@ def build_index(
     else:
         raise ValueError(f"unknown index_type {config.index_type!r}")
 
+    if attr_cols:
+        # per-combo row counts beside the index: the filtered-search
+        # planner input (selectivity-scaled nprobe / oversample). One
+        # map-side-combined agg over the corpus; skipped above
+        # MAX_COMBOS distinct combinations (search then keeps fixed
+        # defaults). See sources/attr_stats.py.
+        from webscale_vector_search_spark.sources.attr_stats import write_attr_stats
+
+        write_attr_stats(base, attr_cols, out_dir)
+
     meta = index_io.metadata_dict(
         num_shards=config.num_shards,
         index_type=config.index_type,
@@ -492,6 +502,15 @@ def append_vectors(
         base.select("vec_id", *attr_cols).write.mode("append").parquet(
             index_io.attrs_path(index_dir, index_io.read_metadata(index_dir))
         )
+    if attr_cols:
+        # keep the filtered-search planner stats current (tiny-table merge)
+        from webscale_vector_search_spark.sources.attr_stats import merge_attr_delta
+
+        merge_attr_delta(
+            spark,
+            index_dir,
+            base.groupBy(*attr_cols).agg(F.count(F.lit(1)).alias("count")),
+        )
     return n_new
 
 
@@ -686,6 +705,24 @@ def _physical_delete(spark: SparkSession, index_dir: str, ids: DataFrame) -> int
         )
     attrs_rewritten = False
     if meta.get("attr_cols"):
+        # planner stats: subtract the removed rows' combos (the semi-join
+        # source is the OLD state — row-carried attrs, or the pre-rewrite
+        # attrs sidecar for graph indexes)
+        from webscale_vector_search_spark.sources.attr_stats import merge_attr_delta
+
+        acols = meta["attr_cols"]
+        attr_src = (
+            spark.read.parquet(index_io.attrs_path(index_dir, meta))
+            if meta.get("hnsw_graph") and os.path.isdir(index_io.attrs_path(index_dir, meta))
+            else vecs
+        )
+        merge_attr_delta(
+            spark,
+            index_dir,
+            attr_src.join(F.broadcast(ids), "vec_id", "left_semi")
+            .groupBy(*acols)
+            .agg((-F.count(F.lit(1))).alias("count")),
+        )
         attrs_rewritten = _rewrite_attrs_without(spark, index_dir, meta, ids)
     # commit: one atomic sidecar write flips vectors (and attrs) together
     old_attrs = index_io.attrs_path(index_dir) if attrs_rewritten else None
@@ -780,7 +817,7 @@ def search_index(
     ef_search: int = 64,
     where=None,
     allowed_ids: DataFrame | None = None,
-    filter_oversample: int = 4,
+    filter_oversample: int | None = None,
 ) -> DataFrame:
     """Search previously-built artifacts (the online path of §3.1, batch form).
 
@@ -820,13 +857,18 @@ def search_index(
       filtered semantics within the probed lists; the predicate reaches the
       parquet scan's PushedFilters, so filtering costs row-group pruning +
       column decode, never a join or a post-pass. Recall under a filter of
-      selectivity s: the probed lists hold ~s of their usual candidates, so
-      for highly selective filters raise nprobe (~1/s growth restores the
-      unfiltered candidate count).
+      selectivity s: the probed lists hold ~s of their usual candidates —
+      with `nprobe` left at None, the engine estimates s from the
+      attr_stats sidecar (written at build for attr_cols indexes) and
+      scales the default nprobe ~1/s automatically (capped at nlist); an
+      explicit nprobe is always an override.
     - HNSW traverses blind (a beam has no scan), so the graph is searched
       for k*filter_oversample candidates (ef widened to match) and the
-      survivors re-ranked — standard post-filter ANN; recall degrades when
-      selectivity < 1/filter_oversample, prefer IVF for heavy filters.
+      survivors re-ranked — standard post-filter ANN. filter_oversample
+      left at None auto-sizes to ~1/s from the same statistics (clamped
+      4..32); when pending tombstones coexist with a filter the margins
+      COMPOSE (2 * k * oversample) so deletes don't eat the filter's
+      candidate budget. Prefer IVF for heavy filters.
     """
     from webscale_vector_search_spark.operators.knn import knn, knn_pandas
 
@@ -846,6 +888,36 @@ def search_index(
         )
     filtered = where is not None or allowed_ids is not None
     tomb = handle.tombstones  # pending logical deletes (delete_vectors)
+
+    _sel_cache: list = []  # computed at most once per call
+
+    def _sel():
+        """Estimated filter selectivity (None = unknown) — feeds the
+        auto-scaled nprobe / filter_oversample; both paths (this and
+        serve_local) read the same stats, so auto plans match."""
+        if not _sel_cache:
+            from webscale_vector_search_spark.sources import attr_stats
+
+            n_allowed = (
+                allowed_ids.select("vec_id").distinct().count()
+                if allowed_ids is not None
+                else None
+            )
+            _sel_cache.append(
+                attr_stats.selectivity(
+                    handle, where=where, allowed_count=n_allowed, spark=spark
+                )
+            )
+        return _sel_cache[0]
+
+    def _oversample():
+        if filter_oversample is not None:
+            return filter_oversample
+        if not filtered:
+            return 4
+        from webscale_vector_search_spark.sources.attr_stats import filtered_oversample
+
+        return filtered_oversample(_sel())
     if handle.meta.get("metric", "sq_l2") == "cosine":
         # the stored vectors are unit-normalized; normalizing the query batch
         # makes every sq_l2 kernel below rank as cosine (distance emitted is
@@ -887,8 +959,13 @@ def search_index(
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_stored_search
 
         # pending deletes post-filter like a mild predicate: oversample 2x
-        # (tombstones are a small fraction by the compaction contract)
-        k_search = k * filter_oversample if filtered else (2 * k if tomb is not None else k)
+        # (tombstones are a small fraction by the compaction contract);
+        # with a filter AND tombstones the margins compose — tombstone
+        # hits must not consume the filter's candidate budget
+        if filtered:
+            k_search = k * _oversample() * (2 if tomb is not None else 1)
+        else:
+            k_search = 2 * k if tomb is not None else k
         widen = filtered or tomb is not None
         res = hnsw_stored_search(
             handle.vectors_dir,
@@ -907,13 +984,23 @@ def search_index(
         from webscale_vector_search_spark.config import default_nprobe
 
         nprobe = default_nprobe(nlist, itype)
+        if filtered and itype in ("IVF", "IVFPQ"):
+            # selectivity-scaled probe budget (~1/s) restores the
+            # unfiltered candidate count — the r9 recall trap (0.32 at
+            # s=0.1 under the fixed default) closed planner-side
+            from webscale_vector_search_spark.sources.attr_stats import filtered_nprobe
+
+            nprobe = filtered_nprobe(nprobe, nlist, _sel())
 
     if itype == "HNSW" and kernel == "pandas":
         # legacy (pre-r5) HNSW artifact without a stored graph: rebuild the
         # per-partition graph inside the search pass
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_partition_search
 
-        k_leg = k * filter_oversample if filtered else (2 * k if tomb is not None else k)
+        if filtered:
+            k_leg = k * _oversample() * (2 if tomb is not None else 1)
+        else:
+            k_leg = 2 * k if tomb is not None else k
         res = hnsw_partition_search(handle.vectors, queries, k=k_leg)
         if not (filtered or tomb is not None):
             return res
@@ -1103,8 +1190,23 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
     if tomb is not None and meta.get("attr_cols"):
         # materializing deletes must also drop the deleted ids' attrs
         # sidecar rows (HNSW): leftovers would later collide with an upsert
-        # re-adding the id — the same commit flips both pointers
+        # re-adding the id — the same commit flips both pointers. Planner
+        # stats subtract the removed combos first (read from the OLD state).
+        from webscale_vector_search_spark.sources.attr_stats import merge_attr_delta
+
         old_attrs = index_io.attrs_path(index_dir, meta)
+        attr_src = (
+            spark.read.parquet(old_attrs)
+            if meta.get("hnsw_graph") and os.path.isdir(old_attrs)
+            else spark.read.parquet(vectors_dir)
+        )
+        merge_attr_delta(
+            spark,
+            index_dir,
+            attr_src.join(F.broadcast(tomb), "vec_id", "left_semi")
+            .groupBy(*meta["attr_cols"])
+            .agg((-F.count(F.lit(1))).alias("count")),
+        )
         attrs_rewritten = _rewrite_attrs_without(spark, index_dir, meta, tomb)
     meta["vectors_dir"] = os.path.basename(next_dir)
     if tomb is not None:

@@ -674,7 +674,7 @@ def serve_local(
     as_arrays: bool = False,
     where=None,
     allowed_ids=None,
-    filter_oversample: int = 4,
+    filter_oversample: int | None = None,
 ):
     """Serve a small query batch from the driver — no Spark job.
 
@@ -699,6 +699,10 @@ def serve_local(
     is a vectorized CALLABLE over {attr_name: ndarray} -> bool ndarray,
     not a SQL string: the driver path deliberately carries no SQL parser,
     the Spark path owns SQL. `allowed_ids` is any int sequence/array.
+    With nprobe/filter_oversample left at None under a filter, both scale
+    automatically from the attr_stats sidecar (~1/selectivity, exactly as
+    search_index does — the callable evaluates against the same stats
+    rows, so the two paths pick the same plan).
     """
     # freshness probe (stat-only, ~µs): deletes/appends/compactions landing
     # after open take effect on the very next batch served through this
@@ -725,6 +729,34 @@ def serve_local(
     filtered = where is not None or allowed_sorted is not None
     tomb_sorted = handle.tombstone_array()  # pending deletes, None if clean
 
+    _sel_cache: list = []
+
+    def _sel():
+        """Filter selectivity from the attr_stats sidecar (same numbers
+        the Spark path reads, so auto-scaled plans match bit-for-bit)."""
+        if not _sel_cache:
+            from webscale_vector_search_spark.sources import attr_stats
+
+            _sel_cache.append(
+                attr_stats.selectivity(
+                    handle,
+                    where=where,
+                    allowed_count=(
+                        len(allowed_sorted) if allowed_sorted is not None else None
+                    ),
+                )
+            )
+        return _sel_cache[0]
+
+    def _oversample():
+        if filter_oversample is not None:
+            return filter_oversample
+        if not filtered:
+            return 4
+        from webscale_vector_search_spark.sources.attr_stats import filtered_oversample
+
+        return filtered_oversample(_sel())
+
     if itype == "FLAT":
         return _finalize(
             _flat_parts(handle, q_ids, Q, k, where=where,
@@ -735,11 +767,12 @@ def serve_local(
 
     if itype == "HNSW" and meta.get("hnsw_graph"):
         # tombstones post-filter like a mild predicate (2x oversample);
-        # user filters use filter_oversample — mirror search_index exactly
-        k_search = (
-            k * filter_oversample if filtered
-            else (2 * k if tomb_sorted is not None else k)
-        )
+        # user filters use filter_oversample (auto ~1/s when None), and
+        # the margins COMPOSE when both apply — mirror search_index exactly
+        if filtered:
+            k_search = k * _oversample() * (2 if tomb_sorted is not None else 1)
+        else:
+            k_search = 2 * k if tomb_sorted is not None else k
         widen = filtered or tomb_sorted is not None
         parts = _hnsw_parts(
             handle, q_ids, Q, k_search,
@@ -764,6 +797,12 @@ def serve_local(
         from webscale_vector_search_spark.config import default_nprobe
 
         nprobe = default_nprobe(nlist, itype)
+        if filtered and itype in ("IVF", "IVFPQ"):
+            # selectivity-scaled probe budget — same formula, same stats
+            # as search_index's auto path (plan parity)
+            from webscale_vector_search_spark.sources.attr_stats import filtered_nprobe
+
+            nprobe = filtered_nprobe(nprobe, nlist, _sel())
     probes = _LocalProbes(handle, Q, nprobe)
 
     if itype in ("IVF", "HNSW"):
