@@ -91,6 +91,33 @@ def _gen_corpus(spark, n: int, centers, seed: int, corpus_path: str) -> float | 
     return round(time.perf_counter() - t0, 1)
 
 
+def _quick_probe(io_dir: str) -> dict:
+    """Lean gemm+io machine probe run ADJACENT to a tier's timed arms
+    (VERDICT r9 #4: the single run-start calibration cannot see intra-run
+    drift — e.g. page-cache state after ~800 s of index builds — so every
+    tier's numbers carry their own denominator)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((2048, 2048))
+    t0 = time.perf_counter()
+    _ = a @ a
+    gemm = time.perf_counter() - t0
+    buf = a.tobytes()  # 32 MB
+    os.makedirs(io_dir, exist_ok=True)
+    fd, path = tempfile.mkstemp(prefix="wvss_probe_", dir=io_dir)
+    try:
+        t0 = time.perf_counter()
+        with os.fdopen(fd, "wb") as f:
+            f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        io = time.perf_counter() - t0
+    finally:
+        os.unlink(path)
+    return {"gemm_sec": round(gemm, 4), "io_sec": round(io, 4)}
+
+
 def _timed(fn, warmups: int = 1, runs: int = 3):
     """min-of-N wall clock for a DataFrame-producing thunk (the ONE timing
     policy every tier shares). Warm-ups pay JIT/scan caches (HNSW arms use
@@ -256,8 +283,13 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
 
     # runs=4 on the FLAT arm: r7's q_ann1m_flat moved +64% against a ~38%
     # calibration-drift envelope on min-of-3 — one extra repetition costs
-    # ~5 s and resolves whether that was sampling noise (VERDICT r7 #4)
+    # ~5 s and resolves whether that was sampling noise (VERDICT r7 #4).
+    # r9 then measured 5.11→12.47 s on unchanged kernel code — probes
+    # IMMEDIATELY adjacent to this arm attribute any such swing to the box
+    # (or finally convict the plan) per VERDICT r9 #4.
+    probe_pre_flat = _quick_probe(cache_dir)
     flat_sec, exact = timed(lambda: knn_pandas(corpus, queries, k=k), runs=4)
+    probe_post_flat = _quick_probe(cache_dir)
     ivf_sec, ivf = timed(
         lambda: search_index(spark, ivf_handle, queries, k=k, nprobe=nprobe)
     )
@@ -440,6 +472,8 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         "hnsw_1q_sec": hnsw1_sec,
         "serve_local": serve,
         "build_sec": build_secs,
+        "probe": {"flat_adjacent_pre": probe_pre_flat,
+                  "flat_adjacent_post": probe_post_flat},
     }
     if sweep is not None:
         meta["sweep"] = sweep
@@ -520,6 +554,16 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         build_index(spark, corpus, idx_dir, cfg, attr_cols=["label"])
         build_secs["build_ivf_attr"] = round(time.perf_counter() - t0, 1)
 
+    # pre-r10 cached artifact: backfill the planner stats table once (the
+    # auto-nprobe arm below needs it; new builds write it at build time)
+    from webscale_vector_search_spark.sources.attr_stats import (
+        ensure_attr_stats,
+        filtered_nprobe,
+        selectivity,
+    )
+
+    ensure_attr_stats(spark, idx_dir)
+    probe = _quick_probe(cache_dir)
     handle = open_index(spark, idx_dir)
     timed = _timed
     WHERE = "label = 3"
@@ -532,6 +576,16 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
     filt40_sec, filt40 = timed(
         lambda: search_index(spark, handle, queries, k=k, nprobe=np_scaled, where=WHERE)
     )
+    # r10: NO manual knob — nprobe=None estimates selectivity from the
+    # attr_stats sidecar and scales the default ~1/s (VERDICT r9 #3's
+    # "Done =" criterion: recall >= 0.9 at s=0.1 with no manual nprobe)
+    filt_auto_sec, filt_auto = timed(
+        lambda: search_index(spark, handle, queries, k=k, where=WHERE)
+    )
+    s_est = selectivity(handle, where=WHERE, spark=spark)
+    from webscale_vector_search_spark.config import default_nprobe
+
+    auto_np = filtered_nprobe(default_nprobe(nlist, "IVF"), nlist, s_est)
     # filtered exact oracle (one pass, not timed as an arm)
     exact_f = knn_pandas(corpus.filter(WHERE), queries, k=k)
     exact_f = exact_f.cache()
@@ -588,6 +642,12 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         "filtered_npX_sec": filt40_sec,
         "filtered_npX_nprobe": np_scaled,
         "filtered_npX_recall": round(recall_at_k(filt40, exact_f, k=k), 4),
+        "filtered_auto": {
+            "sec": filt_auto_sec,
+            "recall": round(recall_at_k(filt_auto, exact_f, k=k), 4),
+            "selectivity_est": round(s_est, 4) if s_est is not None else None,
+            "nprobe_chosen": auto_np,
+        },
         "serve_1q_ms": serve_ms,
         "serve_filtered_1q_ms": serve_f_ms,
         "maint": {
@@ -599,6 +659,7 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
             "files_after": compact_report["files_after"],
         },
         "build_sec": build_secs or None,
+        "probe": probe,
     }
     timings = {
         "q_ann1m_filtered": filt_sec,
@@ -835,6 +896,7 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
     hnsw_handle = open_index(spark, handles["hnsw"])
 
     timed = _timed
+    probe = _quick_probe(cache_dir)  # adjacent to THIS tier's timed arms
 
     # min-of-3 (was 2): VERDICT r7 flagged the FLAT arms' run-to-run spread
     flat_sec, exact = timed(lambda: knn_pandas(corpus, queries, k=k), runs=3)
@@ -952,6 +1014,7 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
             "skew": skew_capped,
         },
         "build_sec": build_secs,
+        "probe": probe,
     }
     timings = {
         "q_ann10m_flat": flat_sec,
@@ -960,6 +1023,167 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
         "q_ann10m_hnsw": hnsw_sec,
         "q_ann10m_hc_adc": hc_adc_sec,
     }
+    return timings, meta
+
+
+def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
+    """Filtered + maintenance arms ONE ORDER UP from their 1M versions
+    (VERDICT r9 #6): the 1M numbers showed the filter never changes the
+    cost class and compaction is a bounded rewrite — this measures both
+    where list width (~3.2k rows/list at nlist=3162) and rewrite volume
+    (10M rows) are 10x, on an attr'd 10M IVF index (cached; coarse
+    centroids reused from the plain 10M IVF build so the attr'd build
+    pays assignment + write only).
+
+    Filtered arms: fixed default nprobe (the documented recall cut),
+    manual ~1/s scaling, and the r10 auto path (nprobe=None -> attr_stats
+    selectivity estimate) — recall attached to each. Maintenance arms:
+    delete 1% -> search under pending tombstones -> compact (full 10M
+    rewrite + tombstone materialization) -> post-compaction search.
+    """
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from webscale_vector_search_spark.config import EngineConfig, default_nprobe
+    from webscale_vector_search_spark.operators.ivf import recall_at_k
+    from webscale_vector_search_spark.operators.knn import knn_pandas
+    from webscale_vector_search_spark.plans.build import (
+        build_index,
+        compact_index,
+        delete_vectors,
+        search_index,
+    )
+    from webscale_vector_search_spark.sources.attr_stats import (
+        ensure_attr_stats,
+        filtered_nprobe,
+        selectivity,
+    )
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    n, dim, ncl, seed, n_queries, k = 10_000_000, 64, 3162, 43, 200, 10
+    nlist, nprobe = 3162, 4
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 1.0, (ncl, dim)).astype(np.float32)
+    corpus_path = os.path.join(cache_dir, f"corpus_n{n}")
+    _gen_corpus(spark, n, centers, seed, corpus_path)
+    corpus = spark.read.parquet(corpus_path).withColumn(
+        "label", (F.col("vec_id") % 10).cast("int")
+    )
+
+    qids = np.arange(n_queries, dtype=np.int64) * (n // n_queries) + np.arange(n_queries)
+    qvecs = _ann_vectors(qids, centers, seed)
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qvecs)],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    ).cache()
+    queries.count()
+
+    cfg = EngineConfig(
+        index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.02,
+        ivf_max_list_factor=None,
+    )
+    idx_dir = _idx_cache_dir(cache_dir, "IVF_ATTR", cfg, n)
+    build_secs = {}
+    if not os.path.exists(os.path.join(idx_dir, "shards_metadata.json")):
+        # reuse the plain 10M IVF build's trained centroids (identical
+        # config -> identical centers): the attr'd build then pays only
+        # the assignment GEMM + partitioned write
+        plain_dir = _idx_cache_dir(cache_dir, "IVF", cfg, n)
+        cents = None
+        if os.path.exists(os.path.join(plain_dir, "shards_metadata.json")):
+            cents = spark.read.parquet(os.path.join(plain_dir, "centroids"))
+        t0 = time.perf_counter()
+        build_index(spark, corpus, idx_dir, cfg, centroids_df=cents,
+                    attr_cols=["label"])
+        build_secs["build_ivf_attr_10m"] = round(time.perf_counter() - t0, 1)
+    ensure_attr_stats(spark, idx_dir)
+
+    probe = _quick_probe(cache_dir)
+    handle = open_index(spark, idx_dir)
+    timed = _timed
+    WHERE = "label = 3"
+
+    base_sec, _ = timed(lambda: search_index(spark, handle, queries, k=k, nprobe=nprobe))
+    filt_sec, filt = timed(
+        lambda: search_index(spark, handle, queries, k=k, nprobe=nprobe, where=WHERE)
+    )
+    np_scaled = min(nlist, nprobe * 10)
+    filt_sc_sec, filt_sc = timed(
+        lambda: search_index(spark, handle, queries, k=k, nprobe=np_scaled, where=WHERE)
+    )
+    filt_auto_sec, filt_auto = timed(
+        lambda: search_index(spark, handle, queries, k=k, where=WHERE)
+    )
+    s_est = selectivity(handle, where=WHERE, spark=spark)
+    auto_np = filtered_nprobe(default_nprobe(nlist, "IVF"), nlist, s_est)
+    # filtered exact truth: one untimed pass over the 10% slice
+    exact_f = knn_pandas(
+        corpus.filter(WHERE).select("vec_id", "embedding"), queries, k=k
+    ).cache()
+    exact_f.count()
+
+    # maintenance on a scratch copy of the cached pristine index
+    maint_dir = os.path.join(cache_dir, "idx_maint10m_scratch")
+    if os.path.isdir(maint_dir):
+        shutil.rmtree(maint_dir)
+    t0 = time.perf_counter()
+    shutil.copytree(idx_dir, maint_dir)
+    copy_sec = round(time.perf_counter() - t0, 1)
+    dead = corpus.select("vec_id").filter("vec_id % 100 = 7")
+    n_dead = dead.count()
+    t0 = time.perf_counter()
+    delete_vectors(spark, maint_dir, dead)
+    delete_sec = round(time.perf_counter() - t0, 4)
+    m_handle = open_index(spark, maint_dir)
+    tomb_sec, _ = timed(
+        lambda: search_index(spark, m_handle, queries, k=k, nprobe=nprobe)
+    )
+    t0 = time.perf_counter()
+    compact_report = compact_index(spark, maint_dir)
+    compact_sec = round(time.perf_counter() - t0, 1)
+    c_handle = open_index(spark, maint_dir)
+    post_sec, _ = timed(
+        lambda: search_index(spark, c_handle, queries, k=k, nprobe=nprobe)
+    )
+
+    meta = {
+        "corpus": n,
+        "selectivity": 0.1,
+        "where": WHERE,
+        "base_sec": base_sec,
+        "filtered_sec": filt_sec,
+        "filtered_recall": round(recall_at_k(filt, exact_f, k=k), 4),
+        "filtered_npX_sec": filt_sc_sec,
+        "filtered_npX_nprobe": np_scaled,
+        "filtered_npX_recall": round(recall_at_k(filt_sc, exact_f, k=k), 4),
+        "filtered_auto": {
+            "sec": filt_auto_sec,
+            "recall": round(recall_at_k(filt_auto, exact_f, k=k), 4),
+            "selectivity_est": round(s_est, 4) if s_est is not None else None,
+            "nprobe_chosen": auto_np,
+        },
+        "maint": {
+            "n_deleted": n_dead,
+            "copy_sec": copy_sec,
+            "delete_sec": delete_sec,
+            "tombstone_search_sec": tomb_sec,
+            "compact_sec": compact_sec,
+            "post_compact_search_sec": post_sec,
+            "files_before": compact_report["files_before"],
+            "files_after": compact_report["files_after"],
+        },
+        "build_sec": build_secs or None,
+        "probe": probe,
+    }
+    timings = {
+        "q_ann10m_filtered_auto": filt_auto_sec,
+        "q_ann10m_tombstone": tomb_sec,
+    }
+    exact_f.unpersist()
+    queries.unpersist()
+    shutil.rmtree(maint_dir, ignore_errors=True)
     return timings, meta
 
 
@@ -1046,6 +1270,7 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
     handle = open_index(spark, idx_dir)
     meta0 = read_metadata(idx_dir)
     timed = _timed
+    probe = _quick_probe(cache_dir)  # adjacent to this tier's timed arms
     # exact truth: FLAT scan over the index's own vectors (real parquet IO,
     # 50 queries — a 100M x 64 GEMM per batch is the honest brute-force arm)
     flat_sec, exact = timed(
@@ -1056,6 +1281,23 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
     ivf16_sec, ivf16 = timed(
         lambda: search_index(spark, handle, queries, k=k, nprobe=16), runs=2
     )
+    # filtered arm at the stretch tier (VERDICT r9 #6): the artifact
+    # carries no attr columns, so the predicate derives from the stored
+    # vec_id column — same scan-side filtered path (PushedFilters +
+    # in-scan evaluation), selectivity 0.1, manual ~1/s probe scaling
+    # (no attr_stats table -> the auto planner correctly stays at the
+    # default; scaling here is the arm's own knob)
+    F_WHERE = "vec_id % 10 = 7"
+    filt_sec, filt = timed(
+        lambda: search_index(spark, handle, queries, k=k, nprobe=nprobe * 10,
+                             where=F_WHERE),
+        runs=2,
+    )
+    exact_f = knn_pandas(
+        handle.vectors.filter(F_WHERE).select("vec_id", "embedding"), queries, k=k
+    )
+    exact_f = exact_f.cache()
+    exact_f.count()
 
     from webscale_vector_search_spark.plans.serve_local import serve_local
 
@@ -1079,12 +1321,21 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
         "ivf_recall": round(recall_at_k(ivf, exact, k=k), 4),
         "ivf_nprobe16_sec": ivf16_sec,
         "ivf_nprobe16_recall": round(recall_at_k(ivf16, exact, k=k), 4),
+        "filtered": {
+            "where": F_WHERE,
+            "selectivity": 0.1,
+            "nprobe": nprobe * 10,
+            "sec": filt_sec,
+            "recall": round(recall_at_k(filt, exact_f, k=k), 4),
+        },
         "serve_local": {"ivf_1q_ms": round(best * 1000, 3)},
         "ivf_split": meta0.get("ivf_split"),
         "skew": index_skew(spark, idx_dir),
         "build_sec": build_secs or None,
+        "probe": probe,
     }
-    timings = {"q_ann100m_ivf": ivf_sec}
+    timings = {"q_ann100m_ivf": ivf_sec, "q_ann100m_filtered": filt_sec}
+    exact_f.unpersist()
     return timings, meta
 
 
@@ -1195,6 +1446,18 @@ def main() -> None:
         except Exception as e:
             ann10_meta = {"error": f"{type(e).__name__}: {e}"}
 
+    # 10M filtered + maintenance arms (VERDICT r9 #6); disable with
+    # SPARK_GRAFT_ANN_10M_MAINT=0
+    ann10m_meta = None
+    if os.environ.get("SPARK_GRAFT_ANN_10M_MAINT", "1") != "0" and os.environ.get(
+        "SPARK_GRAFT_ANN_10M", "1"
+    ) != "0":
+        try:
+            ann10m_timings, ann10m_meta = _ann_10m_maint(spark, ann_dir)
+            timings.update(ann10m_timings)
+        except Exception as e:
+            ann10m_meta = {"error": f"{type(e).__name__}: {e}"}
+
     # the 100M stretch tier (VERDICT r7 #7) — self-gating: measures only
     # when its artifacts are cached (or SPARK_GRAFT_ANN_100M=1 pays the
     # ~1 h cold build); always safe to leave enabled
@@ -1247,11 +1510,22 @@ def main() -> None:
         detail["ann_filtered"] = annf_meta
     if ann10_meta is not None:
         detail["ann_10m"] = ann10_meta
+    if ann10m_meta is not None:
+        detail["ann_10m_maint"] = ann10m_meta
     if ann100_meta is not None:
         detail["ann_100m"] = ann100_meta
     if hd_meta is not None:
         detail["ann_highdim"] = hd_meta
     detail["calibration"] = calibration
+    # per-tier probes (VERDICT r9 #4): every tier's numbers beside their
+    # own adjacent machine-speed denominator
+    per_tier = {}
+    for key in ("ann_1m", "ann_filtered", "ann_10m", "ann_10m_maint", "ann_100m"):
+        blk = detail.get(key)
+        if isinstance(blk, dict) and blk.get("probe"):
+            per_tier[key] = blk["probe"]
+    if per_tier:
+        calibration["per_tier"] = per_tier
     # gemm-relative ratios for the CPU-bound ANN arms (drift attribution):
     norm = {
         "headline_minus_floor_sec": value_normalized,
@@ -1278,7 +1552,7 @@ def main() -> None:
             prev = json.load(f)
     except (OSError, ValueError):
         prev = {}
-    for key in ("ann_1m", "ann_10m", "ann_100m", "ann_highdim"):
+    for key in ("ann_1m", "ann_10m", "ann_10m_maint", "ann_100m", "ann_highdim"):
         cur = detail.get(key)
         absent = cur is None or (
             isinstance(cur, dict) and ("error" in cur or "skipped" in cur)

@@ -81,6 +81,28 @@ def merge_attr_delta(spark: SparkSession, index_dir: str, delta: DataFrame) -> N
     os.rename(tmp, path)
 
 
+def ensure_attr_stats(spark: SparkSession, index_dir: str) -> bool:
+    """Backfill the stats table for an attr_cols index built before the
+    planner existed (pre-r10 artifact): recompute from the stored rows
+    (row-carried attrs, or the attrs sidecar for graph indexes). No-op
+    when stats already exist or the index has no attributes. Returns True
+    when a stats table exists afterwards."""
+    from webscale_vector_search_spark.sources import index_io
+
+    path = os.path.join(index_dir, STATS_DIRNAME)
+    if os.path.isdir(path):
+        return True
+    meta = index_io.read_metadata(index_dir)
+    attr_cols = meta.get("attr_cols")
+    if not attr_cols:
+        return False
+    if meta.get("hnsw_graph"):
+        src = spark.read.parquet(index_io.attrs_path(index_dir, meta))
+    else:
+        src = spark.read.parquet(index_io.vectors_path(index_dir, meta))
+    return write_attr_stats(src.select(*attr_cols), attr_cols, index_dir)
+
+
 def load_stats_pdf(handle):
     """The stats table as pandas, cached on the handle (a full reopen —
     maybe_refresh after append/upsert/compaction — drops the cache with
