@@ -130,6 +130,46 @@ def test_upsert_commit_survives_crash_before_flip(
     assert _rows(got) == _rows(exact)
 
 
+def test_open_handle_consistent_mid_upsert(
+    spark, corpus, queries, tmp_path_factory, monkeypatch
+):
+    """A handle opened BEFORE an upsert must read the complete old index
+    at any point DURING the rewrite (the commit is the sidecar flip; until
+    it lands, nothing the reader resolves has changed), and the complete
+    new index after. The mid-upsert probe runs from inside the commit
+    function itself — the exact moment the old protocol was unsafe."""
+    out = str(tmp_path_factory.mktemp("ups_mid") / "idx")
+    build_index(spark, corpus, out, EngineConfig(index_type="IVF", nlist=8))
+    handle = open_index(spark, out)
+    baseline = _rows(search_index(spark, handle, queries, k=5, nprobe=8))
+
+    real_write = index_io.write_metadata
+    mid_results = []
+
+    def probing_write(out_dir, meta):
+        # rewrite finished, pointer about to flip: the open handle must
+        # still serve the complete OLD index
+        mid_results.append(_rows(search_index(spark, handle, queries, k=5, nprobe=8)))
+        real_write(out_dir, meta)
+
+    monkeypatch.setattr(index_io, "write_metadata", probing_write)
+    upsert_vectors(spark, out, _moved(spark, corpus))
+    monkeypatch.setattr(index_io, "write_metadata", real_write)
+
+    assert mid_results and mid_results[0] == baseline
+    # post-commit: the same handle refreshes to the new state
+    moved_ids = {r["vec_id"] for r in _moved(spark, corpus).select("vec_id").collect()}
+    post = search_index(spark, handle, queries, k=5, nprobe=8)
+    exact = knn_pandas(
+        corpus.filter(~F.col("vec_id").isin(list(moved_ids))).select(
+            "vec_id", "embedding"
+        ),
+        queries,
+        k=5,
+    )
+    assert _rows(post) == _rows(exact)
+
+
 def test_upsert_pointer_flip_keeps_predecessor_only(
     spark, corpus, queries, tmp_path_factory
 ):
