@@ -295,6 +295,67 @@ def test_open_handle_sees_deletes_and_compaction(
     assert handle.tombstones is None
 
 
+def test_upsert_refuses_lopq_before_mutating(spark, corpus, queries, tmp_path_factory):
+    """Per-cell-LOPQ indexes can't append (no global encoder). The upsert
+    guard must fire BEFORE the physical delete — the old failure order
+    (delete, then the append stage refuses) destroyed the replaced rows."""
+    out = str(tmp_path_factory.mktemp("ups_lopq") / "idx")
+    build_index(
+        spark,
+        corpus.select("vec_id", "embedding"),
+        out,
+        EngineConfig(
+            index_type="IVFPQ", nlist=4, pq_m=8, pq_local_codebooks=True,
+            pq_residual=True,
+        ),
+    )
+    baseline = _rows(search_index(spark, out, queries, k=5, nprobe=4))
+    with pytest.raises(ValueError, match="LOPQ"):
+        upsert_vectors(spark, out, _moved(spark, corpus).select("vec_id", "embedding"))
+    # nothing was mutated
+    assert _rows(search_index(spark, out, queries, k=5, nprobe=4)) == baseline
+
+
+def test_open_handle_sees_appends(spark, corpus, queries, tmp_path_factory):
+    """The freshness contract covers appends too: rows appended after a
+    handle opened are served by the very next search through it."""
+    from webscale_vector_search_spark.plans.build import append_vectors
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+
+    import numpy as np
+
+    out = str(tmp_path_factory.mktemp("fresh_app") / "idx")
+    build_index(spark, corpus, out, EngineConfig(index_type="FLAT", num_shards=2))
+    handle = open_index(spark, out)
+    qrows = queries.limit(3).collect()
+    q = (
+        np.array([r["query_id"] for r in qrows], dtype=np.int64),
+        np.stack([r["qvec"] for r in qrows]).astype(np.float64),
+    )
+    serve_local(handle, q, k=3)  # warm caches on the pre-append state
+
+    # append exact copies of the query vectors under fresh ids: they MUST
+    # surface as rank-1/distance-0 neighbors if the append is visible
+    new = spark.createDataFrame(
+        [
+            (int(r["query_id"]) + 5_000_000, [float(x) for x in r["qvec"]])
+            for r in qrows
+        ],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    append_vectors(spark, out, new)
+    got = serve_local(handle, q, k=3)
+    top = {
+        int(r.neighbor_id)
+        for r in got.itertuples()
+        if round(float(r.distance), 6) == 0.0
+    }
+    for r in qrows:
+        assert (int(r["query_id"]) + 5_000_000) in top or int(r["query_id"]) in top
+        # the appended twin must be among the zero-distance hits
+        assert (int(r["query_id"]) + 5_000_000) in top
+
+
 def test_get_stats_exact_pending_and_freshness(spark, corpus, tmp_path_factory):
     from webscale_vector_search_spark.api import VectorCluster
 

@@ -539,6 +539,15 @@ def upsert_vectors(
     yesterday and upserted today must be visible.
 
     Returns the number of rows appended."""
+    meta = index_io.read_metadata(index_dir)
+    if meta.get("pq_local_codebooks"):
+        # refuse BEFORE mutating: the append stage would refuse anyway
+        # (per-cell LOPQ has no global encoder), and failing after the
+        # physical delete would have destroyed the old rows first
+        raise ValueError(
+            "upsert_vectors: per-cell-LOPQ indexes don't support append "
+            "(no global encoder) — rebuild instead"
+        )
     ids = df.select(F.col(id_col).alias("vec_id")).distinct()
     _physical_delete(spark, index_dir, ids)
     _clear_tombstones_for(spark, index_dir, ids)
