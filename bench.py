@@ -554,15 +554,17 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         build_index(spark, corpus, idx_dir, cfg, attr_cols=["label"])
         build_secs["build_ivf_attr"] = round(time.perf_counter() - t0, 1)
 
-    # pre-r10 cached artifact: backfill the planner stats table once (the
-    # auto-nprobe arm below needs it; new builds write it at build time)
+    # pre-r10 cached artifact: backfill the planner stats tables once (the
+    # auto-nprobe arm below needs them; new builds write them at build time)
     from webscale_vector_search_spark.sources.attr_stats import (
+        ensure_attr_cell_stats,
         ensure_attr_stats,
-        filtered_nprobe,
+        plan_nprobe,
         selectivity,
     )
 
     ensure_attr_stats(spark, idx_dir)
+    ensure_attr_cell_stats(spark, idx_dir)
     probe = _quick_probe(cache_dir)
     handle = open_index(spark, idx_dir)
     timed = _timed
@@ -576,16 +578,19 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
     filt40_sec, filt40 = timed(
         lambda: search_index(spark, handle, queries, k=k, nprobe=np_scaled, where=WHERE)
     )
-    # r10: NO manual knob — nprobe=None estimates selectivity from the
-    # attr_stats sidecar and scales the default ~1/s (VERDICT r9 #3's
-    # "Done =" criterion: recall >= 0.9 at s=0.1 with no manual nprobe)
+    # r10: NO manual knob — nprobe=None sizes the probe budget from the
+    # attr_stats sidecars (VERDICT r9 #3's "Done =" criterion: recall
+    # >= 0.9 at s=0.1 with no manual nprobe; the calibrated budget
+    # replaced the first-cut ~1/s rule, attr_stats.py docstring)
     filt_auto_sec, filt_auto = timed(
         lambda: search_index(spark, handle, queries, k=k, where=WHERE)
     )
     s_est = selectivity(handle, where=WHERE, spark=spark)
     from webscale_vector_search_spark.config import default_nprobe
 
-    auto_np = filtered_nprobe(default_nprobe(nlist, "IVF"), nlist, s_est)
+    auto_np = plan_nprobe(
+        handle, default_nprobe(nlist, "IVF"), k, where=WHERE, spark=spark
+    )
     # filtered exact oracle (one pass, not timed as an arm)
     exact_f = knn_pandas(corpus.filter(WHERE), queries, k=k)
     exact_f = exact_f.cache()
@@ -1056,8 +1061,9 @@ def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         search_index,
     )
     from webscale_vector_search_spark.sources.attr_stats import (
+        ensure_attr_cell_stats,
         ensure_attr_stats,
-        filtered_nprobe,
+        plan_nprobe,
         selectivity,
     )
     from webscale_vector_search_spark.sources.index_io import open_index
@@ -1099,6 +1105,7 @@ def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
                     attr_cols=["label"])
         build_secs["build_ivf_attr_10m"] = round(time.perf_counter() - t0, 1)
     ensure_attr_stats(spark, idx_dir)
+    ensure_attr_cell_stats(spark, idx_dir)
 
     probe = _quick_probe(cache_dir)
     handle = open_index(spark, idx_dir)
@@ -1117,7 +1124,9 @@ def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         lambda: search_index(spark, handle, queries, k=k, where=WHERE)
     )
     s_est = selectivity(handle, where=WHERE, spark=spark)
-    auto_np = filtered_nprobe(default_nprobe(nlist, "IVF"), nlist, s_est)
+    auto_np = plan_nprobe(
+        handle, default_nprobe(nlist, "IVF"), k, where=WHERE, spark=spark
+    )
     # filtered exact truth: one untimed pass over the 10% slice
     exact_f = knn_pandas(
         corpus.filter(WHERE).select("vec_id", "embedding"), queries, k=k

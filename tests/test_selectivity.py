@@ -3,14 +3,19 @@
 The r9 recall trap: a filter of selectivity s thins every probed list to
 ~s of its candidates, so fixed-nprobe filtered IVF measured recall 0.32 at
 s=0.1. r10 closes it planner-side: build_index(attr_cols=...) writes an
-attr_stats/ per-combo count table; search with nprobe=None estimates s
-from it and scales the probe budget ~1/s (filter_oversample likewise for
-graph post-filtering, clamped 4..32), with explicit knobs as overrides.
-Maintenance ops (append/upsert/compaction) fold count deltas in.
+attr_stats/ per-combo count table plus (IVF/IVFPQ) an attr_cell_stats/
+per-(cell, combo) table; search with nprobe=None sizes the probe budget
+from them — max(2x floor, candidate-volume C*k/(s*avg_cell),
+cell-discovery D/f) per the calibration in sources/attr_stats.py — with
+explicit knobs as overrides (filter_oversample likewise for graph
+post-filtering, clamped 4..32). Maintenance ops fold count deltas in;
+the per-cell table is a lower bound between compactions (conservative).
 
-Also under test: the tombstone x filter margin composition (k_search =
-2*k*oversample when both apply) and the Spark/serve_local plan parity of
-the auto path (both read the same stats rows).
+Also under test: the cluster-CORRELATED filter case (all matches in few
+cells — per-combo counts alone can't see it, the D/f term exists for it),
+the tombstone x filter margin composition (k_search = 2*k*oversample when
+both apply), and the Spark/serve_local plan parity of the auto path
+(both read the same stats rows).
 """
 
 from __future__ import annotations
@@ -34,10 +39,14 @@ from webscale_vector_search_spark.plans.build import (
 )
 from webscale_vector_search_spark.plans.serve_local import serve_local
 from webscale_vector_search_spark.sources.attr_stats import (
+    CELL_STATS_DIRNAME,
     STATS_DIRNAME,
+    cell_coverage,
     filtered_nprobe,
     filtered_oversample,
+    load_cell_stats_pdf,
     load_stats_pdf,
+    plan_nprobe,
     selectivity,
 )
 from webscale_vector_search_spark.sources.fixtures import (
@@ -82,11 +91,26 @@ def filtered_oracle(corpus, queries):
 
 
 def test_formulas():
+    # degraded inputs: attr predicate without per-cell stats keeps the
+    # pessimistic ceil(base/s) budget (the pre-calibration rule)
     assert filtered_nprobe(4, 1000, 0.1) == 40
     assert filtered_nprobe(4, 16, 0.1) == 16  # capped at nlist
     assert filtered_nprobe(4, 1000, None) == 4  # unknown -> default
     assert filtered_nprobe(4, 1000, 0.0) == 4  # nothing matches -> don't scan
     assert filtered_nprobe(4, 1000, 1.0) == 4
+    # calibrated budget (per-cell stats present): max of 2x floor,
+    # candidate volume 64*k*nlist/(s*n), cell discovery 4/f
+    kw = dict(k=10, total=1_000_000, cell_frac=1.0)
+    assert filtered_nprobe(64, 1000, 0.5, **kw) == 128  # floor wins
+    assert filtered_nprobe(64, 1000, 0.1, **kw) == 128  # floor wins
+    # candidate volume wins at tiny s: 64*10*1000/(0.001*1e6) = 640
+    assert filtered_nprobe(64, 1000, 0.001, **kw) == 640
+    # cell discovery wins for a correlated filter: f=1/100 -> 4/f = 400
+    assert filtered_nprobe(64, 1000, 0.1, k=10, total=1_000_000,
+                           cell_frac=0.01) == 400
+    # allowlists stay pessimistic even alongside per-cell stats
+    assert filtered_nprobe(64, 1000, 0.01, k=10, total=1_000_000,
+                           cell_frac=1.0, s_allow=0.1) == 640
     assert filtered_oversample(0.1) == 10
     assert filtered_oversample(0.001) == 32  # clamp high
     assert filtered_oversample(0.9) == 4  # clamp low
@@ -108,6 +132,17 @@ def test_build_writes_stats_and_selectivity(spark, ivf_dir, corpus):
     assert abs(s_both - s_sql * 0.5) < 1e-9
     # predicate over an unknown column: unknown, not an error
     assert selectivity(h, where="nope = 1", spark=spark) is None
+
+    # the per-(cell, combo) table: written at build, totals match, and the
+    # two predicate forms compute the SAME exact cell coverage (plan parity)
+    assert os.path.isdir(os.path.join(ivf_dir, CELL_STATS_DIRNAME))
+    cpdf = load_cell_stats_pdf(h)
+    assert int(cpdf["count"].sum()) == n
+    f_sql = cell_coverage(h, WHERE, spark=spark)
+    f_np = cell_coverage(h, lambda a: a["label"] == 3)
+    assert f_sql == f_np
+    assert 0 < f_sql <= 1.0
+    assert cell_coverage(h, "nope = 1", spark=spark) is None
 
 
 def test_auto_nprobe_restores_filtered_recall(
@@ -150,6 +185,54 @@ def test_auto_plan_parity_spark_vs_serve(spark, ivf_dir, queries):
     assert spark_rows == local_rows
 
 
+def test_correlated_filter_cell_discovery(spark, tmp_path_factory):
+    """All matches in FEW cells: per-combo counts see s, not the
+    correlation; the D/f cell-discovery term widens the budget. 16
+    natural clusters, nlist=16, label = cluster % 4 -> each label lives
+    in ~4 of 16 cells (f ~ 0.25). The auto plan must (a) pick the D/f
+    budget over the uniform one and (b) restore exact recall."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    ncl, dim, n = 16, 16, 8000
+    centers = rng.normal(0.0, 4.0, (ncl, dim))
+    ids = np.arange(n)
+    cluster = ids % ncl
+    vecs = centers[cluster] + rng.normal(0.0, 0.1, (n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [v.astype("float32").tolist() for v in vecs],
+            "label": (cluster % 4).astype("int32"),
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("sel_corr") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(index_type="IVF", nlist=16, vector_dim=dim),
+        attr_cols=["label"],
+    )
+    h = open_index(spark, out)
+    f = cell_coverage(h, "label = 1", spark=spark)
+    assert f is not None and f <= 0.5  # correlation detected (~4-8/16)
+    base = default_nprobe(16, "IVF")
+    planned = plan_nprobe(h, base, 10, where="label = 1", spark=spark)
+    # D/f >= 8 must beat the 2x floor the uniform-filter plan would pick
+    assert planned >= max(2 * base, int(4 / f))
+
+    queries = spark.createDataFrame(
+        pdf.iloc[:20][["vec_id", "embedding"]].rename(
+            columns={"vec_id": "query_id", "embedding": "qvec"}
+        )
+    )
+    oracle = knn_pandas(
+        corpus.filter("label = 1").select("vec_id", "embedding"), queries, k=10
+    )
+    auto = search_index(spark, h, queries, k=10, where="label = 1")
+    assert recall_at_k(auto, oracle, k=10) == 1.0
+
+
 def test_stats_track_append_upsert_compact(spark, corpus, tmp_path_factory):
     from webscale_vector_search_spark.plans.build import append_vectors
 
@@ -189,6 +272,25 @@ def test_stats_track_append_upsert_compact(spark, corpus, tmp_path_factory):
     compact_index(spark, out)
     assert stats_for(3) == before3 - n_dead == 0
     assert stats_total() == n + 4 - n_dead
+
+    # compaction recomputes the per-cell table EXACTLY (appends leave it a
+    # lower bound; this is the refresh point)
+    h = open_index(spark, out)
+    cpdf = load_cell_stats_pdf(h)
+    assert int(cpdf["count"].sum()) == n + 4 - n_dead
+    assert int(cpdf[cpdf["label"] == 3]["count"].sum()) == 0
+
+    # backfill for artifacts predating the per-cell table
+    import shutil
+
+    from webscale_vector_search_spark.sources.attr_stats import (
+        ensure_attr_cell_stats,
+    )
+
+    shutil.rmtree(os.path.join(out, CELL_STATS_DIRNAME))
+    assert ensure_attr_cell_stats(spark, out)
+    h2 = open_index(spark, out)
+    assert int(load_cell_stats_pdf(h2)["count"].sum()) == n + 4 - n_dead
 
 
 def test_unbounded_attr_domain_skips_stats(spark, corpus, tmp_path_factory,

@@ -277,9 +277,19 @@ def build_index(
         # map-side-combined agg over the corpus; skipped above
         # MAX_COMBOS distinct combinations (search then keeps fixed
         # defaults). See sources/attr_stats.py.
-        from webscale_vector_search_spark.sources.attr_stats import write_attr_stats
+        from webscale_vector_search_spark.sources.attr_stats import (
+            write_attr_cell_stats,
+            write_attr_stats,
+        )
 
-        write_attr_stats(base, attr_cols, out_dir)
+        if write_attr_stats(base, attr_cols, out_dir) and config.index_type in (
+            "IVF",
+            "IVFPQ",
+        ):
+            # per-(cell, combo) counts: the cell-discovery planner input
+            # (catches cluster-correlated filters the global table can't
+            # see). One column-pruned scan of the just-written index.
+            write_attr_cell_stats(spark, vectors_dir, attr_cols, out_dir)
 
     meta = index_io.metadata_dict(
         num_shards=config.num_shards,
@@ -503,7 +513,11 @@ def append_vectors(
             index_io.attrs_path(index_dir, index_io.read_metadata(index_dir))
         )
     if attr_cols:
-        # keep the filtered-search planner stats current (tiny-table merge)
+        # keep the filtered-search planner stats current (tiny-table merge).
+        # The per-CELL table is deliberately NOT touched: assignment happens
+        # inside the streaming drain, and a stale cell table is a LOWER
+        # bound on coverage — understating f only raises the cell-discovery
+        # probe budget (conservative). compact_index recomputes it exactly.
         from webscale_vector_search_spark.sources.attr_stats import merge_attr_delta
 
         merge_attr_delta(
@@ -732,6 +746,22 @@ def _physical_delete(spark: SparkSession, index_dir: str, ids: DataFrame) -> int
             .groupBy(*acols)
             .agg((-F.count(F.lit(1))).alias("count")),
         )
+        if meta.get("index_type") in ("IVF", "IVFPQ"):
+            # per-cell planner table: exact subtraction (the removal source
+            # carries centroid_id). The matching append never adds back —
+            # the table is a documented LOWER bound between compactions,
+            # which only RAISES the cell-discovery budget (conservative).
+            from webscale_vector_search_spark.sources.attr_stats import (
+                merge_cell_delta,
+            )
+
+            merge_cell_delta(
+                spark,
+                index_dir,
+                vecs.join(F.broadcast(ids), "vec_id", "left_semi")
+                .groupBy("centroid_id", *acols)
+                .agg((-F.count(F.lit(1))).alias("count")),
+            )
         attrs_rewritten = _rewrite_attrs_without(spark, index_dir, meta, ids)
     # commit: one atomic sidecar write flips vectors (and attrs) together
     old_attrs = index_io.attrs_path(index_dir) if attrs_rewritten else None
@@ -994,12 +1024,22 @@ def search_index(
 
         nprobe = default_nprobe(nlist, itype)
         if filtered and itype in ("IVF", "IVFPQ"):
-            # selectivity-scaled probe budget (~1/s) restores the
-            # unfiltered candidate count — the r9 recall trap (0.32 at
-            # s=0.1 under the fixed default) closed planner-side
-            from webscale_vector_search_spark.sources.attr_stats import filtered_nprobe
+            # calibrated probe budget (attr_stats module docstring):
+            # max(2x floor, candidate volume C*k/(s*avg_cell), cell
+            # discovery D/f) — restores the r9 recall trap (0.32 at s=0.1
+            # under the fixed default) without the first-cut ~1/s rule's
+            # 2.5-16x measured overshoot
+            from webscale_vector_search_spark.sources.attr_stats import plan_nprobe
 
-            nprobe = filtered_nprobe(nprobe, nlist, _sel())
+            n_allowed = (
+                allowed_ids.select("vec_id").distinct().count()
+                if allowed_ids is not None
+                else None
+            )
+            nprobe = plan_nprobe(
+                handle, nprobe, k, where=where, allowed_count=n_allowed,
+                spark=spark,
+            )
 
     if itype == "HNSW" and kernel == "pandas":
         # legacy (pre-r5) HNSW artifact without a stored graph: rebuild the
@@ -1255,6 +1295,18 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
         from webscale_vector_search_spark.operators import hnsw_partition as hnsw_ops
 
         hnsw_ops.freeze_graphs(next_dir, meta["num_shards"], spark=spark)
+    if meta.get("attr_cols") and meta.get("index_type") in ("IVF", "IVFPQ"):
+        # compaction is the exact-refresh point for the per-cell planner
+        # table (appends leave it a lower bound) — one column-pruned scan
+        # of rows just written, trivially cheap next to the rewrite itself.
+        # Post-commit on purpose: a crash here leaves the committed index
+        # with slightly-stale stats, never stats describing an uncommitted
+        # vectors version.
+        from webscale_vector_search_spark.sources.attr_stats import (
+            write_attr_cell_stats,
+        )
+
+        write_attr_cell_stats(spark, next_dir, meta["attr_cols"], index_dir)
     files_after = len(glob.glob(os.path.join(next_dir, "**", "*.parquet"), recursive=True))
     return {
         "files_before": files_before,

@@ -798,11 +798,16 @@ def serve_local(
 
         nprobe = default_nprobe(nlist, itype)
         if filtered and itype in ("IVF", "IVFPQ"):
-            # selectivity-scaled probe budget — same formula, same stats
+            # calibrated probe budget — same formula, same stats rows
             # as search_index's auto path (plan parity)
-            from webscale_vector_search_spark.sources.attr_stats import filtered_nprobe
+            from webscale_vector_search_spark.sources.attr_stats import plan_nprobe
 
-            nprobe = filtered_nprobe(nprobe, nlist, _sel())
+            nprobe = plan_nprobe(
+                handle, nprobe, k, where=where,
+                allowed_count=(
+                    len(allowed_sorted) if allowed_sorted is not None else None
+                ),
+            )
     probes = _LocalProbes(handle, Q, nprobe)
 
     if itype in ("IVF", "HNSW"):

@@ -4,8 +4,36 @@ Filtered ANN has a recall trap: a predicate of selectivity `s` thins every
 probed inverted list to ~s of its usual candidates, so a fixed nprobe
 measured 0.32 recall at s=0.1 where the unfiltered search measures ~1.0
 (BENCH_DETAIL r9 `ann_filtered`). The fix is planner-shaped, not
-kernel-shaped: estimate `s` and scale the probe budget ~1/s (the classic
-selectivity→cardinality step a SQL optimizer does from table statistics).
+kernel-shaped: estimate the filter's statistics and size the probe budget
+(the classic selectivity→cardinality step a SQL optimizer does from table
+statistics).
+
+The r10 probe-budget model (replacing the first-cut ~1/s scaling, which
+r10 calibration measured as 2.5-16x over the recall-0.99 need): the
+filtered top-k is contained in the unfiltered top-(k/s) in expectation, so
+the budget has three regimes, and the planner takes their max —
+
+- a proximity floor, 2x the unfiltered default: moderate filters push the
+  true neighbors only a little farther down the cell-proximity ranking;
+- a candidate-volume term C*k/(s*avg_cell) = C*k*nlist/(s*n): probe enough
+  cells that ~C*k matching candidates are expected (C calibrated at 64);
+- a cell-discovery term D/f where f is the fraction of cells containing
+  ANY match (D calibrated at 4): a cluster-CORRELATED filter (all matches
+  in few cells — e.g. a tenant whose documents embed together) defeats
+  per-combo counts, which is exactly why the per-(cell, combo) table
+  `attr_cell_stats/` exists. f is exact for attr predicates.
+
+Calibration (BENCH_DETAIL r10 `ann_filtered*`, 1M/nlist=1000 and
+10M/nlist=3162, s in [0.001, 0.5], uniform and cluster-correlated
+filters): the max-of-three budget sits 1.0-2.5x above the measured
+recall-0.99 probe count at every point; the old ~1/s rule sat 2.5-16x
+above (640 probes at s=0.1 where 128 suffice).
+
+Id-ALLOWLISTS (`allowed_ids`) keep the pessimistic ceil(base/s) scaling:
+their cell coverage is invisible to attribute statistics (a correlated
+allowlist — all ids from one content cluster — looks identical to a
+uniform one), and undershooting silently costs recall. Callers who know
+their allowlist is dispersed pass an explicit nprobe.
 
 At build time, `write_attr_stats` records the exact per-combination row
 counts of the declared attr_cols — bounded at MAX_COMBOS combinations
@@ -35,7 +63,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 STATS_DIRNAME = "attr_stats"
+CELL_STATS_DIRNAME = "attr_cell_stats"
 MAX_COMBOS = 10_000
+# per-(cell, combo) table bound: past this the table stops being a
+# driver-trivial planner input (the cap is rows, i.e. cells x combos
+# PRESENT, not the cross product)
+CELL_STATS_MAX_ROWS = 1_000_000
+# calibrated probe-budget constants (module docstring; docs/SCALE.md):
+# candidate-volume multiplier, proximity floor, cell-discovery numerator
+C_CANDIDATES, NPROBE_FLOOR_MULT, CELL_DISCOVERY = 64, 2, 4
 # auto filter_oversample clamp for graph post-filtering: below 4 the
 # oversample buys nothing, above 32 the widened beam's cost approaches a
 # probed-scan's — heavy filters should run on IVF (docs/SCALE.md)
@@ -54,6 +90,71 @@ def write_attr_stats(base: DataFrame, attr_cols: list, out_dir: str) -> bool:
         os.path.join(out_dir, STATS_DIRNAME)
     )
     return True
+
+
+def write_attr_cell_stats(
+    spark: SparkSession, vectors_dir: str, attr_cols: list, out_dir: str
+) -> bool:
+    """The per-(centroid_id, combo) count table — the cell-discovery
+    planner input (module docstring: the D/f term). One column-pruned
+    aggregation over the written index rows (centroid_id is the partition
+    column, attrs ride the rows — a 2-3 int-column scan). Skipped past
+    CELL_STATS_MAX_ROWS present rows; the planner then falls back to the
+    pessimistic ceil(base/s) budget for attr predicates."""
+    counts = (
+        spark.read.parquet(vectors_dir)
+        .groupBy("centroid_id", *attr_cols)
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if counts.limit(CELL_STATS_MAX_ROWS + 1).count() > CELL_STATS_MAX_ROWS:
+        return False
+    counts.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, CELL_STATS_DIRNAME)
+    )
+    return True
+
+
+def ensure_attr_cell_stats(spark: SparkSession, index_dir: str) -> bool:
+    """Backfill the per-cell table for an attr_cols IVF/IVFPQ index built
+    before it existed (pre-r10 artifact), or refresh it after maintenance.
+    Returns True when a table exists afterwards."""
+    from webscale_vector_search_spark.sources import index_io
+
+    meta = index_io.read_metadata(index_dir)
+    if not meta.get("attr_cols") or meta.get("index_type") not in ("IVF", "IVFPQ"):
+        return False
+    path = os.path.join(index_dir, CELL_STATS_DIRNAME)
+    if os.path.isdir(path):
+        return True
+    return write_attr_cell_stats(
+        spark, index_io.vectors_path(index_dir, meta), meta["attr_cols"], index_dir
+    )
+
+
+def merge_cell_delta(spark: SparkSession, index_dir: str, delta: DataFrame) -> None:
+    """Fold a (centroid_id, attr_cols..., count) delta into the per-cell
+    table — subtract-only in practice (physical removal sites know the
+    removed rows' cells; appends don't thread assignment back here and
+    leave the table a LOWER bound instead, see the build.py append note:
+    understating f only RAISES the D/f budget — errors are conservative).
+    compact_index recomputes the table exactly."""
+    import shutil
+
+    path = os.path.join(index_dir, CELL_STATS_DIRNAME)
+    if not os.path.isdir(path):
+        return
+    cur = spark.read.parquet(path)
+    keys = [c for c in cur.columns if c != "count"]
+    merged = (
+        cur.unionByName(delta.select(*cur.columns))
+        .groupBy(*keys)
+        .agg(F.sum("count").alias("count"))
+        .filter(F.col("count") > 0)
+    )
+    tmp = path + ".rewrite"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
 
 
 def merge_attr_delta(spark: SparkSession, index_dir: str, delta: DataFrame) -> None:
@@ -122,6 +223,70 @@ def load_stats_pdf(handle):
     return pdf
 
 
+def load_cell_stats_pdf(handle):
+    """The per-(cell, combo) table as pandas, cached on the handle (same
+    lifecycle as load_stats_pdf). None when absent."""
+    if handle.index_dir is None:
+        return None
+    cached = handle.__dict__.get("_attr_cell_stats_pdf", False)
+    if cached is not False:
+        return cached
+    path = os.path.join(handle.index_dir, CELL_STATS_DIRNAME)
+    pdf = None
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        import pyarrow.dataset as pads
+
+        pdf = pads.dataset(path, format="parquet").to_table().to_pandas()
+    handle._attr_cell_stats_pdf = pdf
+    return pdf
+
+
+def cell_coverage(handle, where, spark=None):
+    """Exact fraction of inverted lists containing >= 1 row matching the
+    attr predicate `where` — the f in the planner's D/f cell-discovery
+    term. None when no per-cell table exists or the predicate isn't
+    answerable from it (callers then use the pessimistic budget).
+
+    Both predicate forms evaluate against the SAME rows (callable via
+    numpy, SQL string/Column via Spark on the tiny table), so the Spark
+    and serve_local paths compute identical f — the plan-parity contract.
+    """
+    pdf = load_cell_stats_pdf(handle)
+    if pdf is None:
+        return None
+    nlist = handle.meta.get("nlist") or 0
+    if nlist <= 0:
+        return None
+    try:
+        if callable(where):
+            import numpy as np
+
+            attrs = {
+                c: pdf[c].to_numpy()
+                for c in pdf.columns
+                if c not in ("count", "centroid_id")
+            }
+            mask = np.asarray(where(attrs), dtype=bool)
+            cells = len(np.unique(pdf["centroid_id"].to_numpy()[mask]))
+        else:
+            cache = handle.__dict__.setdefault("_cell_coverage_cache", {})
+            key = str(where)
+            if key not in cache:
+                sdf = spark.createDataFrame(pdf)
+                cache[key] = int(
+                    sdf.filter(where)
+                    .agg(F.countDistinct("centroid_id"))
+                    .first()[0]
+                    or 0
+                )
+            cells = cache[key]
+    except Exception:
+        return None
+    if cells <= 0:
+        return None
+    return cells / nlist
+
+
 def selectivity(handle, where=None, allowed_count=None, spark=None):
     """Estimated fraction of stored rows passing the search filter, or
     None when it can't be estimated (no stats table / predicate the stats
@@ -173,16 +338,68 @@ def selectivity(handle, where=None, allowed_count=None, spark=None):
     return s
 
 
-def filtered_nprobe(base: int, nlist: int, s) -> int:
-    """Scale the probe budget ~1/s so the filtered candidate count matches
-    the unfiltered one (recall restoration), capped at probing every list.
-    s<=0 (stats say nothing matches) keeps the base — the result is empty
-    at any nprobe, don't scan the world to prove it."""
+def filtered_nprobe(
+    base: int,
+    nlist: int,
+    s,
+    *,
+    k: int = 10,
+    total: int | None = None,
+    cell_frac=None,
+    s_allow=None,
+) -> int:
+    """The calibrated probe budget (module docstring): max of the
+    proximity floor, the candidate-volume term, and the cell-discovery
+    term, capped at probing every list. Inputs degrade independently —
+    without per-cell stats (cell_frac None) an attr predicate keeps the
+    pessimistic ceil(base/s) budget; an id-allowlist contributes
+    ceil(base/s_allow) always (its cell coverage is unknowable from attr
+    statistics). s<=0 (stats say nothing matches) keeps the base — the
+    result is empty at any nprobe, don't scan the world to prove it."""
     import math
 
-    if s is None or s <= 0 or s >= 1:
+    if s is not None and s <= 0:
         return base
-    return min(nlist, max(base, math.ceil(base / s)))
+    terms = [base]
+    if s is not None and s < 1:
+        terms.append(NPROBE_FLOOR_MULT * base)
+        if cell_frac is not None and total:
+            terms.append(math.ceil(C_CANDIDATES * k * nlist / (s * total)))
+            terms.append(math.ceil(CELL_DISCOVERY / cell_frac))
+        elif s_allow is None or s < s_allow:
+            # attr predicate without per-cell stats: pessimistic budget
+            terms.append(math.ceil(base / s))
+    if s_allow is not None and 0 < s_allow < 1:
+        terms.append(math.ceil(base / s_allow))
+    return min(nlist, max(terms))
+
+
+def plan_nprobe(handle, base: int, k: int, where=None, allowed_count=None,
+                spark=None) -> int:
+    """The single auto-nprobe entry both search paths call (search_index
+    with a SQL `where`, serve_local with a vectorized callable): estimate
+    s and f from the handle's stats sidecars and size the probe budget.
+    Identical inputs -> identical plan — the Spark/serve_local bit-identity
+    contract covers the planner."""
+    s = selectivity(handle, where=where, allowed_count=allowed_count, spark=spark)
+    if s is None:
+        return base
+    cell_frac = (
+        cell_coverage(handle, where, spark=spark) if where is not None else None
+    )
+    total = handle.meta.get("total_vectors") or None
+    s_allow = None
+    if allowed_count is not None and total:
+        s_allow = min(1.0, allowed_count / total)
+    return filtered_nprobe(
+        base,
+        handle.meta["nlist"],
+        s,
+        k=k,
+        total=total,
+        cell_frac=cell_frac,
+        s_allow=s_allow,
+    )
 
 
 def filtered_oversample(s) -> int:
