@@ -1157,6 +1157,27 @@ def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         lambda: search_index(spark, c_handle, queries, k=k, nprobe=nprobe)
     )
 
+    # r10 targeted compaction: a CLUSTERED delete (16 of 3162 cells — the
+    # tenant/retention shape) on the just-compacted index; auto routes
+    # through the partition-targeted rewrite, so the cost is proportional
+    # to the deleted data, not the 10M corpus (the full-rewrite arm above
+    # is the uniform-delete cost for the same corpus)
+    from webscale_vector_search_spark.sources import index_io as _iio
+
+    vdir = _iio.vectors_path(maint_dir)
+    dead_c = (
+        spark.read.parquet(vdir).filter("centroid_id < 16").select("vec_id")
+    )
+    n_dead_c = dead_c.count()
+    delete_vectors(spark, maint_dir, dead_c)
+    t0 = time.perf_counter()
+    targeted_report = compact_index(spark, maint_dir)
+    targeted_sec = round(time.perf_counter() - t0, 1)
+    t_handle = open_index(spark, maint_dir)
+    post_targeted_sec, _ = timed(
+        lambda: search_index(spark, t_handle, queries, k=k, nprobe=nprobe)
+    )
+
     meta = {
         "corpus": n,
         "selectivity": 0.1,
@@ -1182,6 +1203,14 @@ def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
             "post_compact_search_sec": post_sec,
             "files_before": compact_report["files_before"],
             "files_after": compact_report["files_after"],
+            "compact_mode": compact_report.get("mode"),
+        },
+        "maint_clustered": {
+            "n_deleted": n_dead_c,
+            "compact_sec": targeted_sec,
+            "compact_mode": targeted_report.get("mode"),
+            "partitions_rewritten": targeted_report.get("partitions_rewritten"),
+            "post_compact_search_sec": post_targeted_sec,
         },
         "build_sec": build_secs or None,
         "probe": probe,

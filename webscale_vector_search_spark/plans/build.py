@@ -657,10 +657,16 @@ def _rewrite_attrs_without(
     return True
 
 
-def _physical_delete(spark: SparkSession, index_dir: str, ids: DataFrame) -> int:
+def _physical_delete(
+    spark: SparkSession, index_dir: str, ids: DataFrame, set_total: bool = False
+) -> int:
     """Remove rows by id from the stored partitions, touching only the
     partitions that contain them. Used by upsert (tombstones can't express
-    replace-by-id); plain deletes should prefer delete_vectors (cheaper).
+    replace-by-id) and by targeted compaction; plain deletes should prefer
+    delete_vectors (cheaper). With set_total, the exact post-delete row
+    count (parquet-footer metadata over the new version, no data IO) rides
+    the SAME atomic pointer flip — targeted compaction needs the total
+    updated transactionally; upsert leaves it to its append stage.
 
     Commit protocol == compact_index: the post-delete state materializes in
     a fresh `vectors.v{N}` (untouched partition dirs carried forward as
@@ -766,6 +772,8 @@ def _physical_delete(spark: SparkSession, index_dir: str, ids: DataFrame) -> int
     # commit: one atomic sidecar write flips vectors (and attrs) together
     old_attrs = index_io.attrs_path(index_dir) if attrs_rewritten else None
     meta["vectors_dir"] = os.path.basename(next_dir)
+    if set_total:
+        meta["total_vectors"] = _footer_row_count(next_dir)
     index_io.write_metadata(index_dir, meta)
     _gc_versions(index_dir, keep={next_dir, vectors_dir})
     if attrs_rewritten:
@@ -775,6 +783,24 @@ def _physical_delete(spark: SparkSession, index_dir: str, ids: DataFrame) -> int
             stem="attrs",
         )
     return len(affected)
+
+
+def _footer_row_count(vectors_dir: str) -> int:
+    """Exact row count from parquet footers alone — no data IO, no Spark
+    job. Globs *.parquet explicitly (partition dirs also hold _graph
+    serving bundles)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    return int(
+        sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(
+                os.path.join(vectors_dir, "**", "*.parquet"), recursive=True
+            )
+        )
+    )
 
 
 def _live(df: DataFrame, tombstones: DataFrame | None) -> DataFrame:
@@ -1129,8 +1155,14 @@ def search_index(
     )
 
 
-def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256) -> dict:
-    """Rewrite index partitions to target-sized files.
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_file_mb: int = 256,
+    mode: str = "auto",
+) -> dict:
+    """Rewrite index partitions to target-sized files and materialize
+    pending deletes.
 
     Streaming appends (streaming/build_stream.py) land one file per
     micro-batch per partition; at scale that degrades scans (listing +
@@ -1145,7 +1177,23 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
     Partition columns (shard_id / centroid_id) are preserved, so pruning
     behavior is unchanged.
 
-    Returns {"files_before": n, "files_after": m, "rows": r, "vectors_dir": name}.
+    mode="auto" picks a TARGETED compaction when pending tombstones exist,
+    the index is not fragmented (file count <= 2x partition count — there
+    is nothing to re-pack), and the deletes touch under half the
+    partitions: only the affected partitions rewrite (the upsert machinery
+    — _physical_delete), untouched partition dirs carry forward as
+    hardlinks, and the cost becomes proportional to the DELETED data, not
+    the corpus. This is the shape that matters at 100 TB: a tenant/
+    retention delete lands in the few partitions whose content clusters
+    together, and a full rewrite would be a ~corpus-sized job for a
+    ~partition-sized change. Deletes spread uniformly across partitions
+    (every partition loses a few rows) genuinely require the full rewrite
+    — auto detects that and falls through. mode="full" forces the full
+    rewrite (e.g. to re-pack after changing target_file_mb).
+
+    Returns {"files_before": n, "files_after": m, "rows": r,
+    "vectors_dir": name, "mode": "full"|"targeted",
+    "partitions_rewritten": p (targeted only)}.
     """
     import glob
     import shutil
@@ -1175,6 +1223,28 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
     tomb_files = sorted(glob.glob(os.path.join(tomb_dir, "*.parquet")))
     if tomb_files:
         tomb = spark.read.parquet(*tomb_files).select("vec_id").distinct()
+    n_parts_disk = sum(
+        1 for e in os.listdir(vectors_dir) if e.startswith(f"{part_col}=")
+    )
+    if (
+        mode == "auto"
+        and tomb is not None
+        and files_before <= 2 * max(1, n_parts_disk)
+    ):
+        # nothing needs re-packing — the only work is delete
+        # materialization. If it touches under half the partitions, rewrite
+        # just those (docstring: cost proportional to deleted data).
+        affected_parts = (
+            df.join(F.broadcast(tomb), "vec_id", "left_semi")
+            .select(part_col)
+            .distinct()
+            .count()
+        )
+        if affected_parts <= 0.5 * n_parts_disk:
+            return _compact_targeted(
+                spark, index_dir, tomb, tomb_files, tomb_dir, files_before
+            )
+    if tomb is not None:
         df = df.join(F.broadcast(tomb), "vec_id", "left_anti")
     if tomb is not None and meta.get("hnsw_graph"):
         # dropping graph rows leaves neighbors pointing at deleted nodes —
@@ -1296,12 +1366,14 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
 
         hnsw_ops.freeze_graphs(next_dir, meta["num_shards"], spark=spark)
     if meta.get("attr_cols") and meta.get("index_type") in ("IVF", "IVFPQ"):
-        # compaction is the exact-refresh point for the per-cell planner
-        # table (appends leave it a lower bound) — one column-pruned scan
-        # of rows just written, trivially cheap next to the rewrite itself.
-        # Post-commit on purpose: a crash here leaves the committed index
-        # with slightly-stale stats, never stats describing an uncommitted
-        # vectors version.
+        # FULL compaction is the exact-refresh point for the per-cell
+        # planner table (appends leave it a lower bound; targeted
+        # compaction delta-subtracts instead — a corpus-wide stats scan
+        # would defeat its cost-proportional-to-deletes contract) — one
+        # column-pruned scan of rows just written, trivially cheap next to
+        # the rewrite itself. Post-commit on purpose: a crash here leaves
+        # the committed index with slightly-stale stats, never stats
+        # describing an uncommitted vectors version.
         from webscale_vector_search_spark.sources.attr_stats import (
             write_attr_cell_stats,
         )
@@ -1314,6 +1386,54 @@ def compact_index(spark: SparkSession, index_dir: str, target_file_mb: int = 256
         "rows": rows,
         "vectors_dir": os.path.basename(next_dir),
         "tombstones_applied": tomb is not None,
+        "mode": "full",
+    }
+
+
+def _compact_targeted(
+    spark: SparkSession,
+    index_dir: str,
+    tomb: DataFrame,
+    tomb_files: list,
+    tomb_dir: str,
+    files_before: int,
+) -> dict:
+    """Delete-materialization-only compaction: rewrite exactly the
+    partitions holding tombstoned rows (upsert's _physical_delete — same
+    vectors.v{N} + pointer-flip commit, hardlink carry-forward, HNSW shard
+    rebuild, attrs/stats delta maintenance), then retire the snapshotted
+    tombstone files in the full path's crash-safe order (rows physically
+    gone BEFORE their tombstones disappear; the has_tombstones flag drops
+    only when no new deletes landed mid-rewrite)."""
+    import glob
+    import shutil
+
+    n_parts = _physical_delete(spark, index_dir, tomb, set_total=True)
+    meta = index_io.read_metadata(index_dir)
+    new_dir = index_io.vectors_path(index_dir, meta)
+    for p in tomb_files:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    if os.path.isdir(tomb_dir) and not any(
+        f.endswith(".parquet") for f in os.listdir(tomb_dir)
+    ):
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+    if not glob.glob(os.path.join(tomb_dir, "*.parquet")):
+        meta.pop("has_tombstones", None)
+    index_io.write_metadata(index_dir, meta)
+    files_after = len(
+        glob.glob(os.path.join(new_dir, "**", "*.parquet"), recursive=True)
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": meta.get("total_vectors"),
+        "vectors_dir": os.path.basename(new_dir),
+        "tombstones_applied": True,
+        "mode": "targeted",
+        "partitions_rewritten": n_parts,
     }
 
 
