@@ -149,8 +149,8 @@ def test_auto_nprobe_restores_filtered_recall(
     spark, ivf_dir, queries, filtered_oracle
 ):
     """Monotone recovery: auto (no manual knob) >= the fixed default, and
-    at this nlist the ~1/s scaling reaches full probe -> exact equality
-    with the pre-filtered brute force."""
+    at this corpus size the candidate-volume term reaches full probe ->
+    exact equality with the pre-filtered brute force."""
     h = open_index(spark, ivf_dir)
     base_np = default_nprobe(NLIST, "IVF")
     fixed = search_index(spark, h, queries, k=10, nprobe=base_np, where=WHERE)

@@ -788,19 +788,19 @@ def _physical_delete(
 def _footer_row_count(vectors_dir: str) -> int:
     """Exact row count from parquet footers alone — no data IO, no Spark
     job. Globs *.parquet explicitly (partition dirs also hold _graph
-    serving bundles)."""
+    serving bundles). Footer reads are tiny but latency-bound (one open +
+    seek per file — tens of seconds serially over a few thousand
+    partitions), so they fan out over a thread pool."""
     import glob as _glob
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    return int(
-        sum(
-            pq.ParquetFile(p).metadata.num_rows
-            for p in _glob.glob(
-                os.path.join(vectors_dir, "**", "*.parquet"), recursive=True
-            )
+    paths = _glob.glob(os.path.join(vectors_dir, "**", "*.parquet"), recursive=True)
+    with ThreadPoolExecutor(max_workers=32) as ex:
+        return int(
+            sum(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, paths))
         )
-    )
 
 
 def _live(df: DataFrame, tombstones: DataFrame | None) -> DataFrame:
@@ -923,10 +923,10 @@ def search_index(
       parquet scan's PushedFilters, so filtering costs row-group pruning +
       column decode, never a join or a post-pass. Recall under a filter of
       selectivity s: the probed lists hold ~s of their usual candidates —
-      with `nprobe` left at None, the engine estimates s from the
-      attr_stats sidecar (written at build for attr_cols indexes) and
-      scales the default nprobe ~1/s automatically (capped at nlist); an
-      explicit nprobe is always an override.
+      with `nprobe` left at None, the engine sizes the probe budget from
+      the attr_stats sidecars (written at build for attr_cols indexes):
+      max(2x default, candidate-volume, cell-discovery), calibrated in
+      sources/attr_stats.py; an explicit nprobe is always an override.
     - HNSW traverses blind (a beam has no scan), so the graph is searched
       for k*filter_oversample candidates (ef widened to match) and the
       survivors re-ranked — standard post-filter ANN. filter_oversample

@@ -699,10 +699,11 @@ def serve_local(
     is a vectorized CALLABLE over {attr_name: ndarray} -> bool ndarray,
     not a SQL string: the driver path deliberately carries no SQL parser,
     the Spark path owns SQL. `allowed_ids` is any int sequence/array.
-    With nprobe/filter_oversample left at None under a filter, both scale
-    automatically from the attr_stats sidecar (~1/selectivity, exactly as
-    search_index does — the callable evaluates against the same stats
-    rows, so the two paths pick the same plan).
+    With nprobe/filter_oversample left at None under a filter, both size
+    automatically from the attr_stats sidecars (the calibrated budget in
+    sources/attr_stats.py, exactly as search_index does — the callable
+    evaluates against the same stats rows, so the two paths pick the same
+    plan).
     """
     # freshness probe (stat-only, ~µs): deletes/appends/compactions landing
     # after open take effect on the very next batch served through this
