@@ -658,7 +658,12 @@ def _rewrite_attrs_without(
 
 
 def _physical_delete(
-    spark: SparkSession, index_dir: str, ids: DataFrame, set_total: bool = False
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame,
+    set_total: bool = False,
+    affected: set | None = None,
+    vecs: DataFrame | None = None,
 ) -> int:
     """Remove rows by id from the stored partitions, touching only the
     partitions that contain them. Used by upsert (tombstones can't express
@@ -679,20 +684,26 @@ def _physical_delete(
     in-place dynamic-overwrite + post-hoc rmtree had both failure modes)."""
     meta = index_io.read_metadata(index_dir)
     vectors_dir = index_io.vectors_path(index_dir, meta)
-    vecs = spark.read.parquet(vectors_dir)
+    if vecs is None:
+        # partition discovery over a many-thousand-partition dir costs
+        # seconds — callers that already hold the scan pass it in
+        vecs = spark.read.parquet(vectors_dir)
     part_col = "centroid_id" if "centroid_id" in vecs.columns else "shard_id"
-    affected = {
-        r[part_col]
-        for r in vecs.join(F.broadcast(ids), "vec_id", "left_semi")
-        .select(part_col)
-        .distinct()
-        .collect()
-    }
+    if affected is None:
+        affected = {
+            r[part_col]
+            for r in vecs.join(F.broadcast(ids), "vec_id", "left_semi")
+            .select(part_col)
+            .distinct()
+            .collect()
+        }
     if not affected:
         return 0
-    kept = vecs.filter(F.col(part_col).isin(list(affected))).join(
-        F.broadcast(ids), "vec_id", "left_anti"
-    )
+    # every removed row lives in an affected partition by construction —
+    # scope the delta aggregations below to those partitions (partition
+    # pruning turns a corpus-wide scan into an affected-sized one)
+    touched = vecs.filter(F.col(part_col).isin(list(affected)))
+    kept = touched.join(F.broadcast(ids), "vec_id", "left_anti")
     if meta.get("hnsw_graph"):
         # dropping graph rows dangles adjacency: rebuild the affected
         # shards' graphs over their surviving rows (compaction's rule)
@@ -743,7 +754,7 @@ def _physical_delete(
         attr_src = (
             spark.read.parquet(index_io.attrs_path(index_dir, meta))
             if meta.get("hnsw_graph") and os.path.isdir(index_io.attrs_path(index_dir, meta))
-            else vecs
+            else touched
         )
         merge_attr_delta(
             spark,
@@ -764,7 +775,7 @@ def _physical_delete(
             merge_cell_delta(
                 spark,
                 index_dir,
-                vecs.join(F.broadcast(ids), "vec_id", "left_semi")
+                touched.join(F.broadcast(ids), "vec_id", "left_semi")
                 .groupBy("centroid_id", *acols)
                 .agg((-F.count(F.lit(1))).alias("count")),
             )
@@ -1233,16 +1244,20 @@ def compact_index(
     ):
         # nothing needs re-packing — the only work is delete
         # materialization. If it touches under half the partitions, rewrite
-        # just those (docstring: cost proportional to deleted data).
-        affected_parts = (
-            df.join(F.broadcast(tomb), "vec_id", "left_semi")
+        # just those (docstring: cost proportional to deleted data). The
+        # set collected here feeds _physical_delete directly — this scan is
+        # the ONE corpus-wide pass the targeted path pays.
+        affected = {
+            r[part_col]
+            for r in df.join(F.broadcast(tomb), "vec_id", "left_semi")
             .select(part_col)
             .distinct()
-            .count()
-        )
-        if affected_parts <= 0.5 * n_parts_disk:
+            .collect()
+        }
+        if len(affected) <= 0.5 * n_parts_disk:
             return _compact_targeted(
-                spark, index_dir, tomb, tomb_files, tomb_dir, files_before
+                spark, index_dir, tomb, tomb_files, tomb_dir, files_before,
+                affected, df,
             )
     if tomb is not None:
         df = df.join(F.broadcast(tomb), "vec_id", "left_anti")
@@ -1397,6 +1412,8 @@ def _compact_targeted(
     tomb_files: list,
     tomb_dir: str,
     files_before: int,
+    affected: set,
+    vecs: DataFrame,
 ) -> dict:
     """Delete-materialization-only compaction: rewrite exactly the
     partitions holding tombstoned rows (upsert's _physical_delete — same
@@ -1408,7 +1425,9 @@ def _compact_targeted(
     import glob
     import shutil
 
-    n_parts = _physical_delete(spark, index_dir, tomb, set_total=True)
+    n_parts = _physical_delete(
+        spark, index_dir, tomb, set_total=True, affected=affected, vecs=vecs
+    )
     meta = index_io.read_metadata(index_dir)
     new_dir = index_io.vectors_path(index_dir, meta)
     for p in tomb_files:
