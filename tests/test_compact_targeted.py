@@ -220,6 +220,31 @@ def test_targeted_hnsw_rebuilds_only_affected_shards(spark, corpus, queries,
     assert meta["total_vectors"] == N - len(dead_set)
 
 
+def test_open_handle_across_targeted_compaction(spark, corpus, queries,
+                                                live_oracle,
+                                                tmp_path_factory):
+    """The freshness contract (maybe_refresh) holds for the targeted path
+    too: a handle opened before the clustered delete serves the complete
+    old index until the pointer flips, then the complete new one — and it
+    observes the flip on its very next search without an explicit reopen."""
+    out = str(tmp_path_factory.mktemp("tc_fresh") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(index_type="IVF", nlist=NCL, vector_dim=DIM),
+    )
+    handle = open_index(spark, out)
+    search_index(spark, handle, queries, k=5, nprobe=NCL).collect()  # warm
+
+    delete_vectors(spark, out, corpus.select("vec_id").filter(DEAD))
+    report = compact_index(spark, out)
+    assert report["mode"] == "targeted"
+
+    got = search_index(spark, handle, queries, k=10, nprobe=NCL)
+    assert recall_at_k(got, live_oracle, k=10) == 1.0
+    # and the handle's view of the totals matches the committed sidecar
+    assert handle.meta["total_vectors"] == corpus.filter(f"NOT ({DEAD})").count()
+
+
 def test_uniform_delete_falls_back_to_full(spark, corpus, tmp_path_factory):
     """Every-9th-id deletes land in ~every cell: rewriting 'just' the
     affected partitions would rewrite everything through the slower
