@@ -361,3 +361,105 @@ def test_filter_reaches_pushed_filters(spark, ivf_dir, queries):
     assert "PushedFilters" in line
     pushed = line.split("PushedFilters:")[1]
     assert "label" in pushed and "EqualTo" in pushed or "label" in pushed
+
+
+# ---------------------------------------------------------------------------
+# selective-filter fallback (r10): past the oversample cap the post-filter
+# beam cannot produce k survivors — the planner must route graph searches
+# to the exact filtered scan instead of silently losing recall
+
+
+@pytest.fixture(scope="module")
+def hnsw_rare_dir(spark, corpus, idx_root):
+    out = str(idx_root / "hnsw_rare")
+    build_index(spark, corpus, out,
+                EngineConfig(index_type="HNSW", num_shards=4),
+                attr_cols=["bucket"])
+    return out
+
+
+def test_hnsw_selective_filter_falls_back_exact(spark, hnsw_rare_dir, corpus,
+                                                queries):
+    """bucket = 7 matches ~1% of rows (s < 1/OVERSAMPLE_CAP): the auto
+    path must return the EXACT filtered answer, equal to brute force over
+    the matching rows — a beam at the widest oversample measurably
+    cannot."""
+    from webscale_vector_search_spark.sources.attr_stats import (
+        OVERSAMPLE_CAP,
+        graph_filter_fallback,
+        selectivity,
+    )
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    h = open_index(spark, hnsw_rare_dir)
+    s = selectivity(h, where="bucket = 7", spark=spark)
+    assert s is not None and s * OVERSAMPLE_CAP < 1.0
+    assert graph_filter_fallback(s)
+
+    oracle = knn_pandas(corpus.filter("bucket = 7"), queries, k=3)
+    got = search_index(spark, h, queries, k=3, where="bucket = 7")
+    assert _rows(got) == _rows(oracle)
+
+
+def test_hnsw_selective_fallback_serve_parity(spark, hnsw_rare_dir, queries):
+    import numpy as np
+
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    h = open_index(spark, hnsw_rare_dir)
+    want = search_index(spark, h, queries, k=3, where="bucket = 7")
+    qrows = queries.collect()
+    q = (
+        np.array([r["query_id"] for r in qrows], dtype=np.int64),
+        np.stack([r["qvec"] for r in qrows]).astype(np.float64),
+    )
+    local = serve_local(h, q, k=3, where=lambda a: a["bucket"] == 7)
+    local_rows = {
+        (int(a), int(b), int(c), round(float(d), 6))
+        for a, b, c, d in zip(
+            local["query_id"], local["rank"], local["neighbor_id"],
+            local["distance"],
+        )
+    }
+    assert local_rows == _rows(want)
+
+
+def test_hnsw_tiny_allowlist_falls_back_exact(spark, hnsw_dir, corpus,
+                                              queries):
+    """A 10-id allowlist on a graph index (s_allow ~ 0.02) takes the same
+    exact route — and an explicit filter_oversample stays an override
+    (the beam runs as asked, results merely stay inside the allowlist)."""
+    import numpy as np
+
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    allowed = [int(r["vec_id"]) for r in corpus.limit(10).collect()]
+    h = open_index(spark, hnsw_dir)
+    oracle = knn_pandas(
+        corpus.filter(F.col("vec_id").isin(allowed)), queries, k=3
+    )
+    got = search_index(spark, h, queries, k=3, allowed_ids=allowed)
+    assert _rows(got) == _rows(oracle)
+
+    qrows = queries.collect()
+    q = (
+        np.array([r["query_id"] for r in qrows], dtype=np.int64),
+        np.stack([r["qvec"] for r in qrows]).astype(np.float64),
+    )
+    local = serve_local(h, q, k=3, allowed_ids=allowed)
+    local_rows = {
+        (int(a), int(b), int(c), round(float(d), 6))
+        for a, b, c, d in zip(
+            local["query_id"], local["rank"], local["neighbor_id"],
+            local["distance"],
+        )
+    }
+    assert local_rows == _rows(got)
+
+    # explicit knob: no fallback, beam semantics honored (valid rows only)
+    explicit = search_index(spark, h, queries, k=3, allowed_ids=allowed,
+                            filter_oversample=8)
+    got_ids = {r["neighbor_id"] for r in explicit.collect()}
+    assert got_ids <= set(allowed)

@@ -1012,15 +1012,11 @@ def search_index(
     if itype == "HNSW" and handle.meta.get("hnsw_graph"):
         # persisted-graph artifact: serving pays ONLY traversal (graphs are
         # loaded once per python worker — hnsw_partition.load_shard_graph)
-        if kernel != "pandas":
-            # graph traversal has no SQL form; the no-Python fallback is the
-            # exact scan (right answers, exact cost — explicit, not probed).
-            # attrs live in the sidecar for graph artifacts, so the exact
-            # fallback under a filter goes through the post-filter (exact
-            # here: the unfiltered scan returns the true top-k' superset
-            # only if k' covers the filtered depth — so filter the scan
-            # directly via a candidates join instead): simplest correct
-            # form, semi-join the sidecar's valid ids into the scan.
+        def _exact_filtered_scan(fn):
+            # exact scan with the filter applied BEFORE ranking: attrs live
+            # in the sidecar for graph artifacts, so the valid ids semi-join
+            # into the scan (an unfiltered scan + post-filter would need a
+            # k' covering the filtered depth — this form needs no margin)
             vecs = _live(handle.vectors.select("vec_id", "embedding"), tomb)
             if filtered:
                 valid = handle.attrs if handle.attrs is not None else handle.vectors
@@ -1031,7 +1027,22 @@ def search_index(
                         F.broadcast(allowed_ids.select("vec_id")), "vec_id", "left_semi"
                     )
                 vecs = vecs.join(valid.select("vec_id"), "vec_id", "left_semi")
-            return knn(vecs, queries, k=k)
+            return fn(vecs, queries, k=k)
+
+        if kernel != "pandas":
+            # graph traversal has no SQL form; the no-Python fallback is the
+            # exact scan (right answers, exact cost — explicit, not probed)
+            return _exact_filtered_scan(knn)
+        if filtered and filter_oversample is None:
+            from webscale_vector_search_spark.sources.attr_stats import (
+                graph_filter_fallback,
+            )
+
+            if graph_filter_fallback(_sel()):
+                # the post-filter beam can't produce k survivors at this
+                # selectivity even at the oversample cap — route to the
+                # exact filtered scan instead of silently losing recall
+                return _exact_filtered_scan(knn_pandas)
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_stored_search
 
         # pending deletes post-filter like a mild predicate: oversample 2x
@@ -1083,6 +1094,20 @@ def search_index(
         # per-partition graph inside the search pass
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_partition_search
 
+        if filtered and filter_oversample is None:
+            # same selective-filter escape as the graph path (attrs are
+            # row-carried on legacy artifacts, so the plain filtered exact
+            # scan applies directly)
+            from webscale_vector_search_spark.sources.attr_stats import (
+                graph_filter_fallback,
+            )
+
+            if graph_filter_fallback(_sel()):
+                return knn_pandas(
+                    _live(_apply_filter(handle.vectors, where, allowed_ids), tomb),
+                    queries,
+                    k=k,
+                )
         if filtered:
             k_leg = k * _oversample() * (2 if tomb is not None else 1)
         else:

@@ -767,9 +767,44 @@ def serve_local(
         )
 
     if itype == "HNSW" and meta.get("hnsw_graph"):
+        if filtered and filter_oversample is None:
+            # selective-filter escape, mirroring search_index: past the
+            # oversample cap the beam can't produce k survivors — run the
+            # exact scan restricted to the valid ids instead (the FLAT
+            # pairing, so Spark/serve results stay bit-identical)
+            from webscale_vector_search_spark.sources.attr_stats import (
+                graph_filter_fallback,
+            )
+
+            if graph_filter_fallback(_sel()):
+                allowed_fb = allowed_sorted
+                if where is not None:
+                    side = _attrs_sidecar(handle)
+                    if side is None:
+                        raise ValueError(
+                            "filtered serve_local needs an index built with attr_cols"
+                        )
+                    attrs = {
+                        name[2:]: col
+                        for name, col in side.items()
+                        if name.startswith("a:")
+                    }
+                    ids_w = side["ids"][np.asarray(where(attrs), dtype=bool)]
+                    allowed_fb = (
+                        ids_w
+                        if allowed_fb is None
+                        else np.intersect1d(ids_w, allowed_fb)
+                    )
+                return _finalize(
+                    _flat_parts(handle, q_ids, Q, k, allowed_sorted=allowed_fb,
+                                tomb_sorted=tomb_sorted),
+                    k,
+                    as_arrays,
+                )
         # tombstones post-filter like a mild predicate (2x oversample);
-        # user filters use filter_oversample (auto ~1/s when None), and
-        # the margins COMPOSE when both apply — mirror search_index exactly
+        # user filters use filter_oversample (auto, clamped at the cap,
+        # when None), and the margins COMPOSE when both apply — mirror
+        # search_index exactly
         if filtered:
             k_search = k * _oversample() * (2 if tomb_sorted is not None else 1)
         else:

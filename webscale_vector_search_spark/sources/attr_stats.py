@@ -410,3 +410,14 @@ def filtered_oversample(s) -> int:
     if s is None or s <= 0:
         return OVERSAMPLE_FLOOR
     return min(OVERSAMPLE_CAP, max(OVERSAMPLE_FLOOR, math.ceil(1.0 / s)))
+
+
+def graph_filter_fallback(s) -> bool:
+    """Should a filtered GRAPH search abandon the beam for the exact
+    filtered scan? The post-filter beam surveys k*oversample candidates
+    and keeps ~s of them; past the oversample cap (s < 1/OVERSAMPLE_CAP)
+    the beam cannot produce k survivors even at its widest — recall would
+    silently collapse. The exact scan is then both correct AND the honest
+    cost (a selective filter leaves few rows to rank). Auto-path only; an
+    explicit filter_oversample is always honored as given."""
+    return s is not None and s * OVERSAMPLE_CAP < 1.0
