@@ -301,3 +301,42 @@ def test_fragmented_index_falls_back_to_full(spark, corpus, tmp_path_factory):
     report = compact_index(spark, out)
     assert report["mode"] == "full"
     assert report["files_after"] <= 2 * n_parts
+
+
+def test_targeted_keeps_tombstones_added_during_rewrite(spark, corpus,
+                                                        queries,
+                                                        tmp_path_factory,
+                                                        monkeypatch):
+    """A delete wave landing between the targeted compaction's tombstone
+    snapshot and its commit must survive as pending (only snapshotted
+    files retire, the has_tombstones flag stays set) and be excluded from
+    search. Injected by wrapping _physical_delete so the late wave lands
+    mid-compaction, after the snapshot."""
+    from webscale_vector_search_spark.plans import build as B
+
+    out = str(tmp_path_factory.mktemp("tc_race") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(index_type="IVF", nlist=NCL, vector_dim=DIM),
+    )
+    delete_vectors(spark, out, corpus.select("vec_id").filter(DEAD))
+    late_ids = [int(r["vec_id"]) for r in
+                corpus.filter(f"vec_id % {NCL} = 3").limit(5).collect()]
+
+    orig = B._physical_delete
+
+    def inject(spark_, index_dir, ids, **kw):
+        delete_vectors(spark_, index_dir, late_ids)
+        return orig(spark_, index_dir, ids, **kw)
+
+    monkeypatch.setattr(B, "_physical_delete", inject)
+    report = compact_index(spark, out)
+    assert report["mode"] == "targeted"
+
+    meta = read_metadata(out)
+    assert meta.get("has_tombstones") is True
+    assert os.path.isdir(os.path.join(out, "tombstones"))
+    res = search_index(spark, out, queries, k=10, nprobe=NCL)
+    got = {r["neighbor_id"] for r in res.collect()}
+    assert not (got & set(late_ids))
+    assert not any(int(v) % NCL == 7 for v in got)

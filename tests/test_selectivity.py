@@ -312,3 +312,39 @@ def test_unbounded_attr_domain_skips_stats(spark, corpus, tmp_path_factory,
     got = search_index(spark, h, queries_from_embeddings(spark, SF_ORACLE, 3),
                        k=3, where="uid = 3")
     assert got.count() <= 3  # fixed-default fallback still answers
+
+
+def test_nprobe_budget_properties():
+    """Planner-formula invariants, swept over the input space: the budget
+    is bounded [base, nlist], monotone non-increasing in selectivity and
+    in cell coverage (rarer/more-correlated filters never get FEWER
+    probes), and degrades to the pessimistic ceil(base/s) without
+    per-cell statistics."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        base=st.integers(1, 256),
+        nlist=st.integers(1, 100_000),
+        s=st.floats(1e-6, 1.0, exclude_max=False),
+        f=st.one_of(st.none(), st.floats(1e-6, 1.0)),
+        k=st.integers(1, 100),
+        total=st.integers(1, 10**9),
+    )
+    def check(base, nlist, s, f, k, total):
+        np1 = filtered_nprobe(base, nlist, s, k=k, total=total, cell_frac=f)
+        # bounded: never below the default (unless nlist itself is — the
+        # cap at nlist IS the full probe), never above every list
+        assert min(base, nlist) <= np1 <= max(base, nlist)
+        # monotone: a rarer filter never gets fewer probes
+        np_rarer = filtered_nprobe(base, nlist, s / 2, k=k, total=total,
+                                   cell_frac=f)
+        assert np_rarer >= np1
+        # monotone: a more cell-correlated filter never gets fewer probes
+        if f is not None:
+            np_corr = filtered_nprobe(base, nlist, s, k=k, total=total,
+                                      cell_frac=f / 2)
+            assert np_corr >= np1
+
+    check()
