@@ -463,3 +463,24 @@ def test_hnsw_tiny_allowlist_falls_back_exact(spark, hnsw_dir, corpus,
                             filter_oversample=8)
     got_ids = {r["neighbor_id"] for r in explicit.collect()}
     assert got_ids <= set(allowed)
+
+
+def test_ivfpq_auto_filtered_plan_and_recall(spark, ivfpq_dir, queries,
+                                             filtered_oracle):
+    """The calibrated auto budget applies to IVFPQ too (cell stats are
+    written at build): nprobe=None under the label filter must plan at
+    least the 2x floor and keep recall at the explicit-full-probe level."""
+    from webscale_vector_search_spark.config import default_nprobe
+    from webscale_vector_search_spark.sources.attr_stats import plan_nprobe
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    h = open_index(spark, ivfpq_dir)
+    base = default_nprobe(NLIST, "IVFPQ")
+    planned = plan_nprobe(h, base, 10, where=WHERE, spark=spark)
+    assert planned >= min(NLIST, 2 * base)
+    auto = search_index(spark, h, queries, k=10, where=WHERE)
+    fixed_full = search_index(spark, h, queries, k=10, nprobe=NLIST,
+                              where=WHERE)
+    r_auto = recall_at_k(auto, filtered_oracle, k=10)
+    r_full = recall_at_k(fixed_full, filtered_oracle, k=10)
+    assert r_auto >= r_full - 1e-9  # the planned budget reaches full probe here
