@@ -637,6 +637,54 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         lambda: search_index(spark, c_handle, queries, k=k, nprobe=nprobe)
     )
 
+    # graph-filtered arms (r10): HNSW + attrs sidecar — the post-filter
+    # beam at moderate selectivity, and the exact-scan fallback past the
+    # oversample cap (s < 1/32), plus driver-side filtered serve latency
+    hnsw_cfg = EngineConfig(
+        index_type="HNSW", num_shards=16, ivf_max_list_factor=None
+    )
+    hnsw_attr_dir = _idx_cache_dir(cache_dir, "HNSW_ATTR", hnsw_cfg, n)
+    if not os.path.exists(os.path.join(hnsw_attr_dir, "shards_metadata.json")):
+        t0 = time.perf_counter()
+        build_index(
+            spark,
+            corpus.withColumn("bucket", (F.col("vec_id") % 100).cast("int")),
+            hnsw_attr_dir, hnsw_cfg, attr_cols=["label", "bucket"],
+        )
+        build_secs["build_hnsw_attr"] = round(time.perf_counter() - t0, 1)
+    ensure_attr_cell_stats(spark, hnsw_attr_dir)  # pre-r10 cached artifact
+    gh = open_index(spark, hnsw_attr_dir)
+    g_base_sec, _ = timed(lambda: search_index(spark, gh, queries, k=k))
+    # the EXPLICIT-oversample beam documents the correlated-filter cliff
+    # (label=vec_id%10 concentrates in ~11% of pseudo-cells; beam recall
+    # ~= f). The AUTO path must detect f < 0.5 and route to the exact scan.
+    g_beam_sec, g_beam = timed(
+        lambda: search_index(spark, gh, queries, k=k, where=WHERE,
+                             filter_oversample=10)
+    )
+    g_auto_sec, g_auto = timed(
+        lambda: search_index(spark, gh, queries, k=k, where=WHERE)
+    )
+    g_fb_sec, g_fb = timed(
+        lambda: search_index(spark, gh, queries, k=k, where="bucket = 7")
+    )
+    exact_b7 = knn_pandas(corpus.filter("vec_id % 100 = 7"), queries, k=k).cache()
+    exact_b7.count()
+    hnsw_filtered = {
+        "base_sec": g_base_sec,
+        "beam_explicit_sec": g_beam_sec,
+        "beam_explicit_recall": round(recall_at_k(g_beam, exact_f, k=k), 4),
+        "auto_sec": g_auto_sec,
+        "auto_recall": round(recall_at_k(g_auto, exact_f, k=k), 4),
+        "fallback_sec": g_fb_sec,
+        "fallback_recall": round(recall_at_k(g_fb, exact_b7, k=k), 4),
+        "fallback_selectivity": 0.01,
+        "serve_filtered_1q_ms": timed_local(
+            lambda: serve_local(gh, q1_np, k=k, where=lambda a: a["label"] == 3)
+        ),
+    }
+    exact_b7.unpersist()
+
     meta = {
         "corpus": n,
         "selectivity": 0.1,
@@ -655,6 +703,7 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         },
         "serve_1q_ms": serve_ms,
         "serve_filtered_1q_ms": serve_f_ms,
+        "hnsw_filtered": hnsw_filtered,
         "maint": {
             "n_deleted": n_dead,
             "delete_sec": delete_sec,

@@ -484,3 +484,74 @@ def test_ivfpq_auto_filtered_plan_and_recall(spark, ivfpq_dir, queries,
     r_auto = recall_at_k(auto, filtered_oracle, k=10)
     r_full = recall_at_k(fixed_full, filtered_oracle, k=10)
     assert r_auto >= r_full - 1e-9  # the planned budget reaches full probe here
+
+
+def test_hnsw_correlated_filter_falls_back_exact(spark, tmp_path_factory):
+    """The r10 bench measured beam recall ~= f for a spatially-concentrated
+    filter (f=0.11 -> recall 0.0998): most queries' neighborhoods hold ZERO
+    valid candidates, so no oversample recovers. The stats-quantizer
+    pseudo-cells must DETECT the concentration (f < 0.5) and route the auto
+    path to the exact filtered scan — recall 1.0 — on both paths."""
+    import numpy as np
+    import pandas as pd
+
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+    from webscale_vector_search_spark.sources.attr_stats import (
+        cell_coverage,
+        graph_filter_fallback,
+        selectivity,
+    )
+    from webscale_vector_search_spark.sources.index_io import open_index
+
+    rng = np.random.default_rng(5)
+    ncl, dim, n = 16, 16, 6000
+    centers = rng.normal(0.0, 4.0, (ncl, dim))
+    ids = np.arange(n)
+    cluster = ids % ncl
+    vecs = centers[cluster] + rng.normal(0.0, 0.1, (n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [v.astype("float32").tolist() for v in vecs],
+            "label": (cluster % 4).astype("int32"),  # label lives in 4/16 clusters
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("hnsw_corr") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(index_type="HNSW", num_shards=4, vector_dim=dim),
+        attr_cols=["label"],
+    )
+    h = open_index(spark, out)
+    s = selectivity(h, where="label = 1", spark=spark)
+    f = cell_coverage(h, "label = 1", spark=spark)
+    assert s is not None and s > 1 / 32  # the selectivity rule alone keeps the beam
+    assert f is not None and f < 0.5  # ...but the pseudo-cells see the concentration
+    assert graph_filter_fallback(s, f)
+    # callable form computes the same f (plan parity)
+    assert cell_coverage(h, lambda a: a["label"] == 1) == f
+
+    q_pdf = pdf.iloc[:16][["vec_id", "embedding"]].rename(
+        columns={"vec_id": "query_id", "embedding": "qvec"}
+    )
+    queries = spark.createDataFrame(q_pdf)
+    oracle = knn_pandas(
+        corpus.filter("label = 1").select("vec_id", "embedding"), queries, k=10
+    )
+    got = search_index(spark, h, queries, k=10, where="label = 1")
+    assert _rows(got) == _rows(oracle)
+
+    q = (
+        q_pdf["query_id"].to_numpy().astype("int64"),
+        np.stack(q_pdf["qvec"].to_list()).astype("float64"),
+    )
+    local = serve_local(h, q, k=10, where=lambda a: a["label"] == 1)
+    local_rows = {
+        (int(a), int(b), int(c), round(float(d), 6))
+        for a, b, c, d in zip(
+            local["query_id"], local["rank"], local["neighbor_id"],
+            local["distance"],
+        )
+    }
+    assert local_rows == _rows(got)

@@ -280,16 +280,21 @@ def build_index(
         from webscale_vector_search_spark.sources.attr_stats import (
             write_attr_cell_stats,
             write_attr_stats,
+            write_graph_cell_stats,
         )
 
-        if write_attr_stats(base, attr_cols, out_dir) and config.index_type in (
-            "IVF",
-            "IVFPQ",
-        ):
-            # per-(cell, combo) counts: the cell-discovery planner input
-            # (catches cluster-correlated filters the global table can't
-            # see). One column-pruned scan of the just-written index.
-            write_attr_cell_stats(spark, vectors_dir, attr_cols, out_dir)
+        if write_attr_stats(base, attr_cols, out_dir):
+            # per-(cell, combo) counts: the cell-discovery / concentration
+            # planner input (catches cluster-correlated filters the global
+            # table can't see). IVF/IVFPQ read their own inverted lists
+            # back (one column-pruned scan); graphs have no lists, so a
+            # small stats-only quantizer fits pseudo-cells instead.
+            if config.index_type in ("IVF", "IVFPQ"):
+                write_attr_cell_stats(spark, vectors_dir, attr_cols, out_dir)
+            elif config.index_type == "HNSW":
+                write_graph_cell_stats(
+                    spark, base, attr_cols, out_dir, n_total, seed=config.seed
+                )
 
     meta = index_io.metadata_dict(
         num_shards=config.num_shards,
@@ -779,6 +784,29 @@ def _physical_delete(
                 .groupBy("centroid_id", *acols)
                 .agg((-F.count(F.lit(1))).alias("count")),
             )
+        elif meta.get("index_type") == "HNSW":
+            # pseudo-cell subtraction: assign the removed rows through the
+            # STORED stats quantizer (no refit) — same lower-bound contract
+            from webscale_vector_search_spark.operators.ivf import assign_centroids
+            from webscale_vector_search_spark.sources.attr_stats import (
+                STATS_CENTROIDS_DIRNAME,
+                merge_cell_delta,
+            )
+
+            cents_dir = os.path.join(index_dir, STATS_CENTROIDS_DIRNAME)
+            if os.path.isdir(cents_dir):
+                removed = (
+                    touched.select("vec_id", "embedding")
+                    .join(F.broadcast(ids), "vec_id", "left_semi")
+                    .join(attr_src.select("vec_id", *acols), "vec_id")
+                )
+                merge_cell_delta(
+                    spark,
+                    index_dir,
+                    assign_centroids(removed, spark.read.parquet(cents_dir))
+                    .groupBy("centroid_id", *acols)
+                    .agg((-F.count(F.lit(1))).alias("count")),
+                )
         attrs_rewritten = _rewrite_attrs_without(spark, index_dir, meta, ids)
     # commit: one atomic sidecar write flips vectors (and attrs) together
     old_attrs = index_io.attrs_path(index_dir) if attrs_rewritten else None
@@ -1035,12 +1063,19 @@ def search_index(
             return _exact_filtered_scan(knn)
         if filtered and filter_oversample is None:
             from webscale_vector_search_spark.sources.attr_stats import (
+                cell_coverage,
                 graph_filter_fallback,
             )
 
-            if graph_filter_fallback(_sel()):
-                # the post-filter beam can't produce k survivors at this
-                # selectivity even at the oversample cap — route to the
+            f_cov = (
+                cell_coverage(handle, where, spark=spark)
+                if where is not None
+                else None
+            )
+            if graph_filter_fallback(_sel(), f_cov):
+                # the beam can't produce k survivors (too selective past
+                # the oversample cap, or spatially concentrated so the
+                # neighborhood holds no valid candidates) — route to the
                 # exact filtered scan instead of silently losing recall
                 return _exact_filtered_scan(knn_pandas)
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_stored_search
@@ -1099,10 +1134,16 @@ def search_index(
             # row-carried on legacy artifacts, so the plain filtered exact
             # scan applies directly)
             from webscale_vector_search_spark.sources.attr_stats import (
+                cell_coverage,
                 graph_filter_fallback,
             )
 
-            if graph_filter_fallback(_sel()):
+            f_leg = (
+                cell_coverage(handle, where, spark=spark)
+                if where is not None
+                else None
+            )
+            if graph_filter_fallback(_sel(), f_leg):
                 return knn_pandas(
                     _live(_apply_filter(handle.vectors, where, allowed_ids), tomb),
                     queries,
@@ -1405,20 +1446,33 @@ def compact_index(
         from webscale_vector_search_spark.operators import hnsw_partition as hnsw_ops
 
         hnsw_ops.freeze_graphs(next_dir, meta["num_shards"], spark=spark)
-    if meta.get("attr_cols") and meta.get("index_type") in ("IVF", "IVFPQ"):
+    if meta.get("attr_cols"):
         # FULL compaction is the exact-refresh point for the per-cell
         # planner table (appends leave it a lower bound; targeted
         # compaction delta-subtracts instead — a corpus-wide stats scan
-        # would defeat its cost-proportional-to-deletes contract) — one
-        # column-pruned scan of rows just written, trivially cheap next to
-        # the rewrite itself. Post-commit on purpose: a crash here leaves
-        # the committed index with slightly-stale stats, never stats
-        # describing an uncommitted vectors version.
-        from webscale_vector_search_spark.sources.attr_stats import (
-            write_attr_cell_stats,
-        )
+        # would defeat its cost-proportional-to-deletes contract).
+        # IVF/IVFPQ: one column-pruned scan of rows just written. HNSW:
+        # re-fit + re-assign the stats quantizer over the live rows (the
+        # graph full compaction is already corpus-sized). Post-commit on
+        # purpose: a crash here leaves the committed index with
+        # slightly-stale stats, never stats describing an uncommitted
+        # vectors version.
+        if meta.get("index_type") in ("IVF", "IVFPQ"):
+            from webscale_vector_search_spark.sources.attr_stats import (
+                write_attr_cell_stats,
+            )
 
-        write_attr_cell_stats(spark, next_dir, meta["attr_cols"], index_dir)
+            write_attr_cell_stats(spark, next_dir, meta["attr_cols"], index_dir)
+        elif meta.get("index_type") == "HNSW" and tomb is not None:
+            from webscale_vector_search_spark.sources.attr_stats import (
+                CELL_STATS_DIRNAME,
+                ensure_attr_cell_stats,
+            )
+
+            shutil.rmtree(
+                os.path.join(index_dir, CELL_STATS_DIRNAME), ignore_errors=True
+            )
+            ensure_attr_cell_stats(spark, index_dir)
     files_after = len(glob.glob(os.path.join(next_dir, "**", "*.parquet"), recursive=True))
     return {
         "files_before": files_before,

@@ -773,10 +773,12 @@ def serve_local(
             # exact scan restricted to the valid ids instead (the FLAT
             # pairing, so Spark/serve results stay bit-identical)
             from webscale_vector_search_spark.sources.attr_stats import (
+                cell_coverage,
                 graph_filter_fallback,
             )
 
-            if graph_filter_fallback(_sel()):
+            f_cov = cell_coverage(handle, where) if where is not None else None
+            if graph_filter_fallback(_sel(), f_cov):
                 allowed_fb = allowed_sorted
                 if where is not None:
                     side = _attrs_sidecar(handle)

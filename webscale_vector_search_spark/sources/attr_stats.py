@@ -64,7 +64,16 @@ from pyspark.sql import functions as F
 
 STATS_DIRNAME = "attr_stats"
 CELL_STATS_DIRNAME = "attr_cell_stats"
+STATS_CENTROIDS_DIRNAME = "stats_centroids"
 MAX_COMBOS = 10_000
+# stats-only quantizer for graph indexes (no inverted lists of their own):
+# enough pseudo-cells to resolve spatial concentration, few enough that the
+# fit is a footnote of the build
+STATS_QUANT_CELLS = 256
+# graph beam fallback threshold on cell coverage: measured beam recall for
+# a spatially-concentrated filter ~= f (1M bench: f=0.11 -> recall 0.0998),
+# so any f meaningfully below 1 means the beam loses what the filter keeps
+GRAPH_COVERAGE_MIN = 0.5
 # per-(cell, combo) table bound: past this the table stops being a
 # driver-trivial planner input (the cap is rows, i.e. cells x combos
 # PRESENT, not the cross product)
@@ -114,6 +123,50 @@ def write_attr_cell_stats(
     return True
 
 
+def write_graph_cell_stats(
+    spark: SparkSession,
+    base: DataFrame,
+    attr_cols: list,
+    out_dir: str,
+    n_total: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> bool:
+    """The graph-index analog of write_attr_cell_stats: HNSW has no
+    inverted lists, so a SMALL seeded k-means fits stats-only pseudo-cells
+    (sampled fit, one map-only assign pass) and the per-(pseudo-cell,
+    combo) counts land in the same attr_cell_stats/ table. This is what
+    lets the planner SEE spatial concentration for graphs — the r10 bench
+    measured beam recall ~= f for a concentrated filter, so without this
+    signal a correlated filter silently collapses graph recall. The tiny
+    centroid set persists beside the table (stats_centroids/) so
+    maintenance can assign removed rows to pseudo-cells without refitting."""
+    from webscale_vector_search_spark.operators.ivf import (
+        assign_centroids,
+        train_centroids,
+    )
+
+    cells = max(4, min(STATS_QUANT_CELLS, n_total // 32))
+    frac = min(1.0, 100_000 / max(1, n_total))
+    cents = train_centroids(
+        spark, base, cells, seed=seed, sample_fraction=frac, vec_col=vec_col
+    )
+    counts = (
+        assign_centroids(base.select(vec_col, *attr_cols), cents, vec_col=vec_col)
+        .groupBy("centroid_id", *attr_cols)
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if counts.limit(CELL_STATS_MAX_ROWS + 1).count() > CELL_STATS_MAX_ROWS:
+        return False
+    counts.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, CELL_STATS_DIRNAME)
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, STATS_CENTROIDS_DIRNAME)
+    )
+    return True
+
+
 def ensure_attr_cell_stats(spark: SparkSession, index_dir: str) -> bool:
     """Backfill the per-cell table for an attr_cols IVF/IVFPQ index built
     before it existed (pre-r10 artifact), or refresh it after maintenance.
@@ -121,14 +174,36 @@ def ensure_attr_cell_stats(spark: SparkSession, index_dir: str) -> bool:
     from webscale_vector_search_spark.sources import index_io
 
     meta = index_io.read_metadata(index_dir)
-    if not meta.get("attr_cols") or meta.get("index_type") not in ("IVF", "IVFPQ"):
+    if not meta.get("attr_cols"):
         return False
     path = os.path.join(index_dir, CELL_STATS_DIRNAME)
     if os.path.isdir(path):
         return True
-    return write_attr_cell_stats(
-        spark, index_io.vectors_path(index_dir, meta), meta["attr_cols"], index_dir
-    )
+    if meta.get("index_type") in ("IVF", "IVFPQ"):
+        return write_attr_cell_stats(
+            spark, index_io.vectors_path(index_dir, meta), meta["attr_cols"],
+            index_dir,
+        )
+    if meta.get("index_type") == "HNSW":
+        # graph rows carry embeddings but attrs live in the sidecar — join
+        # them for the stats-quantizer pass (backfill only; new builds
+        # write this at build time from the input frame directly)
+        vecs = spark.read.parquet(index_io.vectors_path(index_dir, meta)).select(
+            "vec_id", "embedding"
+        )
+        attrs_dir = index_io.attrs_path(index_dir, meta)
+        base = (
+            vecs.join(spark.read.parquet(attrs_dir), "vec_id")
+            if os.path.isdir(attrs_dir)
+            else vecs
+        )
+        if not all(c in base.columns for c in meta["attr_cols"]):
+            return False
+        return write_graph_cell_stats(
+            spark, base, meta["attr_cols"], index_dir,
+            meta.get("total_vectors") or base.count(),
+        )
+    return False
 
 
 def merge_cell_delta(spark: SparkSession, index_dir: str, delta: DataFrame) -> None:
@@ -242,10 +317,13 @@ def load_cell_stats_pdf(handle):
 
 
 def cell_coverage(handle, where, spark=None):
-    """Exact fraction of inverted lists containing >= 1 row matching the
-    attr predicate `where` — the f in the planner's D/f cell-discovery
-    term. None when no per-cell table exists or the predicate isn't
-    answerable from it (callers then use the pessimistic budget).
+    """Exact fraction of cells containing >= 1 row matching the attr
+    predicate `where` — the f in the planner's D/f cell-discovery term
+    (inverted lists for IVF/IVFPQ, stats-quantizer pseudo-cells for
+    graphs). The denominator is the number of NON-EMPTY cells in the
+    table itself, so no index-type-specific nlist plumbing is needed.
+    None when no per-cell table exists or the predicate isn't answerable
+    from it (callers then use the pessimistic budget).
 
     Both predicate forms evaluate against the SAME rows (callable via
     numpy, SQL string/Column via Spark on the tiny table), so the Spark
@@ -254,7 +332,7 @@ def cell_coverage(handle, where, spark=None):
     pdf = load_cell_stats_pdf(handle)
     if pdf is None:
         return None
-    nlist = handle.meta.get("nlist") or 0
+    nlist = int(pdf["centroid_id"].nunique())
     if nlist <= 0:
         return None
     try:
@@ -412,12 +490,22 @@ def filtered_oversample(s) -> int:
     return min(OVERSAMPLE_CAP, max(OVERSAMPLE_FLOOR, math.ceil(1.0 / s)))
 
 
-def graph_filter_fallback(s) -> bool:
+def graph_filter_fallback(s, cell_frac=None) -> bool:
     """Should a filtered GRAPH search abandon the beam for the exact
-    filtered scan? The post-filter beam surveys k*oversample candidates
-    and keeps ~s of them; past the oversample cap (s < 1/OVERSAMPLE_CAP)
-    the beam cannot produce k survivors even at its widest — recall would
-    silently collapse. The exact scan is then both correct AND the honest
-    cost (a selective filter leaves few rows to rank). Auto-path only; an
-    explicit filter_oversample is always honored as given."""
-    return s is not None and s * OVERSAMPLE_CAP < 1.0
+    filtered scan? Two independent failure modes:
+
+    - SELECTIVITY: the post-filter beam surveys k*oversample candidates
+      and keeps ~s of them; past the oversample cap (s < 1/OVERSAMPLE_CAP)
+      it cannot produce k survivors even at its widest.
+    - CONCENTRATION: a spatially-concentrated filter (cell coverage f
+      well below 1) puts ZERO valid candidates in most queries'
+      neighborhoods — the beam explores locally, so measured recall ~= f
+      (1M bench: f=0.11 -> beam recall 0.0998 at s=0.1, where the
+      selectivity rule alone would keep the beam).
+
+    The exact scan is then both correct AND the honest cost (the filter
+    leaves few rows, or rows the graph can't reach, to rank). Auto-path
+    only; an explicit filter_oversample is always honored as given."""
+    if s is not None and s * OVERSAMPLE_CAP < 1.0:
+        return True
+    return cell_frac is not None and cell_frac < GRAPH_COVERAGE_MIN
