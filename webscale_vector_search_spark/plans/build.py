@@ -726,8 +726,17 @@ def _physical_delete(
     # partition whose every row was removed simply writes nothing (the old
     # protocol needed an explicit rmtree for exactly this case)
     kept.write.mode("overwrite").partitionBy(part_col).parquet(next_dir)
+    # compare partition-dir values as RAW STRINGS, never int(): a null
+    # shard/centroid id writes __HIVE_DEFAULT_PARTITION__, which int()
+    # would crash on in `surviving` — and an isdigit() guard on the
+    # carry-forward would hardlink the affected non-numeric partition
+    # forward NEXT TO its rewrite, resurrecting the deleted rows
+    def _dir_str(v) -> str:
+        return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+
+    affected_strs = {_dir_str(v) for v in affected}
     surviving = {
-        int(os.path.basename(d).split("=", 1)[1])
+        d.split("=", 1)[1]
         for d in os.listdir(next_dir)
         if d.startswith(f"{part_col}=")
     } if os.path.isdir(next_dir) else set()
@@ -735,8 +744,7 @@ def _physical_delete(
     for entry in os.listdir(vectors_dir):
         if not entry.startswith(f"{part_col}="):
             continue
-        val = entry.split("=", 1)[1]
-        if val.isdigit() and int(val) in affected:
+        if entry.split("=", 1)[1] in affected_strs:
             continue
         _link_forward_partition(
             os.path.join(vectors_dir, entry), os.path.join(next_dir, entry)
@@ -746,7 +754,9 @@ def _physical_delete(
 
         hnsw_ops.freeze_graphs(
             next_dir, meta["num_shards"], spark=spark,
-            shards=sorted(affected & surviving),
+            shards=sorted(
+                v for v in affected if v is not None and _dir_str(v) in surviving
+            ),
         )
     attrs_rewritten = False
     if meta.get("attr_cols"):
@@ -995,6 +1005,24 @@ def search_index(
 
     _sel_cache: list = []  # computed at most once per call
 
+    def _n_allowed():
+        """Distinct allowlist size — ONE Spark job shared by _sel() and the
+        plan_nprobe branch (they used to run it independently: two full
+        jobs of hot-path planner cost per filtered batch), and cached per
+        allowlist DataFrame object on the handle so a serving loop that
+        re-passes the same allowlist pays it once, not per batch."""
+        if allowed_ids is None:
+            return None
+        cache = handle.__dict__.setdefault("_allowed_count_cache", {})
+        hit = cache.get(allowed_ids)
+        if hit is None:
+            if len(cache) > 16:  # bound the keep-alive to recent allowlists
+                cache.clear()
+            hit = cache[allowed_ids] = (
+                allowed_ids.select("vec_id").distinct().count()
+            )
+        return hit
+
     def _sel():
         """Estimated filter selectivity (None = unknown) — feeds the
         auto-scaled nprobe / filter_oversample; both paths (this and
@@ -1002,14 +1030,9 @@ def search_index(
         if not _sel_cache:
             from webscale_vector_search_spark.sources import attr_stats
 
-            n_allowed = (
-                allowed_ids.select("vec_id").distinct().count()
-                if allowed_ids is not None
-                else None
-            )
             _sel_cache.append(
                 attr_stats.selectivity(
-                    handle, where=where, allowed_count=n_allowed, spark=spark
+                    handle, where=where, allowed_count=_n_allowed(), spark=spark
                 )
             )
         return _sel_cache[0]
@@ -1114,13 +1137,8 @@ def search_index(
             # 2.5-16x measured overshoot
             from webscale_vector_search_spark.sources.attr_stats import plan_nprobe
 
-            n_allowed = (
-                allowed_ids.select("vec_id").distinct().count()
-                if allowed_ids is not None
-                else None
-            )
             nprobe = plan_nprobe(
-                handle, nprobe, k, where=where, allowed_count=n_allowed,
+                handle, nprobe, k, where=where, allowed_count=_n_allowed(),
                 spark=spark,
             )
 

@@ -206,6 +206,28 @@ def ensure_attr_cell_stats(spark: SparkSession, index_dir: str) -> bool:
     return False
 
 
+def _swap_stats_dir(path: str, merged: DataFrame, cap: int) -> None:
+    """Commit a merged stats table over `path`: re-enforce the write-time
+    row cap (an append carrying new combos can push a once-trivial table
+    past it — past the cap the table is dropped and search degrades to the
+    fixed defaults, exactly like the write-time gate), then swap via
+    rename-aside + rename-in. The loss window is two renames (old table
+    parked at `.old`), not the old rmtree-then-rename gap; a crash inside
+    it loses only the stats table — search degrades, never answers wrong —
+    and the next compaction recomputes it."""
+    import shutil
+
+    tmp, old = path + ".rewrite", path + ".old"
+    if merged.limit(cap + 1).count() > cap:
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def merge_cell_delta(spark: SparkSession, index_dir: str, delta: DataFrame) -> None:
     """Fold a (centroid_id, attr_cols..., count) delta into the per-cell
     table — subtract-only in practice (physical removal sites know the
@@ -213,8 +235,6 @@ def merge_cell_delta(spark: SparkSession, index_dir: str, delta: DataFrame) -> N
     leave the table a LOWER bound instead, see the build.py append note:
     understating f only RAISES the D/f budget — errors are conservative).
     compact_index recomputes the table exactly."""
-    import shutil
-
     path = os.path.join(index_dir, CELL_STATS_DIRNAME)
     if not os.path.isdir(path):
         return
@@ -226,20 +246,13 @@ def merge_cell_delta(spark: SparkSession, index_dir: str, delta: DataFrame) -> N
         .agg(F.sum("count").alias("count"))
         .filter(F.col("count") > 0)
     )
-    tmp = path + ".rewrite"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    _swap_stats_dir(path, merged, CELL_STATS_MAX_ROWS)
 
 
 def merge_attr_delta(spark: SparkSession, index_dir: str, delta: DataFrame) -> None:
     """Fold a (attr_cols..., count) delta — counts may be negative for
     removals — into the stats table. Driver-cheap: the table is ≤
-    MAX_COMBOS rows. The rewrite goes through a temp dir + rename; a crash
-    in the window just loses the stats table, and search degrades to the
-    fixed defaults (never a wrong answer)."""
-    import shutil
-
+    MAX_COMBOS rows (re-checked at the swap)."""
     path = os.path.join(index_dir, STATS_DIRNAME)
     if not os.path.isdir(path):
         return
@@ -251,10 +264,7 @@ def merge_attr_delta(spark: SparkSession, index_dir: str, delta: DataFrame) -> N
         .agg(F.sum("count").alias("count"))
         .filter(F.col("count") > 0)
     )
-    tmp = path + ".rewrite"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    _swap_stats_dir(path, merged, MAX_COMBOS)
 
 
 def ensure_attr_stats(spark: SparkSession, index_dir: str) -> bool:
@@ -336,20 +346,23 @@ def cell_coverage(handle, where, spark=None):
     if nlist <= 0:
         return None
     try:
-        if callable(where):
-            import numpy as np
+        # cached per predicate per handle for BOTH forms: a serving loop
+        # repeats one predicate, and the numpy eval over an up-to-1M-row
+        # cell table (or the Spark job for SQL strings) is per-plan money
+        cache = handle.__dict__.setdefault("_cell_coverage_cache", {})
+        key = where if callable(where) else str(where)
+        if key not in cache:
+            if callable(where):
+                import numpy as np
 
-            attrs = {
-                c: pdf[c].to_numpy()
-                for c in pdf.columns
-                if c not in ("count", "centroid_id")
-            }
-            mask = np.asarray(where(attrs), dtype=bool)
-            cells = len(np.unique(pdf["centroid_id"].to_numpy()[mask]))
-        else:
-            cache = handle.__dict__.setdefault("_cell_coverage_cache", {})
-            key = str(where)
-            if key not in cache:
+                attrs = {
+                    c: pdf[c].to_numpy()
+                    for c in pdf.columns
+                    if c not in ("count", "centroid_id")
+                }
+                mask = np.asarray(where(attrs), dtype=bool)
+                cache[key] = len(np.unique(pdf["centroid_id"].to_numpy()[mask]))
+            else:
                 sdf = spark.createDataFrame(pdf)
                 cache[key] = int(
                     sdf.filter(where)
@@ -357,7 +370,7 @@ def cell_coverage(handle, where, spark=None):
                     .first()[0]
                     or 0
                 )
-            cells = cache[key]
+        cells = cache[key]
     except Exception:
         return None
     if cells <= 0:
@@ -386,23 +399,23 @@ def selectivity(handle, where=None, allowed_count=None, spark=None):
         if total <= 0:
             return None
         try:
-            if callable(where):
-                attrs = {
-                    c: pdf[c].to_numpy() for c in pdf.columns if c != "count"
-                }
-                import numpy as np
+            cache = handle.__dict__.setdefault("_selectivity_cache", {})
+            key = where if callable(where) else str(where)
+            if key not in cache:
+                if callable(where):
+                    attrs = {
+                        c: pdf[c].to_numpy() for c in pdf.columns if c != "count"
+                    }
+                    import numpy as np
 
-                mask = np.asarray(where(attrs), dtype=bool)
-                matched = int(pdf["count"].to_numpy()[mask].sum())
-            else:
-                cache = handle.__dict__.setdefault("_selectivity_cache", {})
-                key = str(where)
-                if key not in cache:
+                    mask = np.asarray(where(attrs), dtype=bool)
+                    cache[key] = int(pdf["count"].to_numpy()[mask].sum())
+                else:
                     sdf = spark.createDataFrame(pdf)
                     cache[key] = int(
                         sdf.filter(where).agg(F.sum("count")).first()[0] or 0
                     )
-                matched = cache[key]
+            matched = cache[key]
         except Exception:
             # predicate references non-attr columns / shape mismatch:
             # unknown, not an error — search keeps its fixed defaults
