@@ -687,7 +687,7 @@ def _ann_filtered_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         lambda: search_index(spark, m_handle, queries, k=k, nprobe=nprobe)
     )
     t0 = time.perf_counter()
-    compact_report = compact_index(spark, maint_dir)
+    compact_report = compact_index(spark, maint_dir, reprofile=False)
     compact_sec = round(time.perf_counter() - t0, 1)
     c_handle = open_index(spark, maint_dir)
     post_sec, _ = timed(
@@ -1307,7 +1307,7 @@ def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
         lambda: search_index(spark, m_handle, queries, k=k, nprobe=nprobe)
     )
     t0 = time.perf_counter()
-    compact_report = compact_index(spark, maint_dir)
+    compact_report = compact_index(spark, maint_dir, reprofile=False)
     compact_sec = round(time.perf_counter() - t0, 1)
     c_handle = open_index(spark, maint_dir)
     post_sec, _ = timed(
@@ -1328,7 +1328,7 @@ def _ann_10m_maint(spark, cache_dir: str) -> tuple[dict, dict]:
     n_dead_c = dead_c.count()
     delete_vectors(spark, maint_dir, dead_c)
     t0 = time.perf_counter()
-    targeted_report = compact_index(spark, maint_dir)
+    targeted_report = compact_index(spark, maint_dir, reprofile=False)
     targeted_sec = round(time.perf_counter() - t0, 1)
     t_handle = open_index(spark, maint_dir)
     post_targeted_sec, _ = timed(
@@ -1561,7 +1561,7 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
         lambda: search_index(spark, m_handle, queries, k=k, nprobe=16), runs=2
     )
     t0 = time.perf_counter()
-    targeted_report = compact_index(spark, maint_dir)
+    targeted_report = compact_index(spark, maint_dir, reprofile=False)
     targeted_sec = round(time.perf_counter() - t0, 1)
     t_handle = open_index(spark, maint_dir)
     post_sec, post_res = timed(

@@ -237,3 +237,92 @@ def test_hnsw_recall_target_parity(spark, hnsw_dir, queries):
             local["distance"],
         )
     }
+
+
+def test_replay_plans_correlated_deeper(spark, tmp_path_factory):
+    """The pair-weighted profile replay separates a cluster-CORRELATED
+    predicate (matches confined to few cells, far from most queries) from
+    a DISPERSED one of similar selectivity (matches in every cell): the
+    correlated plan probes deeper, and both auto searches stay exact on
+    this small corpus."""
+    import pandas as pd
+
+    from webscale_vector_search_spark.config import default_nprobe
+
+    rng = np.random.default_rng(3)
+    ncl, dim, n = 64, 16, 12800
+    centers = rng.normal(0.0, 4.0, (ncl, dim))
+    ids = np.arange(n)
+    cluster = ids % ncl
+    V = (centers[cluster] + rng.normal(0.0, 0.5, (n, dim))).astype("float32")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": ids.astype("int64"),
+            "embedding": [v.tolist() for v in V],
+            # correlated: whole clusters share a label (f = 8/64)
+            "label": (cluster % 8).astype("int32"),
+            # dispersed: every cluster holds every value (f = 1) — id//64
+            # cycles within each cluster (cluster = id % 64)
+            "label2": ((ids // 64) % 8).astype("int32"),
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("rt_replay") / "idx")
+    h = build_index(
+        spark, corpus, out,
+        EngineConfig(index_type="IVF", vector_dim=dim, nlist=ncl),
+        attr_cols=["label", "label2"],
+    )
+    qrows = corpus.orderBy("vec_id").limit(8).collect()
+    Q = np.stack([r["embedding"] for r in qrows]).astype(np.float64)
+    base = default_nprobe(ncl, "IVF")
+    p_corr = plan_nprobe(h, base, 10, where="label = 1", spark=spark, Q=Q)
+    p_disp = plan_nprobe(h, base, 10, where="label2 = 1", spark=spark, Q=Q)
+    assert p_corr > p_disp
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    )
+    for where in ("label = 1", "label2 = 1"):
+        oracle = knn_pandas(
+            corpus.filter(where).select("vec_id", "embedding"), queries, k=10
+        )
+        got = search_index(spark, h, queries, k=10, where=where)
+        assert recall_at_k(got, oracle, k=10) == 1.0
+
+
+def test_full_compaction_reprofiles(spark, corpus, tmp_path_factory):
+    """FULL compaction re-measures the recall profile over the compacted
+    rows (the documented re-profile point); reprofile=False and targeted
+    compaction leave it untouched."""
+    import glob
+
+    from webscale_vector_search_spark.plans.build import (
+        compact_index,
+        delete_vectors,
+    )
+
+    out = str(tmp_path_factory.mktemp("rt_comp") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(index_type="IVF", vector_dim=DIM, nlist=8),
+        attr_cols=["label"],
+    )
+
+    def curve_files():
+        return sorted(
+            glob.glob(os.path.join(out, CURVE_DIRNAME, "*.parquet"))
+        ), max(
+            os.path.getmtime(f)
+            for f in glob.glob(os.path.join(out, CURVE_DIRNAME, "*.parquet"))
+        )
+
+    _, t0 = curve_files()
+    delete_vectors(spark, out, corpus.limit(5).select("vec_id"))
+    compact_index(spark, out, mode="full", reprofile=False)
+    _, t1 = curve_files()
+    assert t1 == t0  # opted out: untouched
+    delete_vectors(spark, out, corpus.limit(10).select("vec_id"))
+    compact_index(spark, out, mode="full")
+    _, t2 = curve_files()
+    assert t2 > t0  # re-profiled over the compacted rows

@@ -1336,6 +1336,7 @@ def compact_index(
     index_dir: str,
     target_file_mb: int = 256,
     mode: str = "auto",
+    reprofile: bool = True,
 ) -> dict:
     """Rewrite index partitions to target-sized files and materialize
     pending deletes.
@@ -1572,6 +1573,24 @@ def compact_index(
                 os.path.join(index_dir, CELL_STATS_DIRNAME), ignore_errors=True
             )
             ensure_attr_cell_stats(spark, index_dir)
+    from webscale_vector_search_spark.sources.recall_curve import (
+        CURVE_DIRNAME,
+        measure_recall_curve,
+    )
+
+    if reprofile and os.path.isdir(os.path.join(index_dir, CURVE_DIRNAME)):
+        # FULL compaction is also the re-profile point for the measured
+        # recall curve (same post-commit stance as the stats tables above;
+        # targeted compaction deliberately skips this — one exact pass
+        # would defeat its cost contract, and the profile drift between
+        # compactions is bounded by the same argument as the stats').
+        # reprofile=False opts out for callers who compact often and
+        # re-profile on their own schedule — the pass is one exact scan,
+        # comparable to the rewrite itself.
+        try:
+            measure_recall_curve(spark, index_io.open_index(spark, index_dir))
+        except Exception:
+            pass  # stale-but-present profile beats a failed compaction
     files_after = len(glob.glob(os.path.join(next_dir, "**", "*.parquet"), recursive=True))
     return {
         "files_before": files_before,
