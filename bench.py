@@ -140,14 +140,22 @@ def _timed(fn, warmups: int = 1, runs: int = 3):
 
 
 def _idx_cache_dir(cache_dir: str, itype: str, cfg, n: int) -> str:
-    """Cache dir for one built index, keyed by a hash of the FULL build
-    config: the build-exists check can't see config changes inside a written
-    artifact, so ANY EngineConfig field change must change the directory
-    name (the round-4 staleness trap: bumping pq_m without bumping the
-    manual dir tag silently reused the old index)."""
-    import hashlib
+    """Cache dir for one built index, keyed by a hash of the build config:
+    the build-exists check can't see config changes inside a written
+    artifact, so ANY artifact-affecting EngineConfig field change must
+    change the directory name (the round-4 staleness trap: bumping pq_m
+    without bumping the manual dir tag silently reused the old index).
 
-    digest = hashlib.md5(repr(cfg).encode()).hexdigest()[:10]
+    SIDECAR-ONLY knobs are stripped from the hashed repr: they don't change
+    the stored vectors/graphs (ensure_* backfills their sidecars), and
+    including them invalidates every multi-hour cached build when a new
+    profiling knob lands (r11: the recall_curve fields forced a full 10M
+    rebuild sweep before this strip)."""
+    import hashlib
+    import re
+
+    text = re.sub(r", recall_curve\w*=[^,)]+", "", repr(cfg))
+    digest = hashlib.md5(text.encode()).hexdigest()[:10]
     return os.path.join(cache_dir, f"idx_{itype.lower()}_{digest}_n{n}")
 
 
