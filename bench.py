@@ -1839,7 +1839,10 @@ def main() -> None:
             prev = json.load(f)
     except (OSError, ValueError):
         prev = {}
-    for key in ("ann_1m", "ann_10m", "ann_10m_maint", "ann_100m", "ann_highdim"):
+    for key in (
+        "ann_1m", "ann_filtered", "ann_10m", "ann_10m_maint", "ann_100m",
+        "ann_highdim",
+    ):
         cur = detail.get(key)
         absent = cur is None or (
             isinstance(cur, dict) and ("error" in cur or "skipped" in cur)

@@ -306,17 +306,24 @@ def _arr_key(a: "np.ndarray | None"):
     return None if a is None else (len(a), hash(a.tobytes()))
 
 
-def _flat_subset(handle, data, mask, where, allowed_sorted, tomb_sorted):
+def _flat_subset(handle, data, where, allowed_sorted, tomb_sorted):
     """Masked (ids, V64, vsq) for filtered FLAT serving, cached single-slot
-    per filter key: a serving loop repeats one predicate, and re-gathering
-    the s*n surviving rows of the widened block per call is a multi-ms
-    copy. Single-slot bounds the residency to one filtered working set."""
+    per filter key — checked BEFORE the mask is evaluated: a serving loop
+    repeats one predicate, and both the corpus-length membership test
+    (searchsorted over n rows, ~10-20 ms at 1M) and the s*n-row gather are
+    per-call money otherwise. None when the filter keeps every row (the
+    unfiltered fast path). Single-slot bounds the residency to one
+    filtered working set."""
     key = (where, _arr_key(allowed_sorted), _arr_key(tomb_sorted))
     hit = handle.__dict__.get("_flat_sub")
     if hit is not None and hit[0] == key:
         return hit[1]
-    rows = np.flatnonzero(mask)
-    sub = (data["ids"][rows], data["V64"][rows], data["vsq"][rows])
+    mask = _entry_mask(data, where, allowed_sorted, tomb_sorted)
+    if mask is None:
+        sub = None
+    else:
+        rows = np.flatnonzero(mask)
+        sub = (data["ids"][rows], data["V64"][rows], data["vsq"][rows])
     handle._flat_sub = (key, sub)
     return sub
 
@@ -471,11 +478,10 @@ def _flat_parts(handle, q_ids, Q, k, chunk_rows: int = 131072,
 
     data = _flat_v64(handle)
     ids, V64, vsq = data["ids"], data["V64"], data["vsq"]
-    mask = _entry_mask(data, where, allowed_sorted, tomb_sorted)
-    if mask is not None:
-        ids, V64, vsq = _flat_subset(
-            handle, data, mask, where, allowed_sorted, tomb_sorted
-        )
+    if where is not None or allowed_sorted is not None or tomb_sorted is not None:
+        sub = _flat_subset(handle, data, where, allowed_sorted, tomb_sorted)
+        if sub is not None:
+            ids, V64, vsq = sub
     q_sq = (Q * Q).sum(1)
     parts = []
     for s in range(0, len(ids), chunk_rows):

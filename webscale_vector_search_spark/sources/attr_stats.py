@@ -834,7 +834,13 @@ def plan_nprobe(handle, base: int, k: int, where=None, allowed_count=None,
                     s_allow = min(1.0, allowed_count / total)
                     if 0 < s_allow < 1:
                         terms.append(math.ceil(base / s_allow))
-            if recall_target is None:
+            if recall_target is None and p_x is None:
+                # without the pair-weighted replay the walk is only a
+                # discovery floor — keep the unfiltered default under it;
+                # WITH the replay both terms are measured against this
+                # filter, and flooring at the default was the last fixed
+                # constant standing between the auto budget and the
+                # hand-tuned need (measured 2.2x at the 10M tier)
                 terms.append(base)
             return min(nlist, max(terms))
     cell_frac = (

@@ -574,8 +574,13 @@ def profile_replay_nprobe(handle, target: float, k: int, mcells) -> "int | None"
     order = np.argsort(pool_r, kind="stable")
     r = np.asarray(pool_r)[order]
     cw = np.cumsum(np.asarray(pool_w, dtype=np.float64)[order])
-    t = 1.0 - (1.0 - target) / 2.0
-    idx = int(np.searchsorted(cw, t * cw[-1]))
+    # raw target quantile: unlike the containment read (nprobe_from_curve's
+    # filtered branch) the replay makes no in-expectation approximation to
+    # compensate for — its slack is already conservative (per-query w mass
+    # placed at worst-case member-rank cells; min-composition of combined
+    # filters), and the stricter read measured 2.2x the hand-tuned need at
+    # the 10M tier where the raw read sits inside the band
+    idx = int(np.searchsorted(cw, target * cw[-1]))
     return int(r[min(idx, len(r) - 1)])
 
 
