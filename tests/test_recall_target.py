@@ -326,3 +326,94 @@ def test_full_compaction_reprofiles(spark, corpus, tmp_path_factory):
     compact_index(spark, out, mode="full")
     _, t2 = curve_files()
     assert t2 > t0  # re-profiled over the compacted rows
+
+
+def test_profile_meta_roundtrip_and_knob_mismatch(spark, corpus, tmp_path_factory):
+    """The profiling knobs are recorded beside the curve; ensure_recall_curve
+    no-ops only when the stored profile matches the requested knobs, and
+    re-profiles (instead of silently reusing a stale sidecar) otherwise."""
+    import glob
+
+    from webscale_vector_search_spark.sources.recall_curve import (
+        load_profile_meta,
+    )
+
+    out = str(tmp_path_factory.mktemp("rt_meta") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(
+            index_type="IVF", vector_dim=DIM, nlist=8,
+            recall_curve_queries=16, recall_curve_kmax=200,
+        ),
+        attr_cols=["label"],
+    )
+    meta = load_profile_meta(out)
+    assert meta is not None and meta["nq"] == 16 and meta["kmax"] == 200
+
+    def mtime():
+        return max(
+            os.path.getmtime(f)
+            for f in glob.glob(os.path.join(out, CURVE_DIRNAME, "*.parquet"))
+        )
+
+    t0 = mtime()
+    # matching knobs (and the no-kwargs form): no re-profile
+    assert ensure_recall_curve(spark, out)
+    assert ensure_recall_curve(spark, out, nq=16, kmax=200)
+    assert mtime() == t0
+    # a deeper kmax than the stored profile: must re-measure, not reuse
+    assert ensure_recall_curve(spark, out, nq=16, kmax=400)
+    assert mtime() > t0
+    assert load_profile_meta(out)["kmax"] == 400
+
+
+def test_compaction_reprofile_keeps_knobs(spark, corpus, tmp_path_factory):
+    """FULL compaction's re-profile reproduces the build-time profiling
+    configuration instead of reverting to the module defaults."""
+    from webscale_vector_search_spark.plans.build import (
+        compact_index,
+        delete_vectors,
+    )
+    from webscale_vector_search_spark.sources.recall_curve import (
+        load_profile_meta,
+    )
+
+    out = str(tmp_path_factory.mktemp("rt_keep") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(
+            index_type="IVF", vector_dim=DIM, nlist=8,
+            recall_curve_queries=16, recall_curve_kmax=200,
+        ),
+        attr_cols=["label"],
+    )
+    delete_vectors(spark, out, corpus.limit(5).select("vec_id"))
+    compact_index(spark, out, mode="full")
+    meta = load_profile_meta(out)
+    assert meta is not None and meta["nq"] == 16 and meta["kmax"] == 200
+
+
+def test_filtered_recall_target_no_curve_keeps_base_floor(
+    spark, corpus, tmp_path_factory
+):
+    """An explicit recall_target on an index with attr stats but NO measured
+    curve must never probe LESS than the no-target plan: the adaptive walk
+    alone is a discovery floor, not a measured guarantee."""
+    out = str(tmp_path_factory.mktemp("rt_floor") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(
+            index_type="IVF", vector_dim=DIM, nlist=NLIST, recall_curve=False
+        ),
+        attr_cols=["label"],
+    )
+    h = open_index(spark, out)
+    rows = corpus.orderBy("vec_id").limit(8).collect()
+    Q = np.stack([np.asarray(r["embedding"]) for r in rows]).astype("float64")
+    base = 16
+    with_target = plan_nprobe(
+        h, base, 10, where="label = 2", spark=spark, recall_target=0.99, Q=Q
+    )
+    without = plan_nprobe(h, base, 10, where="label = 2", spark=spark, Q=Q)
+    assert with_target >= base
+    assert with_target >= without

@@ -488,3 +488,24 @@ def test_stats_merge_reenforces_caps(spark, corpus, tmp_path_factory,
     # degraded, not broken: selectivity unknown -> fixed defaults
     h = open_index(spark, out)
     assert selectivity(h, where="label = 3", spark=spark) is None
+
+
+def test_plan_caches_bounded(spark, ivf_dir):
+    """Per-handle plan caches are FIFO-bounded: a serving loop that builds
+    a fresh predicate callable per request stays O(cap) driver memory."""
+    from webscale_vector_search_spark.sources.attr_stats import (
+        PLAN_CACHE_CAP,
+        matched_per_cell,
+    )
+
+    h = open_index(spark, ivf_dir)
+    for i in range(PLAN_CACHE_CAP + 20):
+        lab = i % 4
+        fn = (lambda v: (lambda a: a["label"] == v))(lab)
+        assert selectivity(h, where=fn) is not None
+        assert matched_per_cell(h, where=fn) is not None
+    assert len(h._selectivity_cache) <= PLAN_CACHE_CAP
+    assert len(h._mpc_cache) <= PLAN_CACHE_CAP
+    # eviction must not change answers: re-ask with a fresh object
+    s = selectivity(h, where=lambda a: a["label"] == 1)
+    assert s == pytest.approx(0.1, abs=0.02)

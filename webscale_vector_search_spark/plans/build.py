@@ -1208,14 +1208,21 @@ def search_index(
             plan_q = None
             if filtered:
                 # the query-adaptive budget walks the ACTUAL batch against
-                # the cell layout — one tiny collect (the queries are
-                # collected again by the probe selector anyway; both reads
-                # are the post-normalization values, so the serve path's
-                # plan matches bit-for-bit)
+                # the cell layout — a BOUNDED collect (the pandas kernel
+                # collects queries again in the probe selector; the sql
+                # kernel exists precisely for query batches too large to
+                # drive from the driver, so the plan walks a capped sample
+                # of them: the adaptive budget is a max over queries, and a
+                # 4096-query sample's max is the batch's max in any
+                # realistic batch — serve-sized batches fit under the cap,
+                # keeping the serve-path plan bit-identical)
                 import numpy as np
 
                 plan_q = np.stack(
-                    [r["qvec"] for r in queries.select("qvec").collect()]
+                    [
+                        r["qvec"]
+                        for r in queries.select("qvec").limit(4096).collect()
+                    ]
                 ).astype("float64")
             nprobe = plan_nprobe(
                 handle, nprobe, k, where=where, allowed_count=n_allowed,
@@ -1586,9 +1593,18 @@ def compact_index(
         # compactions is bounded by the same argument as the stats').
         # reprofile=False opts out for callers who compact often and
         # re-profile on their own schedule — the pass is one exact scan,
-        # comparable to the rewrite itself.
+        # comparable to the rewrite itself. The stored profiling knobs are
+        # reused so the re-profile reproduces the build-time configuration
+        # (a kmax=5000 profile must not silently shrink to the default).
         try:
-            measure_recall_curve(spark, index_io.open_index(spark, index_dir))
+            from webscale_vector_search_spark.sources.recall_curve import (
+                load_profile_meta,
+            )
+
+            knobs = load_profile_meta(index_dir) or {}
+            measure_recall_curve(
+                spark, index_io.open_index(spark, index_dir), **knobs
+            )
         except Exception:
             pass  # stale-but-present profile beats a failed compaction
     files_after = len(glob.glob(os.path.join(next_dir, "**", "*.parquet"), recursive=True))

@@ -429,7 +429,10 @@ def _graph_fallback_allowed(handle, where, allowed_sorted) -> np.ndarray:
     repeats one predicate object, so the mask is computed once and reused
     until a mutation reopens the handle (maybe_refresh clears handle state
     on append/upsert/compaction — the attrs sidecar can't change without
-    one; pending tombstones never enter this set, they mask separately)."""
+    one; pending tombstones never enter this set, they mask separately).
+    FIFO-bounded: each entry pins a matching-ids array (MBs at 1M rows),
+    and a caller that builds a fresh lambda per request must not grow
+    driver RSS without bound."""
     cache = handle.__dict__.setdefault("_graph_fb_allowed", {})
     key = (where, _arr_key(allowed_sorted))
     hit = cache.get(key)
@@ -441,6 +444,8 @@ def _graph_fallback_allowed(handle, where, allowed_sorted) -> np.ndarray:
             )
         attrs = {n[2:]: col for n, col in side.items() if n.startswith("a:")}
         ids_w = side["ids"][np.asarray(where(attrs), dtype=bool)]
+        if len(cache) >= 8:
+            cache.pop(next(iter(cache)))
         hit = cache[key] = (
             ids_w if allowed_sorted is None else np.intersect1d(ids_w, allowed_sorted)
         )

@@ -98,6 +98,20 @@ OVERSAMPLE_FLOOR, OVERSAMPLE_CAP = 4, 32
 # being plan-time-trivial and the planner keeps the pessimistic budget
 # (such lists are also past any sane broadcast size for the scan itself)
 ALLOW_COVERAGE_MAX_IDS = 1_000_000
+# per-handle plan caches are keyed by predicate object / allowlist
+# fingerprint; a serving loop that builds a fresh lambda per request would
+# otherwise grow them without bound (each allowlist entry can pin MBs)
+PLAN_CACHE_CAP = 32
+
+
+def _cache_put(cache: dict, key, val, cap: int = PLAN_CACHE_CAP):
+    """FIFO-bounded insert for the per-handle plan caches (same discipline
+    as search_index's _allowed_count_cache): evict the oldest entry once
+    `cap` distinct keys are resident — a loop over distinct predicates
+    stays O(cap) memory instead of O(requests)."""
+    if key not in cache and len(cache) >= cap:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
 
 
 def write_attr_stats(base: DataFrame, attr_cols: list, out_dir: str) -> bool:
@@ -398,14 +412,20 @@ def cell_coverage(handle, where, spark=None):
                     if c not in ("count", "centroid_id")
                 }
                 mask = np.asarray(where(attrs), dtype=bool)
-                cache[key] = len(np.unique(pdf["centroid_id"].to_numpy()[mask]))
+                _cache_put(
+                    cache, key, len(np.unique(pdf["centroid_id"].to_numpy()[mask]))
+                )
             else:
                 sdf = spark.createDataFrame(pdf)
-                cache[key] = int(
-                    sdf.filter(where)
-                    .agg(F.countDistinct("centroid_id"))
-                    .first()[0]
-                    or 0
+                _cache_put(
+                    cache,
+                    key,
+                    int(
+                        sdf.filter(where)
+                        .agg(F.countDistinct("centroid_id"))
+                        .first()[0]
+                        or 0
+                    ),
                 )
         cells = cache[key]
     except Exception:
@@ -419,10 +439,7 @@ def allowlist_cells(handle, allowed_arr) -> "dict | None":
     """Exact per-cell counts of an id-allowlist ({centroid_id: n_allowed}),
     from the same bounded is-in lookup as allowlist_cell_coverage (shared
     cache). None past ALLOW_COVERAGE_MAX_IDS / no cell layout / failure."""
-    _allowlist_lookup(handle, allowed_arr)
-    cache = handle.__dict__.get("_allow_cov_cache", {})
-    hit = cache.get(_allow_key(allowed_arr))
-    return hit[1] if hit is not None else None
+    return _allowlist_lookup(handle, allowed_arr)[1]
 
 
 def _allow_key(allowed_arr):
@@ -490,8 +507,8 @@ def _allowlist_lookup(handle, allowed_arr):
                         f = len(cells_d) / nonempty
     except Exception:
         f = cells_d = None
-    cache[key] = (f, cells_d)
-    return cache[key]
+    _cache_put(cache, key, (f, cells_d))
+    return (f, cells_d)
 
 
 def allowlist_cell_coverage(handle, allowed_arr) -> "float | None":
@@ -554,7 +571,7 @@ def _tombstone_matched(handle, where, spark=None) -> "tuple | None":
                 out = (int(sdf.filter(where).count()), t_live)
     except Exception:
         out = None
-    cache[key] = out
+    _cache_put(cache, key, out)
     return out
 
 
@@ -589,11 +606,13 @@ def selectivity(handle, where=None, allowed_count=None, spark=None):
                     import numpy as np
 
                     mask = np.asarray(where(attrs), dtype=bool)
-                    cache[key] = int(pdf["count"].to_numpy()[mask].sum())
+                    _cache_put(cache, key, int(pdf["count"].to_numpy()[mask].sum()))
                 else:
                     sdf = spark.createDataFrame(pdf)
-                    cache[key] = int(
-                        sdf.filter(where).agg(F.sum("count")).first()[0] or 0
+                    _cache_put(
+                        cache,
+                        key,
+                        int(sdf.filter(where).agg(F.sum("count")).first()[0] or 0),
                     )
             matched = cache[key]
         except Exception:
@@ -684,7 +703,7 @@ def matched_per_cell(handle, where=None, allowed_arr=None, spark=None) -> "dict 
                     }
                     mask = np.asarray(where(attrs), dtype=bool)
                     sub = pdf.loc[mask].groupby("centroid_id")["count"].sum()
-                    cache[key] = {int(c): int(v) for c, v in sub.items()}
+                    _cache_put(cache, key, {int(c): int(v) for c, v in sub.items()})
                 else:
                     rows = (
                         spark.createDataFrame(pdf)
@@ -693,9 +712,11 @@ def matched_per_cell(handle, where=None, allowed_arr=None, spark=None) -> "dict 
                         .agg(F.sum("count").alias("m"))
                         .collect()
                     )
-                    cache[key] = {int(r["centroid_id"]): int(r["m"]) for r in rows}
+                    _cache_put(
+                        cache, key, {int(r["centroid_id"]): int(r["m"]) for r in rows}
+                    )
             except Exception:
-                cache[key] = None
+                _cache_put(cache, key, None)
         d_where = cache[key]
         if d_where is None:
             return None
@@ -834,13 +855,16 @@ def plan_nprobe(handle, base: int, k: int, where=None, allowed_count=None,
                     s_allow = min(1.0, allowed_count / total)
                     if 0 < s_allow < 1:
                         terms.append(math.ceil(base / s_allow))
-            if recall_target is None and p_x is None:
+            if p_x is None:
                 # without the pair-weighted replay the walk is only a
-                # discovery floor — keep the unfiltered default under it;
-                # WITH the replay both terms are measured against this
-                # filter, and flooring at the default was the last fixed
-                # constant standing between the auto budget and the
-                # hand-tuned need (measured 2.2x at the 10M tier)
+                # discovery floor — keep the unfiltered default under it
+                # (an explicit recall_target with no measured curve backing
+                # it must not probe LESS than the no-target plan; the
+                # documented contract is that no-curve indexes keep the
+                # closed-form defaults). WITH the replay both terms are
+                # measured against this filter, and flooring at the default
+                # was the last fixed constant standing between the auto
+                # budget and the hand-tuned need (measured 2.2x at 10M)
                 terms.append(base)
             return min(nlist, max(terms))
     cell_frac = (

@@ -214,6 +214,34 @@ def _write_curve(out_dir: str, table, dirname: str = CURVE_DIRNAME) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+PROFILE_META_FILENAME = "_profile_meta.json"  # "_" prefix: ignored by
+# pyarrow/Spark dataset discovery, so it can live inside the curve dir
+
+
+def _write_profile_meta(out_dir: str, nq: int, kmax: int, k: int, seed: int):
+    """Record the AS-REQUESTED profiling knobs beside the curve, so a
+    re-profile (full compaction, ensure_recall_curve) reproduces the
+    build-time configuration instead of silently reverting to defaults."""
+    import json
+
+    path = os.path.join(out_dir, CURVE_DIRNAME, PROFILE_META_FILENAME)
+    with open(path, "w") as f:
+        json.dump({"nq": nq, "kmax": kmax, "k": k, "seed": seed}, f)
+
+
+def load_profile_meta(index_dir: str) -> "dict | None":
+    """The stored profiling knobs, or None (legacy curve written before
+    they were recorded — callers treat that as the module defaults)."""
+    import json
+
+    path = os.path.join(index_dir, CURVE_DIRNAME, PROFILE_META_FILENAME)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def measure_recall_curve(
     spark,
     handle,
@@ -231,6 +259,7 @@ def measure_recall_curve(
     n_total = meta.get("total_vectors") or 0
     if itype == "FLAT" or n_total <= 0:
         return False
+    req_knobs = (nq, kmax, k, seed)  # as-requested, recorded beside the curve
     nq = max(1, min(nq, n_total))
     out_dir = handle.index_dir
     vecs = handle.vectors
@@ -369,9 +398,21 @@ def measure_recall_curve(
                 }
             )
             _write_curve(out_dir, ptable, dirname=CELL_PROFILE_DIRNAME)
-            handle.__dict__.pop("_cell_profile_pdf", None)
-        # drop any stale cached curve on the handle
+        else:
+            # profile not measurable at this layout (nlist past the cap):
+            # a sidecar left over from an earlier, smaller layout would
+            # keep feeding the replay planner stale geometry — drop it
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(out_dir, CELL_PROFILE_DIRNAME), ignore_errors=True
+            )
+        _write_profile_meta(out_dir, *req_knobs)
+        # drop every cached derivative of the old curve on the handle —
+        # including the pair weights derived FROM the cell profile
+        handle.__dict__.pop("_cell_profile_pdf", None)
         handle.__dict__.pop("_recall_curve_pdf", None)
+        handle.__dict__.pop("_xw_cache", None)
         return True
 
     if itype == "HNSW" and meta.get("hnsw_graph"):
@@ -408,20 +449,29 @@ def measure_recall_curve(
             }
         )
         _write_curve(out_dir, table)
+        _write_profile_meta(out_dir, *req_knobs)
         handle.__dict__.pop("_recall_curve_pdf", None)
+        handle.__dict__.pop("_xw_cache", None)
         return True
     return False
 
 
 def ensure_recall_curve(spark, index_dir: str, **kwargs) -> bool:
     """Backfill the curve for an index built before it existed (or with
-    recall_curve=False). No-op when present. Returns True when a curve
-    exists afterwards."""
+    recall_curve=False). No-op when present AND profiled under the same
+    knobs as requested: a caller asking for e.g. a deeper kmax than the
+    stored profile was measured at gets a RE-profile, not a silent reuse
+    of the stale sidecar (a legacy curve with no recorded knobs counts as
+    the module defaults). Returns True when a curve exists afterwards."""
     from webscale_vector_search_spark.sources import index_io
 
     path = os.path.join(index_dir, CURVE_DIRNAME)
     if os.path.isdir(path):
-        return True
+        stored = load_profile_meta(index_dir) or {
+            "nq": CURVE_NQ, "kmax": CURVE_KMAX, "k": 10, "seed": 42,
+        }
+        if all(stored.get(name) == val for name, val in kwargs.items()):
+            return True
     handle = index_io.open_index(spark, index_dir)
     return measure_recall_curve(spark, handle, **kwargs)
 
