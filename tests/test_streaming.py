@@ -679,3 +679,182 @@ def test_streaming_serve_filtered_with_midstream_delete(
     # and the filter is enforced end-to-end
     labels = {r["vec_id"]: r["label"] for r in attrd.select("vec_id", "label").collect()}
     assert all(labels[int(v)] == 2 for v in got["neighbor_id"])
+
+
+def test_incremental_build_takes_layout_from_sidecar(
+    spark, corpus, tmp_path_factory
+):
+    """The stream's writes must match the STORED layout: a caller config
+    with a different num_shards must not strand appends in shards serving
+    never iterates, and a different index_type must refuse outright."""
+    from webscale_vector_search_spark.plans.build import build_index
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+    from webscale_vector_search_spark.streaming.build_stream import incremental_build
+
+    out = str(tmp_path_factory.mktemp("layout_idx"))
+    build_index(
+        spark, corpus.limit(50), out,
+        EngineConfig(index_type="FLAT", num_shards=4),
+    )
+    extra = corpus.filter(F.col("vec_id") >= 50).limit(30)
+    src = str(tmp_path_factory.mktemp("layout_src"))
+    extra.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(extra.schema).parquet(src)
+    # default config says 16 shards; the sidecar's 4 must win
+    q = incremental_build(spark, stream, out, EngineConfig(index_type="FLAT"))
+    q.awaitTermination(120)
+    meta = read_metadata(out)
+    import glob as globmod
+
+    shard_dirs = globmod.glob(os.path.join(out, "vectors*", "shard_id=*"))
+    shards = {int(os.path.basename(d).split("=")[1]) for d in shard_dirs}
+    assert shards <= set(range(4))  # nothing stranded past the stored layout
+    assert meta["total_vectors"] == 80
+    # index_type mismatch refuses instead of corrupting the layout
+    with pytest.raises(ValueError, match="index_type"):
+        incremental_build(
+            spark,
+            spark.readStream.schema(extra.schema).parquet(src),
+            out,
+            EngineConfig(index_type="HNSW"),
+        )
+
+
+def test_incremental_build_requires_attr_cols(spark, corpus, tmp_path_factory):
+    """Appends to an attributed index must carry the attr columns — epochs
+    published without them would never match any filter (same contract as
+    append_vectors, enforced at the streaming entry too)."""
+    from webscale_vector_search_spark.plans.build import build_index
+    from webscale_vector_search_spark.streaming.build_stream import incremental_build
+
+    out = str(tmp_path_factory.mktemp("attr_idx"))
+    build_index(
+        spark,
+        corpus.limit(50).withColumn("tenant", (F.col("vec_id") % 3).cast("int")),
+        out,
+        EngineConfig(index_type="FLAT", num_shards=4),
+        attr_cols=["tenant"],
+    )
+    bare = corpus.filter(F.col("vec_id") >= 50).limit(10).select("vec_id", "embedding")
+    src = str(tmp_path_factory.mktemp("attr_src"))
+    bare.write.mode("overwrite").parquet(src)
+    with pytest.raises(ValueError, match="attr_cols"):
+        incremental_build(
+            spark,
+            spark.readStream.schema(bare.schema).parquet(src),
+            out,
+            EngineConfig(index_type="FLAT"),
+        )
+
+
+def test_stream_seeded_ivf_is_openable(spark, corpus, tmp_path_factory):
+    """A purely stream-built IVF index (no batch build) must persist its
+    centroids at seed time — open_index and search must work afterwards."""
+    from webscale_vector_search_spark.operators.ivf import train_centroids
+    from webscale_vector_search_spark.plans.build import search_index
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+    from webscale_vector_search_spark.sources.index_io import open_index
+    from webscale_vector_search_spark.streaming.build_stream import incremental_build
+
+    cents = train_centroids(spark, corpus, nlist=8, seed=7).cache()
+    src = str(tmp_path_factory.mktemp("seed_src"))
+    out = str(tmp_path_factory.mktemp("seed_idx"))
+    q = incremental_build(
+        spark,
+        _stream_corpus(spark, corpus, src),
+        out,
+        EngineConfig(index_type="IVF", nlist=8),
+        centroids=cents,
+    )
+    q.awaitTermination(120)
+    h = open_index(spark, out)
+    assert h.meta["nlist"] == 8
+    queries = queries_from_embeddings(spark, SF_SMOKE, 4)
+    res = search_index(spark, h, queries, k=5, nprobe=8)
+    assert res.count() == 4 * 5
+
+
+def test_refresh_metadata_never_rolls_back_pointer(spark, corpus, tmp_path_factory):
+    """refresh_metadata's corpus count is a long job: a compaction flipping
+    the version pointer mid-count must not be clobbered by the pre-count
+    sidecar snapshot (that would resurrect deleted rows)."""
+    import shutil
+
+    from webscale_vector_search_spark.plans.build import build_index
+    from webscale_vector_search_spark.sources import index_io
+    from webscale_vector_search_spark.streaming import build_stream
+
+    out = str(tmp_path_factory.mktemp("rm_idx"))
+    build_index(
+        spark, corpus.limit(60), out, EngineConfig(index_type="FLAT", num_shards=2)
+    )
+    # a "compacted" v2 with fewer rows, as a concurrent compaction would leave
+    v2 = os.path.join(out, "vectors.v2")
+    shutil.copytree(os.path.join(out, "vectors"), v2)
+    import glob as globmod
+
+    victims = globmod.glob(os.path.join(v2, "*", "*.parquet"))
+    assert victims  # v2 must genuinely differ from v1
+    os.remove(victims[0])
+
+    real_read = index_io.read_metadata
+    state = {"flipped": False}
+
+    def racing_read(index_dir):
+        meta = real_read(index_dir)
+        if not state["flipped"]:
+            # simulate the concurrent compaction landing right after the
+            # pre-count snapshot read
+            state["flipped"] = True
+            flipped = dict(meta)
+            flipped["vectors_dir"] = "vectors.v2"
+            index_io.write_metadata(index_dir, flipped)
+        return meta
+
+    orig = index_io.read_metadata
+    index_io.read_metadata = racing_read
+    try:
+        build_stream.refresh_metadata(spark, out)
+    finally:
+        index_io.read_metadata = orig
+    meta = index_io.read_metadata(out)
+    # the concurrent pointer flip survives; the count matches ITS version
+    assert meta["vectors_dir"] == "vectors.v2"
+    assert meta["total_vectors"] == spark.read.parquet(v2).count()
+
+
+def test_mutation_fingerprint_same_tick_rewrite(tmp_path):
+    """Two same-size sidecar rewrites forced onto the same mtime must still
+    change the fingerprint (os.replace lands a fresh inode)."""
+    from webscale_vector_search_spark.sources.index_io import (
+        mutation_fingerprint,
+        read_metadata,
+        write_metadata,
+    )
+
+    out = str(tmp_path / "idx")
+    write_metadata(out, {"vectors_dir": "vectors.v1", "total_vectors": 10})
+    meta_path = os.path.join(out, "shards_metadata.json")
+    os.utime(meta_path, ns=(1_000_000_000, 1_000_000_000))
+    fp1 = mutation_fingerprint(out)
+    m = read_metadata(out)
+    m["vectors_dir"] = "vectors.v2"  # same byte length as v1
+    write_metadata(out, m)
+    os.utime(meta_path, ns=(1_000_000_000, 1_000_000_000))
+    fp2 = mutation_fingerprint(out)
+    assert fp1 != fp2
+
+
+def test_epoch_cleanup_handles_glob_metacharacters(tmp_path):
+    """An out_dir containing glob metacharacters must not make epoch
+    cleanup silently match nothing."""
+    from webscale_vector_search_spark.streaming.build_stream import (
+        clean_epoch_files,
+    )
+
+    vdir = str(tmp_path / "run[3]" / "vectors")
+    os.makedirs(os.path.join(vdir, "shard_id=0"))
+    victim = os.path.join(vdir, "shard_id=0", "eptok-1-part0.parquet")
+    open(victim, "w").close()
+    assert clean_epoch_files(vdir, "tok", 1) == 1
+    assert not os.path.exists(victim)

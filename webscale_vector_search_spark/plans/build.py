@@ -545,6 +545,14 @@ def append_vectors(
             index_dir,
             base.groupBy(*attr_cols).agg(F.count(F.lit(1)).alias("count")),
         )
+    if attr_cols:
+        # the attrs/stats writes above land AFTER the drain-time sidecar
+        # refresh: a serving handle whose maybe_refresh probe fired in that
+        # window reopened against the pre-append attrs table, and nothing
+        # else would ever tell it (plain parquet appends don't move the
+        # mutation fingerprint). Touch the sidecar — write_metadata's
+        # os.replace lands a fresh inode — so the next probe reopens.
+        index_io.write_metadata(index_dir, index_io.read_metadata(index_dir))
     return n_new
 
 

@@ -85,7 +85,11 @@ def mutation_fingerprint(index_dir: str) -> tuple:
     every serve_local batch (~µs against a sub-ms serve)."""
     try:
         st = os.stat(os.path.join(index_dir, METADATA_FILE))
-        sidecar = (st.st_mtime_ns, st.st_size)
+        # st_ino included: os.replace always lands a fresh inode, so two
+        # same-size sidecar rewrites inside one coarse mtime tick (small
+        # index, fast back-to-back compactions) still change the
+        # fingerprint — (mtime, size) alone can collide there
+        sidecar = (st.st_mtime_ns, st.st_size, st.st_ino)
     except OSError:
         sidecar = None
     tomb_dir = os.path.join(index_dir, "tombstones")

@@ -98,8 +98,12 @@ def committed_epochs(out_dir: str) -> set[tuple[str, int]]:
 
 
 def clean_epoch_files(vectors_dir: str, token: str, epoch_id: int) -> int:
-    """Delete one epoch's published files (a crashed publish's leftovers)."""
-    victims = glob.glob(os.path.join(vectors_dir, "*", f"ep{token}-{epoch_id}-*.parquet"))
+    """Delete one epoch's published files (a crashed publish's leftovers).
+    The directory prefix is glob-escaped: an out_dir containing glob
+    metacharacters (`run[3]/`) must not silently match nothing."""
+    victims = glob.glob(
+        os.path.join(glob.escape(vectors_dir), "*", f"ep{token}-{epoch_id}-*.parquet")
+    )
     for p in victims:
         os.remove(p)
     return len(victims)
@@ -113,7 +117,7 @@ def clean_orphan_epochs(out_dir: str, vectors_dir: str) -> int:
     then re-publish it whole and duplicate the partial subset)."""
     committed = committed_epochs(out_dir)
     removed = 0
-    for p in glob.glob(os.path.join(vectors_dir, "*", "ep*-*-*.parquet")):
+    for p in glob.glob(os.path.join(glob.escape(vectors_dir), "*", "ep*-*-*.parquet")):
         parts = os.path.basename(p).split("-", 2)
         tok, ep = parts[0][2:], parts[1]
         if ep.isdigit() and (tok, int(ep)) not in committed:
@@ -140,10 +144,12 @@ def _publish_epoch(
     staging = os.path.join(out_dir, _EPOCH_STAGING, f"ep{epoch_id}")
     df.write.mode("overwrite").partitionBy(part_col).parquet(staging)
     clean_epoch_files(vectors_dir, token, epoch_id)
-    for part_dir in sorted(glob.glob(os.path.join(staging, f"{part_col}=*"))):
+    for part_dir in sorted(
+        glob.glob(os.path.join(glob.escape(staging), f"{part_col}=*"))
+    ):
         target = os.path.join(vectors_dir, os.path.basename(part_dir))
         os.makedirs(target, exist_ok=True)
-        for f in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
+        for f in sorted(glob.glob(os.path.join(glob.escape(part_dir), "*.parquet"))):
             os.replace(
                 f, os.path.join(target, f"ep{token}-{epoch_id}-{os.path.basename(f)}")
             )
@@ -191,11 +197,40 @@ def incremental_build(
     )
 
     if not os.path.exists(os.path.join(out_dir, METADATA_FILE)):
+        seed_nlist = seed_pq_m = None
+        if config.index_type in ("IVF", "IVFPQ"):
+            # a purely stream-built IVF-family index must persist its
+            # training artifacts too: open_index reads <dir>/centroids
+            # (and codebooks) — a sidecar alone would seed an unopenable
+            # index
+            if centroids is None:
+                raise ValueError(
+                    f"{config.index_type} incremental build into a fresh "
+                    "directory requires the trained centroid table"
+                )
+            centroids.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "centroids")
+            )
+            seed_nlist = centroids.count()
+            if config.index_type == "IVFPQ":
+                if codebooks is None:
+                    raise ValueError(
+                        "IVFPQ incremental build into a fresh directory "
+                        "requires the trained codebooks"
+                    )
+                from webscale_vector_search_spark.sources.index_io import (
+                    write_codebooks,
+                )
+
+                write_codebooks(spark, out_dir, codebooks)
+                seed_pq_m = int(codebooks.shape[0])
         seed_meta = metadata_dict(
             num_shards=config.num_shards,
             index_type=config.index_type,
             vector_dim=config.vector_dim,
             total_vectors=0,
+            nlist=seed_nlist,
+            pq_m=seed_pq_m,
             pq_residual=config.index_type == "IVFPQ" and config.pq_residual,
             metric=config.metric,
         )
@@ -214,6 +249,37 @@ def incremental_build(
 
     meta_now = read_metadata(out_dir)
     pq_residual = bool(meta_now.get("pq_residual"))
+    # the stream's writes must match the STORED layout, not the caller's
+    # config: appending shard_id= partitions into a centroid_id= dataset
+    # (or hashing into more shards than serving iterates) is silent data
+    # loss. index_type mismatches refuse; layout-determining knobs
+    # (num_shards, the hnsw build params) come from the sidecar below.
+    stored_type = meta_now.get("index_type")
+    if stored_type and stored_type != config.index_type:
+        legacy_hnsw_via_ivf = (
+            stored_type == "HNSW"
+            and not meta_now.get("hnsw_graph")
+            and config.index_type == "IVF"
+        )
+        if not legacy_hnsw_via_ivf:
+            raise ValueError(
+                f"config.index_type={config.index_type!r} but the index was "
+                f"built as {stored_type!r} — appended partitions would not "
+                "match the stored layout"
+            )
+    num_shards = int(meta_now.get("num_shards") or config.num_shards)
+    # appends to an attributed index must carry the attr columns: epochs
+    # published without them read back as NULLs and never match any filter
+    # (same contract as plans.build.append_vectors, one layer down)
+    missing_attrs = [
+        c for c in (meta_now.get("attr_cols") or []) if c not in stream_df.columns
+    ]
+    if missing_attrs:
+        raise ValueError(
+            f"index stores attr_cols {meta_now.get('attr_cols')} but the "
+            f"stream is missing {missing_attrs} — appended rows would never "
+            "match an attribute filter"
+        )
     # the appended vectors must live in the SAME metric frame as the stored
     # ones: a cosine index stores unit-normalized vectors (plans/build.py),
     # so the stream normalizes each batch identically — and a config whose
@@ -254,11 +320,11 @@ def incremental_build(
                 # must not skip this epoch's scheduled compaction
                 _maybe_auto_compact(batch_df.sparkSession, epoch_id)
                 return
-            sharded = hash_shard(batch_df, config.num_shards)
+            sharded = hash_shard(batch_df, num_shards)
             # cluster by target dir: without this, every batch writes
             # tasks x shards files (the small-file drift compact_index
             # exists to repair — cheaper to avoid per batch)
-            sharded = sharded.repartition(config.num_shards, "shard_id")
+            sharded = sharded.repartition(num_shards, "shard_id")
             _publish_epoch(sharded, out_dir, "shard_id", _token(), epoch_id)
             _maybe_auto_compact(batch_df.sparkSession, epoch_id)
 
@@ -286,11 +352,11 @@ def incremental_build(
         # change when new nodes link in, so an append-only write can't
         # represent the update). Legacy centroid-layout HNSW artifacts take
         # the IVF append path with explicit centroids instead.
-        meta0 = read_metadata(out_dir)
-        hnsw_params = meta0.get("hnsw") or {}
+        hnsw_params = meta_now.get("hnsw") or {}
         m_ = hnsw_params.get("m", config.hnsw_m)
         efc_ = hnsw_params.get("ef_construction", config.hnsw_ef_construction)
-        if not meta0.get("hnsw_graph"):
+        seed_ = hnsw_params.get("seed", config.seed)
+        if not meta_now.get("hnsw_graph"):
             raise ValueError(
                 "HNSW incremental append requires a graph artifact "
                 "(build_index since r5); legacy centroid-layout HNSW "
@@ -312,13 +378,13 @@ def incremental_build(
             # one source evaluation per batch: the touched-shard list and the
             # graph-extension job both read `sharded`, so cache it for the
             # epoch (micro-batches are small by construction)
-            sharded = hash_shard(batch_df, config.num_shards).persist()
+            sharded = hash_shard(batch_df, num_shards).persist()
             touched = [
                 r["shard_id"]
                 for r in sharded.select("shard_id").distinct().collect()
             ]
             graphs = extend_shard_graphs(
-                sharded, vectors_dir, m=m_, ef_construction=efc_, seed=config.seed
+                sharded, vectors_dir, m=m_, ef_construction=efc_, seed=seed_
             )
             (
                 graphs.write.mode("overwrite")
@@ -331,7 +397,7 @@ def incremental_build(
             # (the overwrite invalidated their fingerprints; serving would
             # still be correct via the parquet fallback, just slower)
             freeze_graphs(
-                vectors_dir, config.num_shards, spark=batch_df.sparkSession, shards=touched
+                vectors_dir, num_shards, spark=batch_df.sparkSession, shards=touched
             )
             _mark_epoch(out_dir, _token(), epoch_id)
             _maybe_auto_compact(batch_df.sparkSession, epoch_id)
@@ -435,11 +501,23 @@ def refresh_metadata(spark: SparkSession, index_dir: str) -> dict:
         write_metadata,
     )
 
-    meta = read_metadata(index_dir)
-    total = spark.read.parquet(vectors_path(index_dir, meta)).count()
-    meta["total_vectors"] = total
-    write_metadata(index_dir, meta)
-    return meta
+    # the count is a long Spark job and the sidecar can change under it
+    # (an auto-compaction flipping vectors_dir, a delete setting
+    # has_tombstones): never write back the PRE-count snapshot — that would
+    # roll the pointer back to a pre-compaction version and resurrect
+    # deleted rows. Re-read after counting and update ONLY total_vectors;
+    # if the pointer moved mid-count, recount against the new version.
+    for _ in range(3):
+        meta = read_metadata(index_dir)
+        total = spark.read.parquet(vectors_path(index_dir, meta)).count()
+        fresh = read_metadata(index_dir)
+        if fresh.get("vectors_dir") == meta.get("vectors_dir"):
+            fresh["total_vectors"] = total
+            write_metadata(index_dir, fresh)
+            return fresh
+    # pointer kept flipping (continuous compaction): the freshest sidecar
+    # already carries the compaction's own recount — leave it untouched
+    return read_metadata(index_dir)
 
 
 def incremental_delete(
