@@ -100,3 +100,142 @@ def test_cached_search_collapses_duplicate_cache_entries(spark, tmp_path):
         shutil.copy(p, p.replace(".parquet", "_dup.parquet"))
     got = cached_search(spark, cache_dir, queries, fn, k=5).toPandas()
     assert len(got) == 5, f"duplicate cache entries must collapse, got {len(got)} rows"
+
+
+def test_knn_query_pads_disconnected_component():
+    """A shard whose entry reaches fewer than k nodes must pad with
+    label -1 / distance inf instead of crashing the serving job."""
+    import numpy as np
+
+    from webscale_vector_search_spark.operators.hnsw_partition import PyHNSW
+
+    g = PyHNSW(4, M=4, ef_construction=16)
+    rng = np.random.default_rng(3)
+    g.add_items(rng.normal(0, 1, (6, 4)))
+    # surgically strand nodes: entry keeps links only to node 1
+    for i in range(len(g.links)):
+        g.links[i] = {lc: [] for lc in g.links[i]}
+    other = 1 if g.entry != 1 else 2
+    g.links[g.entry][0] = [other]
+    g.links[other][0] = [g.entry]
+    labels, dists = g.knn_query(rng.normal(0, 1, (3, 4)), k=5, ef=16)
+    assert labels.shape == (3, 5)
+    assert (labels >= 0).sum(axis=1).max() <= 2  # only the 2-node component
+    assert np.isinf(dists[labels == -1]).all()
+    assert (labels[:, 0] >= 0).all()  # the found neighbors come first
+
+
+def test_frozen_bundle_survives_directory_move(spark, tmp_path):
+    """Frozen serving bundles fingerprint by basename: moving or copying
+    an index directory must not silently demote every load to the slow
+    parquet decode path. Legacy bundles (absolute-path fingerprints) are
+    normalized, not invalidated."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from webscale_vector_search_spark.operators.hnsw_partition import (
+        _load_frozen,
+        build_hnsw_graphs,
+        freeze_shard_graph,
+    )
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(80, dtype="int64"),
+            "embedding": [v.tolist() for v in rng.normal(0, 1, (80, 8)).astype("float32")],
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path / "g")
+    from webscale_vector_search_spark.operators.shard import hash_shard
+
+    graphs = build_hnsw_graphs(hash_shard(corpus, 2), m=4, ef_construction=16)
+    graphs.write.partitionBy("shard_id").parquet(out)
+    shard = os.path.join(out, "shard_id=0")
+    freeze_shard_graph(shard)
+    assert _load_frozen(shard, 4, 16) is not None
+    # move the whole index: copy2 preserves mtimes, like mv/rsync -a
+    moved = str(tmp_path / "relocated")
+    shutil.copytree(out, moved, copy_function=shutil.copy2)
+    assert _load_frozen(os.path.join(moved, "shard_id=0"), 4, 16) is not None
+    # legacy bundle: rewrite the fingerprint with pre-r11 absolute paths
+    fp_file = os.path.join(shard, "_graph", "fingerprint.json")
+    with open(fp_file) as f:
+        fp = json.load(f)
+    legacy = [[os.path.join(shard, t[0]), t[1], t[2]] for t in fp]
+    with open(fp_file, "w") as f:
+        json.dump(legacy, f)
+    assert _load_frozen(shard, 4, 16) is not None
+
+
+def test_lopq_sampling_never_drops_a_cell(spark):
+    """fit_codebooks_per_list with an aggressive sample_fraction must still
+    emit a codebook row for EVERY cell — a dropped small cell would
+    KeyError the full-corpus encode."""
+    import numpy as np
+    import pandas as pd
+
+    from webscale_vector_search_spark.operators.pq import fit_codebooks_per_list
+
+    rng = np.random.default_rng(9)
+    # cell 0: 2000 rows; cell 1: 3 rows (the sample will miss it)
+    n0, n1 = 2000, 3
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n0 + n1, dtype="int64"),
+            "embedding": [v.tolist() for v in rng.normal(0, 1, (n0 + n1, 8))],
+            "centroid_id": [0] * n0 + [1] * n1,
+        }
+    )
+    assigned = spark.createDataFrame(pdf)
+    cents = spark.createDataFrame(
+        pd.DataFrame(
+            {"centroid_id": [0, 1], "cvec": [[0.0] * 8, [10.0] * 8]}
+        )
+    )
+    books = fit_codebooks_per_list(
+        assigned, m=4, centroids=cents, n_codes=4, sample_fraction=0.05
+    )
+    cells = {int(r["centroid_id"]) for r in books.select("centroid_id").collect()}
+    assert cells == {0, 1}
+
+
+def test_fit_codebooks_sparse_centroid_ids_match_dense(spark):
+    """Residual codebook training must assign samples to REAL centroids
+    only: sparse centroid ids (gaps in the id space) must train the same
+    books as the identical layout with dense ids — the padded lookup
+    array's phantom zero rows must never win an argmin."""
+    import numpy as np
+    import pandas as pd
+
+    from webscale_vector_search_spark.operators.pq import fit_codebooks
+
+    rng = np.random.default_rng(11)
+    # one cluster near the origin: under phantom-row assignment it would
+    # pick the zero vector instead of its true (distant-id) centroid
+    V = np.concatenate(
+        [rng.normal(0.2, 0.05, (50, 8)), rng.normal(8.0, 0.05, (50, 8))]
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(100, dtype="int64"),
+            "embedding": [v.tolist() for v in V],
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    c_vecs = [[0.2] * 8, [8.0] * 8]
+
+    def books_for(ids):
+        cents = spark.createDataFrame(
+            pd.DataFrame({"centroid_id": ids, "cvec": c_vecs})
+        )
+        return fit_codebooks(
+            corpus, m=4, seed=42, n_codes=4, centroids=cents, n_total=100
+        )
+
+    np.testing.assert_array_equal(books_for([0, 1]), books_for([3, 7]))

@@ -369,6 +369,11 @@ class PyHNSW:
         The whole batch traverses in lockstep (`_batch_search_layer`) —
         bit-identical results to per-query traversal, ~4x fewer numpy
         dispatches on serving batches.
+
+        When the entry's reachable component holds fewer than k nodes (a
+        pathological shard: back-link shrinking can strand nodes), the
+        short rows are PADDED with label -1 / distance inf rather than
+        crashing — callers mask `labels >= 0` before gathering ids.
         """
         Q = np.asarray(Q, dtype=np.float64)
         ef = max(ef, k)
@@ -378,12 +383,13 @@ class PyHNSW:
             out = self._batch_search_layer(Q, eps, 1, lc)
             eps = [[r[0][1]] for r in out]
         res = self._batch_search_layer(Q, eps, ef, 0)
-        labels = np.empty((nq, k), dtype=np.int64)
-        dists = np.empty((nq, k), dtype=np.float64)
+        labels = np.full((nq, k), -1, dtype=np.int64)
+        dists = np.full((nq, k), np.inf, dtype=np.float64)
         for qi, r in enumerate(res):
             r = r[:k]
-            labels[qi] = [u for _, u in r]
-            dists[qi] = [d for d, _ in r]
+            n = len(r)
+            labels[qi, :n] = [u for _, u in r]
+            dists[qi, :n] = [d for d, _ in r]
         return labels, dists
 
     # -- persistence (S3/S4 for graphs: the reference write_index/load-once
@@ -470,11 +476,19 @@ _GRAPH_CACHE_MAX = 8  # per-worker; one entry per shard a worker serves
 
 
 def _graph_fingerprint(shard_dir: str):
+    """(basename, size, mtime_ns) per parquet file. Basenames, not full
+    paths: a moved/copied index (the parquet columns are documented as
+    portable) must still match its frozen bundles. The directory prefix is
+    glob-escaped so metacharacter paths don't silently match nothing."""
     import glob as _glob
     import os as _os
 
-    files = sorted(_glob.glob(_os.path.join(shard_dir, "*.parquet")))
-    return tuple((f, _os.stat(f).st_size, _os.stat(f).st_mtime_ns) for f in files)
+    files = sorted(_glob.glob(_os.path.join(_glob.escape(shard_dir), "*.parquet")))
+    out = []
+    for f in files:
+        st = _os.stat(f)
+        out.append((_os.path.basename(f), st.st_size, st.st_mtime_ns))
+    return tuple(out)
 
 
 class CSRServingGraph(PyHNSW):
@@ -591,6 +605,12 @@ def freeze_shard_graph(shard_dir: str) -> None:
     import os
     import shutil
 
+    # fingerprint BEFORE decoding: if a concurrent rewrite (streaming
+    # append, compaction) lands mid-decode, the stamped pre-decode
+    # fingerprint won't match the rewritten files and the bundle reads as
+    # stale (parquet fallback) — stamping after the decode would certify
+    # the OLD graph as fresh against the NEW files, silently wrong forever
+    fp = _graph_fingerprint(shard_dir)
     arrays = _decode_parquet_graph(shard_dir)
     # compact dtypes: bundle IO is the cold-load bound (16 concurrent
     # workers share the disk). float32 V is lossless (the parquet
@@ -612,7 +632,7 @@ def freeze_shard_graph(shard_dir: str) -> None:
     for name, arr in arrays.items():
         np.save(os.path.join(tmp, f"{name}.npy"), arr)
     with open(os.path.join(tmp, "fingerprint.json"), "w") as f:
-        json.dump([list(t) for t in _graph_fingerprint(shard_dir)], f)
+        json.dump([list(t) for t in fp], f)
     final = os.path.join(shard_dir, _FROZEN_DIR)
     if os.path.isdir(final):
         shutil.rmtree(final)
@@ -637,18 +657,24 @@ def freeze_graphs(
             freeze_shard_graph(d)
         return len(shard_dirs)
 
+    dirs = list(shard_dirs)
+
     def do(batches):
         import pandas as pd
 
         for pdf in batches:
             done = []
-            for d in pdf["dir"].tolist():
-                freeze_shard_graph(d)
-                done.append(d)
+            for i in pdf["id"].tolist():
+                freeze_shard_graph(dirs[int(i)])
+                done.append(dirs[int(i)])
             yield pd.DataFrame({"dir": done})
 
-    df = spark.createDataFrame([(d,) for d in shard_dirs], "dir STRING")
-    return df.repartition(len(shard_dirs), "dir").mapInPandas(do, "dir STRING").count()
+    # range with numPartitions == rows puts EXACTLY one shard per task —
+    # a hash repartition on the dir string collides shards into one task
+    # and serializes their freezes (same pitfall hnsw_stored_search's
+    # scan partitioning documents as measured 3x wall)
+    df = spark.range(len(dirs), numPartitions=len(dirs))
+    return df.mapInPandas(do, "dir STRING").count()
 
 
 def _load_frozen(shard_dir: str, M: int, ef_construction: int):
@@ -661,7 +687,12 @@ def _load_frozen(shard_dir: str, M: int, ef_construction: int):
     if not os.path.isfile(fp_file):
         return None
     with open(fp_file) as f:
-        frozen_fp = [tuple(t) for t in json.load(f)]
+        # basename-normalize: bundles frozen before r11 recorded absolute
+        # paths — their (size, mtime) entries are still valid after the
+        # format change, so normalize instead of invalidating them
+        frozen_fp = [
+            (os.path.basename(t[0]), t[1], t[2]) for t in json.load(f)
+        ]
     if frozen_fp != list(_graph_fingerprint(shard_dir)):
         return None  # parquet changed since the freeze: bundle is stale
     a = {
@@ -880,11 +911,15 @@ def hnsw_stored_search(
                 g = load_shard_graph(shard_dir)
                 kk = min(k, len(g.V))
                 labels, dists = g.knn_query(Q_sel, k=kk, ef=max(ef_search, kk))
+                flat = labels.ravel()
+                valid = flat >= 0  # underflow padding (disconnected shard)
                 yield pd.DataFrame(
                     {
-                        "query_id": np.repeat(q_sel, kk),
-                        "vec_id": g.ids[labels.ravel()],
-                        "distance": np.round(dists.ravel().astype(np.float64), 6),
+                        "query_id": np.repeat(q_sel, kk)[valid],
+                        "vec_id": g.ids[flat[valid]],
+                        "distance": np.round(
+                            dists.ravel().astype(np.float64), 6
+                        )[valid],
                     }
                 )
 
@@ -951,11 +986,13 @@ def hnsw_partition_search(
                 index.add_items(V)
                 labels, dists = index.knn_query(Q, k=kk, ef=max(ef_search, kk))
             nq, kk = labels.shape
+            flat = labels.ravel()
+            valid = flat >= 0  # underflow padding (disconnected shard)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(q_ids, kk),
-                    "vec_id": ids[labels.ravel()],
-                    "distance": np.round(dists.ravel().astype(np.float64), 6),
+                    "query_id": np.repeat(q_ids, kk)[valid],
+                    "vec_id": ids[flat[valid]],
+                    "distance": np.round(dists.ravel().astype(np.float64), 6)[valid],
                 }
             )
 

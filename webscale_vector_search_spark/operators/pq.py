@@ -92,9 +92,20 @@ def fit_codebooks(
     rows = sample.collect()
     X = np.stack([r[0] for r in rows]).astype(np.float64)  # (n, dim)
     if centroids is not None:
-        C = _centroid_array(centroids)
-        d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
-        X = X - C[d.argmin(1)]
+        # REAL centroid rows only (ids can be sparse; the padded lookup
+        # array has zero-vector phantom rows a training argmin must never
+        # pick), and CHUNKED: a dense (sample, nlist) distance matrix is
+        # O(sample * nlist) driver memory — ~52 GB at the default 100k
+        # sample with nlist=65536, exactly the huge-nlist regime the
+        # global-OPQ path is documented for. Chunking bounds the transient
+        # to O(block * nlist).
+        crows = centroids.orderBy("centroid_id").collect()
+        C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in crows])
+        csq = (C * C).sum(1)
+        for s in range(0, len(X), 4096):
+            blk = X[s : s + 4096]
+            d = (blk * blk).sum(1)[:, None] - 2.0 * (blk @ C.T) + csq[None, :]
+            blk -= C[d.argmin(1)]  # in-place: X's rows become residuals
     n, dim = X.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -261,7 +272,16 @@ def fit_codebooks_per_list(
     C = _centroid_array(centroids)
 
     if sample_fraction < 1.0:
-        assigned = assigned.sample(fraction=sample_fraction, seed=seed)
+        sampled = assigned.sample(fraction=sample_fraction, seed=seed)
+        # sampling can drop EVERY row of a small cell, which would leave no
+        # codebook row for it — the full-corpus encode_local then KeyErrors
+        # on that cell. Rescue: cells present in the corpus but absent from
+        # the sample keep ALL their rows (they are small by construction —
+        # that is why the sample missed them). Costs one extra corpus pass
+        # (broadcast anti-join on the ≤nlist sampled-cell set).
+        kept = sampled.select("centroid_id").distinct()
+        rescued = assigned.join(F.broadcast(kept), "centroid_id", "left_anti")
+        assigned = sampled.unionByName(rescued)
 
     def fit_one(pdf: "pd.DataFrame") -> "pd.DataFrame":
         cid = int(pdf["centroid_id"].iloc[0])

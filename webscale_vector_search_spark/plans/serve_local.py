@@ -523,13 +523,23 @@ def _ivf_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb,
 
 
 def _search_one_shard(shard_dir: str, Q: np.ndarray, k: int, ef_search: int):
-    """One shard's traversal (runs in a shard worker or inline)."""
+    """One shard's traversal (runs in a shard worker or inline). Returns
+    (query positions, neighbor ids, distances) as flat aligned arrays —
+    positions rather than a rectangular kk so underflow-padded rows
+    (knn_query's -1 labels on a disconnected shard) can be masked out."""
     from webscale_vector_search_spark.operators.hnsw_partition import load_shard_graph
 
     g = load_shard_graph(shard_dir)
     kk = min(k, len(g.V))
     labels, dists = g.knn_query(Q, k=kk, ef=max(ef_search, kk))
-    return kk, g.ids[labels.ravel()], np.round(dists.ravel().astype(np.float64), 6)
+    flat = labels.ravel()
+    valid = flat >= 0
+    qpos = np.repeat(np.arange(len(Q)), kk)[valid]
+    return (
+        qpos,
+        g.ids[flat[valid]],
+        np.round(dists.ravel().astype(np.float64), 6)[valid],
+    )
 
 
 def _shard_worker_loop(shard_dir: str, conn) -> None:  # pragma: no cover - child
@@ -614,8 +624,8 @@ def _hnsw_parts(handle, q_ids, Q, k, ef_search) -> list[dict]:
     if results is None:  # single shard, or a restricted environment
         results = [_search_one_shard(d, Q, k, ef_search) for d in shard_dirs]
     return [
-        {"query_id": np.repeat(q_ids, kk), "vec_id": vids, "distance": dists}
-        for kk, vids, dists in results
+        {"query_id": q_ids[qpos], "vec_id": vids, "distance": dists}
+        for qpos, vids, dists in results
     ]
 
 
