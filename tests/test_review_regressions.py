@@ -239,3 +239,111 @@ def test_fit_codebooks_sparse_centroid_ids_match_dense(spark):
         )
 
     np.testing.assert_array_equal(books_for([0, 1]), books_for([3, 7]))
+
+
+def test_assign_centroids_gapped_ids_match_sql(spark):
+    """assign_centroids must emit REAL centroid ids: non-dense id spaces
+    (split_oversized_lists retires parents, adds children past the old max)
+    previously got positional argmin labels — vectors filed into wrong or
+    retired inverted lists."""
+    import pandas as pd
+
+    from webscale_vector_search_spark.operators.ivf import (
+        assign_centroids,
+        assign_centroids_sql,
+    )
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [100, 101, 102],
+                "embedding": [[0.1, 0.1], [5.0, 5.1], [9.9, 10.0]],
+            }
+        )
+    )
+    cents = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "centroid_id": [0, 1, 3, 7],
+                "cvec": [[0.0, 0.0], [2.0, 2.0], [5.0, 5.0], [10.0, 10.0]],
+            }
+        )
+    )
+    a = {r["vec_id"]: r["centroid_id"] for r in assign_centroids(corpus, cents).collect()}
+    b = {r["vec_id"]: r["centroid_id"] for r in assign_centroids_sql(corpus, cents).collect()}
+    assert a == b == {100: 0, 101: 3, 102: 7}
+
+
+def test_topk_null_distance_ranks_last(spark):
+    """A NULL distance (one corrupt corpus row) must not take rank 1 for
+    every query — Spark's asc() is nulls-FIRST; DuckDB's ASC is nulls-last,
+    so nulls-last is also the oracle ordering."""
+    from webscale_vector_search_spark.operators.knn import topk
+
+    scored = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 11, None), (1, 12, 0.9)],
+        "query_id BIGINT, vec_id BIGINT, distance DOUBLE",
+    )
+    res = topk(scored, 2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in res] == [10, 12]
+
+
+def test_det_hash_no_overflow_past_3e9(spark):
+    """det_hash's split form must produce the EXACT naive-formula value for
+    any id (oracle parity) without the BIGINT overflow the naive Spark
+    expression hits past ~3.4e9 under ANSI mode."""
+    from webscale_vector_search_spark.functions.hashing import (
+        _ADD,
+        _MOD,
+        _MULT,
+        det_hash,
+    )
+
+    ids = [0, 1, 12345, 3_000_000_000, 4_000_000_000, 10**11, 2**46]
+    df = spark.createDataFrame([(i,) for i in ids], "id BIGINT").select(
+        "id", det_hash(F.col("id"), 42).alias("h")
+    )
+    got = {r["id"]: r["h"] for r in df.collect()}
+    for i in ids:
+        assert got[i] == ((i + 42) * _MULT + _ADD) % _MOD
+
+
+def test_short_and_null_docs_survive_text_kernels(spark):
+    """Docs shorter than the gram width (and NULL texts) must not crash the
+    ANSI-mode SQL kernels, and the pandas LSH twin must drop NULL texts
+    exactly like the SQL form."""
+    from webscale_vector_search_spark.operators.dedup import (
+        band_signatures_pandas,
+        band_signatures_sql,
+        shingles,
+        simhash64,
+        simhash_feature_hashes,
+    )
+    from webscale_vector_search_spark.operators.textops import (
+        repetition_signals,
+        winnow_fingerprint,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a b"), (2, "hello"), (3, "a b c d e"), (4, None)],
+        "doc_id BIGINT, text STRING",
+    )
+    sh = {r["doc_id"]: r["s"] for r in d.filter("text IS NOT NULL").select(
+        "doc_id", shingles(F.col("text")).alias("s")).collect()}
+    assert sh[1] == ["a b"] and sh[2] == ["hello"]  # partial shingles
+    assert len(sh[3]) == 3
+    # simhash forms run on 1-token docs
+    assert d.filter("text IS NOT NULL").select(
+        simhash64(F.col("text")), simhash_feature_hashes(F.col("text"))
+    ).count() == 3
+    # repetition/winnow run on short docs
+    sigs = repetition_signals(F.col("text"))
+    d.filter("text IS NOT NULL").select(
+        winnow_fingerprint(F.col("text")), *[v.alias(k) for k, v in sigs.items()]
+    ).collect()
+    # the pandas twin stays BIT-IDENTICAL to the SQL twin on NULL text
+    # (both emit the empty-shingle signature) instead of crashing
+    sig_sql = sorted(map(tuple, band_signatures_sql(d).collect()))
+    sig_pd = sorted(map(tuple, band_signatures_pandas(d).collect()))
+    assert sig_pd == sig_sql
+    assert any(r[0] == 4 for r in sig_pd)

@@ -27,8 +27,23 @@ _MOD = 4294967296
 
 
 def det_hash(id_col: Column, seed: int = 0) -> Column:
-    """Deterministic 32-bit hash of a non-negative BIGINT id column."""
-    return ((id_col + F.lit(seed)) * F.lit(_MULT) + F.lit(_ADD)) % F.lit(_MOD)
+    """Deterministic 32-bit hash of a non-negative BIGINT id column.
+
+    Computed in an overflow-safe split form: the naive (id+seed)*MULT
+    exceeds BIGINT for ids past ~3.4e9 (an ANSI arithmetic error under
+    Spark 4's defaults — fatal at web-scale row counts). Splitting
+    a = hi*2^16 + lo keeps every intermediate under 2^48 while producing
+    the EXACT same value mod 2^32 (multiplication is a homomorphism mod
+    2^32), so oracle parity with det_hash_sql's naive form on small-id
+    test data is unchanged. Valid for ids up to ~2^47."""
+    a = id_col + F.lit(seed)
+    hi = F.shiftright(a, 16)
+    lo = a.bitwiseAND(F.lit(65535))
+    return (
+        ((hi * F.lit(_MULT)) % F.lit(_MOD)) * F.lit(65536)
+        + lo * F.lit(_MULT)
+        + F.lit(_ADD)
+    ) % F.lit(_MOD)
 
 
 def det_hash_sql(id_expr: str, seed: int = 0) -> str:

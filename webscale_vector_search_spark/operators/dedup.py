@@ -45,11 +45,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(text_col, k: int = SHINGLE_K):
-    """Word-level k-shingles as an array column (distinct, order-free set)."""
+    """Word-level k-shingles as an array column (distinct, order-free set).
+
+    Short docs (< k tokens) yield one partial shingle: F.get returns NULL
+    past the end (a bare toks[i+j] is an ANSI INVALID_ARRAY_INDEX error
+    under Spark 4's defaults) and concat_ws skips NULLs — matching the
+    pandas kernel's ' '.join(toks[i:i+k]) exactly."""
     toks = F.split(text_col, " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)]))
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])
+        )
     )
 
 
@@ -189,6 +196,11 @@ def band_signatures_pandas(
             band_nos: list = []
             sigs: list = []
             for doc_id, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+                if text is None or (isinstance(text, float) and text != text):
+                    # NULL text: the SQL twin's concat_ws collapses it to
+                    # ONE empty-string shingle (md5("")) — mirror that
+                    # instead of crashing on None.split
+                    text = ""
                 toks = text.split(" ")
                 hi = max(len(toks) - SHINGLE_K, 0)
                 sh = {" ".join(toks[i : i + SHINGLE_K]) for i in range(hi + 1)}
@@ -285,21 +297,30 @@ def simhash64(text_col, n_grams: int = 2):
     queries use the md5-prefix forms instead.
     """
     col_sql = text_col if isinstance(text_col, str) else text_col._jc.toString()
+    # get() not [..]: a doc with fewer than n_grams tokens must yield one
+    # partial gram (concat_ws skips the NULLs), not an ANSI INVALID_ARRAY_
+    # INDEX error. The per-feature xxhash64 array is bound ONCE through a
+    # single-element array + transform (hs) — referencing the feature
+    # pipeline inside the per-bit lambda would inline and recompute it 64
+    # times per row (the same CollapseProject cost simhash_feature_hashes'
+    # docstring prices for the md5 form).
     feats = (
         f"array_distinct(transform("
         f"sequence(0, greatest(size(split({col_sql}, ' ')) - {n_grams}, 0)), "
         f"i -> concat_ws(' ', "
-        + ", ".join(f"split({col_sql}, ' ')[i + {j}]" for j in range(n_grams))
+        + ", ".join(f"get(split({col_sql}, ' '), i + {j})" for j in range(n_grams))
         + ")))"
     )
+    hashes = f"transform({feats}, ft -> xxhash64(ft))"
     votes = (
-        f"aggregate({feats}, 0, (acc, ft) -> acc + "
-        f"CASE WHEN (shiftright(xxhash64(ft), b) & 1) = 1 THEN 1 ELSE -1 END)"
+        "aggregate(hs, 0, (acc, h) -> acc + "
+        "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)"
     )
     return F.expr(
+        f"get(transform(array({hashes}), hs -> "
         f"aggregate(transform(sequence(0, 63), b -> "
         f"CASE WHEN ({votes}) > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
-        f"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        f"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, x) -> a + x)), 0)"
     )
 
 
@@ -321,7 +342,8 @@ def simhash_feature_hashes(text_col, n_grams: int = 2):
         f"array_distinct(transform("
         f"sequence(0, greatest(size({toks}) - {n_grams}, 0)), "
         f"i -> concat_ws(' ', "
-        + ", ".join(f"{toks}[i + {j}]" for j in range(n_grams))
+        # get(): NULL past the end (short docs), not an ANSI index error
+        + ", ".join(f"get({toks}, i + {j})" for j in range(n_grams))
         + ")))"
     )
     return F.expr(
@@ -499,6 +521,7 @@ def dedup_clusters(
         F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint()
     try:
+        converged = False
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(
@@ -530,9 +553,23 @@ def dedup_clusters(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
     finally:
         edges.unpersist()
+    if not converged:
+        # a component of diameter > max_iter would come back SPLIT into
+        # several cluster_ids — downstream keep-one-per-cluster then
+        # retains near-duplicates. Signal it instead of silent truncation.
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: label propagation did not converge within "
+            f"max_iter={max_iter} rounds — a component wider than that is "
+            f"split across multiple cluster_ids; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias(id_col), "cluster_id")
 
 

@@ -76,6 +76,11 @@ def assign_centroids(
     from pyspark.sql import types as T
 
     rows = centroids.orderBy("centroid_id").collect()
+    # REAL ids, not argmin positions: centroid tables can be non-dense
+    # (split_oversized_lists retires parents and adds children past the
+    # old max id) — a positional label would file vectors into wrong or
+    # retired lists. Sorted order keeps the tie-break at the lowest id.
+    c_ids = np.array([r["centroid_id"] for r in rows], dtype=np.int32)
     C = np.array([r["cvec"] for r in rows], dtype=np.float64)  # (nlist, dim)
     c_sq = (C * C).sum(axis=1)
     schema = T.StructType(list(corpus.schema.fields) + [T.StructField("centroid_id", T.IntegerType())])
@@ -90,7 +95,7 @@ def assign_centroids(
                 continue
             V = list_matrix(batch, vec_col, dtype=np.float64)  # (n, dim)
             d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
-            labels = d.argmin(axis=1).astype(np.int32)
+            labels = c_ids[d.argmin(axis=1)]
             yield batch.append_column(
                 pa.field("centroid_id", pa.int32()), pa.array(labels, pa.int32())
             )

@@ -69,8 +69,14 @@ def topk(
 
     The explicit tie-break makes the ordering total, hence oracle-checkable;
     the reference's sort (341-342) is distance-only and tie-unstable.
+    NULLS LAST: Spark's asc() is nulls-first, so a single NULL distance
+    (one corrupt corpus row) would otherwise take rank 1 for EVERY query
+    and displace a true neighbor; DuckDB's ASC is nulls-last, so this is
+    also the oracle's ordering.
     """
-    w = Window.partitionBy(*partition_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    w = Window.partitionBy(*partition_cols).orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    )
     return scored.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
 
 

@@ -109,8 +109,10 @@ def winnow_fingerprint(text: Column, k: int = 5) -> Column:
     of the Winnowing/MOSS rolling-hash family."""
     toks = F.split(normalized_text(text), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    # get(): short docs yield one partial window (concat_ws skips NULLs)
+    # instead of an ANSI INVALID_ARRAY_INDEX error under Spark 4 defaults
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)])
+        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])
     )
     return F.array_min(F.transform(grams, lambda g: F.md5(g.cast("binary"))))
 
@@ -136,8 +138,9 @@ def repetition_signals(text: Column) -> dict[str, Column]:
 
     def grams(k: int) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        # get(): NULL past the end on short docs, not an ANSI index error
         return F.transform(
-            idx, lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)])
+            idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])
         )
 
     bg, tg = grams(2), grams(3)
@@ -186,7 +189,11 @@ def bigram_lm(
     from pyspark.sql import Window
 
     toks = tokens(F.col(text_col))
-    pairs = docs.select(
+    # size >= 2 guard: sequence(0, size-2) on a 1-token doc is the
+    # DESCENDING sequence [0, -1] (Spark infers step -1), not empty —
+    # phantom reversed pairs / ANSI index errors (the bigram_lm twin below
+    # already filters this way)
+    pairs = docs.filter(F.size(toks) >= 2).select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - 2),
