@@ -46,18 +46,16 @@ EXTRA = {"q_knn_exact_fast": _knn_fast}
 def _splitmix_unit(ids, dim: int, seed: int):
     """Deterministic pseudo-random matrix in [0,1): splitmix64 finalizer over
     the (vec_id, dimension) grid — fully vectorized, identical regardless of
-    partitioning, so queries can be re-derived driver-side bit-exactly."""
+    partitioning, so queries can be re-derived driver-side bit-exactly.
+    The finalizer is the package's (operators/projection.py) — one
+    implementation, bit-identical cached corpora."""
     import numpy as np
+
+    from webscale_vector_search_spark.operators.projection import _splitmix_u64
 
     d_idx = np.arange(dim, dtype=np.uint64)[None, :]
     z = ids.astype(np.uint64)[:, None] * np.uint64(dim) + d_idx + np.uint64(seed)
-    with np.errstate(over="ignore"):
-        z = (z + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
-        z ^= z >> np.uint64(30)
-        z *= np.uint64(0x94D049BB133111EB)
-        z ^= z >> np.uint64(27)
-        z ^= z >> np.uint64(31)
-    return (z / np.float64(2**64)).astype(np.float32)
+    return (_splitmix_u64(z) / np.float64(2**64)).astype(np.float32)
 
 
 def _ann_vectors(ids, centers, seed: int):

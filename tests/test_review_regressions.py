@@ -295,7 +295,7 @@ def test_det_hash_no_overflow_past_3e9(spark):
     from webscale_vector_search_spark.functions.hashing import (
         _ADD,
         _MOD,
-        _MULT,
+        _seed_mult,
         det_hash,
     )
 
@@ -305,7 +305,55 @@ def test_det_hash_no_overflow_past_3e9(spark):
     )
     got = {r["id"]: r["h"] for r in df.collect()}
     for i in ids:
-        assert got[i] == ((i + 42) * _MULT + _ADD) % _MOD
+        assert got[i] == ((i + 42) * _seed_mult(42) + _ADD) % _MOD
+
+
+def test_distinct_seeds_give_independent_draws(spark):
+    """Two samples at different seeds must overlap ~at the product of their
+    rates: the old affine det_hash draw made every seed's draw the seed-0
+    draw plus a constant (measured 0% overlap where ~1% is expected) —
+    eval holdouts systematically excluded from/contained in training
+    samples instead of drawn independently. The md5 sample_draw fixes it."""
+    from webscale_vector_search_spark.operators.sampling import (
+        RATE_DENOM,
+        sample_draw,
+    )
+
+    n = 200_000
+    df = spark.range(n)
+    rate = 1000  # 10%
+    a = df.filter((sample_draw(F.col("id"), 0) % RATE_DENOM) < rate)
+    b = df.filter((sample_draw(F.col("id"), 1) % RATE_DENOM) < rate)
+    overlap = a.join(b, "id").count()
+    expected = n * 0.1 * 0.1
+    assert 0.7 * expected < overlap < 1.3 * expected
+    # seed=0 det_hash values are UNCHANGED by the seed-mixing hardening
+    # (stored shard layouts depend on them): _seed_mult(0) == _MULT
+    from webscale_vector_search_spark.functions.hashing import _MULT, _seed_mult
+
+    assert _seed_mult(0) == _MULT
+
+
+def test_sample_draw_matches_duckdb_oracle(spark):
+    """sample_draw's Spark values must equal its DuckDB oracle twin."""
+    import duckdb
+
+    from webscale_vector_search_spark.operators.sampling import (
+        sample_draw,
+        sample_draw_sql,
+    )
+
+    ids = [0, 1, 42, 999_999, 10**12]
+    got = {
+        r["id"]: r["h"]
+        for r in spark.createDataFrame([(i,) for i in ids], "id BIGINT")
+        .select("id", sample_draw(F.col("id"), 7).alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for i in ids:
+        exp = con.execute(f"SELECT {sample_draw_sql(str(i), 7)}").fetchone()[0]
+        assert got[i] == exp, (i, got[i], exp)
 
 
 def test_short_and_null_docs_survive_text_kernels(spark):

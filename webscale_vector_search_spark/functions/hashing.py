@@ -26,29 +26,43 @@ _ADD = 1013904223
 _MOD = 4294967296
 
 
+def _seed_mult(seed: int) -> int:
+    """Per-seed odd multiplier (mod-2^32 bijection; seed=0 -> _MULT, so
+    default-seed values — shard layouts, stored artifacts — are unchanged).
+    The seed must enter MULTIPLICATIVELY: with the textbook additive form
+    ((id+seed)*MULT) every seed's draw is the seed-0 draw plus a constant,
+    so two samples at different seeds are deterministically coupled
+    (measured: 0% overlap between 10% samples at seeds 0 and 1 where ~1%
+    is expected) — 'distinct seeds give independent draws' was false."""
+    return ((2 * seed + 1) * _MULT) % _MOD
+
+
 def det_hash(id_col: Column, seed: int = 0) -> Column:
     """Deterministic 32-bit hash of a non-negative BIGINT id column.
 
-    Computed in an overflow-safe split form: the naive (id+seed)*MULT
-    exceeds BIGINT for ids past ~3.4e9 (an ANSI arithmetic error under
+    Computed in an overflow-safe split form: the naive (id+seed)*mult
+    exceeds BIGINT for ids past ~2e9 (an ANSI arithmetic error under
     Spark 4's defaults — fatal at web-scale row counts). Splitting
     a = hi*2^16 + lo keeps every intermediate under 2^48 while producing
     the EXACT same value mod 2^32 (multiplication is a homomorphism mod
     2^32), so oracle parity with det_hash_sql's naive form on small-id
     test data is unchanged. Valid for ids up to ~2^47."""
+    ms = _seed_mult(seed)
     a = id_col + F.lit(seed)
     hi = F.shiftright(a, 16)
     lo = a.bitwiseAND(F.lit(65535))
     return (
-        ((hi * F.lit(_MULT)) % F.lit(_MOD)) * F.lit(65536)
-        + lo * F.lit(_MULT)
+        ((hi * F.lit(ms)) % F.lit(_MOD)) * F.lit(65536)
+        + lo * F.lit(ms)
         + F.lit(_ADD)
     ) % F.lit(_MOD)
 
 
 def det_hash_sql(id_expr: str, seed: int = 0) -> str:
-    """Same hash as ANSI SQL text — runnable verbatim in Spark SQL and DuckDB."""
-    return f"((({id_expr}) + {seed}) * {_MULT} + {_ADD}) % {_MOD}"
+    """Same hash as ANSI SQL text — runnable verbatim in Spark SQL and
+    DuckDB (naive form: valid for the small-id regime oracle data lives
+    in; the Column form above is the overflow-safe one)."""
+    return f"((({id_expr}) + {seed}) * {_seed_mult(seed)} + {_ADD}) % {_MOD}"
 
 
 def pmod_shard(id_col: Column, num_shards: int, seed: int = 0) -> Column:

@@ -34,7 +34,12 @@ def nearest_rank_percentiles(
 
     Output: one row per group with count, avg (exact-decimal), p_50/p_95/p_99.
     """
-    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc(), F.col(tie_col).asc())
+    # nulls-last, like the DuckDB twin's ASC: a NULL value must not take
+    # rank 1 and shift every real value's percentile rank (same divergence
+    # guard as operators.knn.topk)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc_nulls_last(), F.col(tie_col).asc_nulls_last()
+    )
     ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_n", F.count("*").over(Window.partitionBy(group_col))
     )
@@ -98,10 +103,11 @@ def retain_last_n(df: DataFrame, group_col: str, ts_col: str, tie_col: str, n: i
 def shard_histogram(df: DataFrame, shard_col: str = "shard_id") -> DataFrame:
     """A7 — vectors per shard plus grand total via rollup (reference sums
     index.ntotal per shard, 1220-1223)."""
-    return (
-        df.rollup(shard_col)
-        .agg(F.count("*").alias("n_vectors"))
-        .withColumn("is_total", F.col(shard_col).isNull())
+    # F.grouping, not isNull: a genuine NULL-valued shard group would
+    # otherwise be indistinguishable from the rollup's grand-total row
+    return df.rollup(shard_col).agg(
+        F.count("*").alias("n_vectors"),
+        (F.grouping(shard_col) == 1).alias("is_total"),
     )
 
 

@@ -139,7 +139,11 @@ def projected_knn(
         .join(F.broadcast(cands), id_col)
         .join(F.broadcast(queries.select("query_id", "qvec")), "query_id")
     )
-    ranked = topk(with_distance(refine, right=vec_col), k)
+    # order_cols must name the ACTUAL id column — the ('distance','vec_id')
+    # default unresolved-column-errors for any non-default id_col
+    ranked = topk(
+        with_distance(refine, right=vec_col), k, order_cols=("distance", id_col)
+    )
     return ranked.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),

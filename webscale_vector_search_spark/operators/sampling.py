@@ -19,12 +19,34 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from webscale_vector_search_spark.functions.hashing import det_hash, det_hash_sql
+from webscale_vector_search_spark.functions.hashing import det_hash
 
 # hash-threshold denominator: rates are expressed in basis points (1/10000),
 # enough resolution for any practical mix while keeping the threshold exact
 # integer arithmetic in every engine
 RATE_DENOM = 10_000
+
+
+def sample_draw(id_col: Column, seed: int = 0) -> Column:
+    """Portable 60-bit draw over (id, seed): md5 of "id:seed", first 15 hex
+    chars as BIGINT — the same dual-engine pattern as
+    dedup.simhash_feature_hashes. md5's avalanche makes draws at DIFFERENT
+    seeds genuinely independent; the affine det_hash cannot provide that
+    (its draw at seed s2 is the seed-s1 draw plus a constant — measured 0%
+    overlap between two 10% samples where ~1% is expected — and a
+    seed-dependent multiplier still leaves LCG lattice correlation on
+    consecutive ids). det_hash remains the SHARDING hash (layout-pinned,
+    cheap); sampling uses this draw."""
+    s = F.concat_ws(":", id_col.cast("string"), F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+def sample_draw_sql(id_expr: str, seed: int = 0) -> str:
+    """DuckDB oracle twin of :func:`sample_draw` (bit-identical values)."""
+    return (
+        f"CAST(CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || ':{seed}'),"
+        f" 1, 15) AS UBIGINT) AS BIGINT)"
+    )
 
 
 def _thresholds(weights: dict[str, float], stratum_col: str) -> Column:
@@ -45,7 +67,7 @@ def stratified_sample(
     seed: int = 0,
 ) -> DataFrame:
     """Keep each row of stratum s with probability weights[s], deterministically:
-    kept iff det_hash(id, seed) % 10000 < round(weights[s] * 10000).
+    kept iff sample_draw(id, seed) % 10000 < round(weights[s] * 10000).
 
     The same id always makes the same draw (stable across runs, partitions
     and cluster sizes), distinct seeds give independent draws (disjoint
@@ -54,7 +76,7 @@ def stratified_sample(
     knob down never resurrects different rows.
     """
     thr = _thresholds(weights, stratum_col)
-    return df.filter((det_hash(F.col(id_col), seed) % RATE_DENOM) < thr)
+    return df.filter((sample_draw(F.col(id_col), seed) % RATE_DENOM) < thr)
 
 
 def stratified_sample_sql(
@@ -64,12 +86,12 @@ def stratified_sample_sql(
     seed: int = 0,
 ) -> str:
     """The WHERE predicate of :func:`stratified_sample` as ANSI SQL text
-    (oracle twin — det_hash_sql is engine-portable)."""
+    (oracle twin — sample_draw_sql is engine-portable)."""
     cases = " ".join(
         f"WHEN '{s}' THEN {int(round(w * RATE_DENOM))}" for s, w in sorted(weights.items())
     )
     return (
-        f"(({det_hash_sql(id_col, seed)}) % {RATE_DENOM}) < "
+        f"(({sample_draw_sql(id_col, seed)}) % {RATE_DENOM}) < "
         f"(CASE {stratum_col} {cases} ELSE 0 END)"
     )
 
@@ -83,7 +105,7 @@ def holdout_split(
     """(train, holdout) — the deterministic complement pair of the same hash
     draw, so the two sides are disjoint and exhaustive by construction."""
     thr = int(round(holdout_rate * RATE_DENOM))
-    draw = det_hash(F.col(id_col), seed) % RATE_DENOM
+    draw = sample_draw(F.col(id_col), seed) % RATE_DENOM
     return df.filter(draw >= thr), df.filter(draw < thr)
 
 
@@ -114,7 +136,11 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    toks = F.size(F.split(F.lower(F.col(text_col)), " "))
+    # coalesce: a NULL text would make n_tokens NULL, the window sum would
+    # skip it, and every downstream offset/seq_id for that doc would be
+    # silently NULL — NULL docs pack like empty docs (1 phantom token,
+    # split('')=['']), deterministic on both engines (oracle matches)
+    toks = F.size(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "))
     sharded = docs.select(
         F.col(id_col),
         (det_hash(F.col(id_col)) % num_shards).cast("int").alias("shard"),

@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from webscale_vector_search_spark.functions.hashing import qvec_hash
 
@@ -34,9 +35,15 @@ def search_with_query_dedup(
 
     `search_fn` receives a DataFrame (query_id, qvec) whose query_id is the
     canonical (minimum) id per distinct vector, and must return the standard
-    result schema (query_id, rank, neighbor_id, distance, ...).
+    result schema (query_id, rank, neighbor_id, distance, ...). A caller
+    that already computed `_qhash` (cached_search) passes it through
+    instead of paying the %.17g-render + md5 pass a second time.
     """
-    hashed = queries.withColumn("_qhash", qvec_hash(F.col(qvec)))
+    hashed = (
+        queries
+        if "_qhash" in queries.columns
+        else queries.withColumn("_qhash", qvec_hash(F.col(qvec)))
+    )
     canonical = hashed.groupBy("_qhash").agg(
         F.min(query_id).alias(query_id), F.first(qvec).alias(qvec)
     )
@@ -81,7 +88,11 @@ def cached_search(
     try:
         try:
             prior_keys = spark.read.parquet(cache_path).select("_qhash").distinct()
-        except Exception:  # first run: empty cache
+        except AnalysisException:  # first run: the cache path doesn't exist
+            # yet. ONLY path-not-found: a corrupt part file or storage fault
+            # must fail fast here, not masquerade as an empty cache (it
+            # would re-search everything, append duplicates, then throw
+            # anyway on the post-append read)
             prior_keys = None
 
         miss_queries = (
@@ -95,7 +106,7 @@ def cached_search(
         # a separate count job first. Dedup against concurrent writers is
         # append-only-idempotent: duplicate keys collapse on read.
         miss_results = search_with_query_dedup(
-            miss_queries.select("query_id", "qvec"), search_fn
+            miss_queries.select("query_id", "qvec", "_qhash"), search_fn
         )
         new_entries = (
             miss_results.join(

@@ -1739,7 +1739,7 @@ _PACK_ORACLE = f"""
 WITH sharded AS (
   SELECT doc_id,
          CAST(({det_hash_sql('doc_id')}) % {_PACK_SHARDS} AS INT) AS shard,
-         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         CAST(len(string_split(lower(coalesce(text, '')), ' ')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 offs AS (
