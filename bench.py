@@ -1684,6 +1684,12 @@ def main() -> None:
     calibration = _calibrate(spark, io_dir=ann_dir)
 
     timings: dict[str, float] = {}
+    # adjacent probes for the HEADLINE block itself (VERDICT r11 #2): the
+    # per-tier probe protocol adjudicated the 10M drift but could not speak
+    # for q_knn_exact's +31% — the six headline queries now carry their own
+    # denominator (pre AND post: the block runs ~20 s of Spark jobs, long
+    # enough for box state to move)
+    headline_probe_pre = _quick_probe(ann_dir)
     for name in HEADLINE + list(EXTRA):
         fn = QUERIES.get(name) or EXTRA[name]
         fn(spark, sf_dir).count()  # warm-up: JIT, file listing, broadcast
@@ -1693,6 +1699,11 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+    headline_probe_post = _quick_probe(ann_dir)
+    calibration["headline"] = {
+        "pre": headline_probe_pre,
+        "post": headline_probe_post,
+    }
 
     # the ≥1M-vector ANN tier (FLAT vs IVF vs IVFPQ with recall); disable
     # with SPARK_GRAFT_ANN_TIER=0, resize with SPARK_GRAFT_ANN_N

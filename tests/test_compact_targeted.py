@@ -130,6 +130,9 @@ def test_targeted_ivf_clustered_delete(spark, corpus, queries, live_oracle,
     assert meta["total_vectors"] == n_live
     assert not os.path.isdir(os.path.join(out, "tombstones"))
     assert "has_tombstones" not in meta
+    # targeted skips the re-profile by cost contract — the curve's lag is
+    # recorded, not silent (VERDICT r11 #6)
+    assert meta["profile_stale"] is True
 
     # planner stats subtracted the dead cluster's combos exactly
     from webscale_vector_search_spark.sources.attr_stats import (

