@@ -858,3 +858,61 @@ def test_epoch_cleanup_handles_glob_metacharacters(tmp_path):
     open(victim, "w").close()
     assert clean_epoch_files(vdir, "tok", 1) == 1
     assert not os.path.exists(victim)
+
+
+def test_incremental_ivf_append_uses_stored_centroids(spark, corpus,
+                                                      tmp_path_factory):
+    """ADVICE r11: an IVF append into an EXISTING index assigns against the
+    STORED <dir>/centroids table — a caller-passed table that disagrees is
+    refused (it would file appended vectors into cells the probe selector
+    never routes to), and passing nothing works (the stored table is used
+    automatically)."""
+    from webscale_vector_search_spark.plans.build import build_index
+    from webscale_vector_search_spark.sources.index_io import open_index
+    from webscale_vector_search_spark.streaming.build_stream import (
+        incremental_build,
+        refresh_metadata,
+    )
+
+    first = corpus.filter(F.col("vec_id") % 2 == 0)
+    rest = corpus.filter(F.col("vec_id") % 2 == 1)
+    out = str(tmp_path_factory.mktemp("ivf_stored_cents"))
+    cfg = EngineConfig(index_type="IVF", nlist=8, kmeans_sample_fraction=1.0)
+    build_index(spark, first, out, cfg)
+    handle = open_index(spark, out)
+
+    # a DIFFERENT centroid table (shifted vectors): refused before any write
+    bad = handle.centroids.withColumn(
+        "cvec", F.transform("cvec", lambda x: x + F.lit(100.0))
+    )
+    src_bad = str(tmp_path_factory.mktemp("ivf_cents_src_bad"))
+    with pytest.raises(ValueError, match="stored"):
+        incremental_build(
+            spark, _stream_corpus(spark, rest, src_bad), out, cfg, centroids=bad
+        )
+
+    # centroids=None: the stored table is picked up automatically
+    src = str(tmp_path_factory.mktemp("ivf_cents_src"))
+    q = incremental_build(spark, _stream_corpus(spark, rest, src), out, cfg)
+    q.awaitTermination(120)
+    refresh_metadata(spark, out)
+    h2 = open_index(spark, out)
+    assert h2.meta["total_vectors"] == corpus.count()
+    # appended rows landed in the SAME cells batch assignment puts them in
+    from webscale_vector_search_spark.operators.ivf import assign_centroids
+
+    want = {
+        (r["vec_id"], r["centroid_id"])
+        for r in assign_centroids(rest, handle.centroids)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    got = {
+        (r["vec_id"], r["centroid_id"])
+        for r in h2.vectors.join(
+            rest.select("vec_id"), "vec_id", "left_semi"
+        )
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert got == want

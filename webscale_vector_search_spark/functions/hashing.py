@@ -19,8 +19,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Knuth's 2^32 golden-ratio multiplier; modulus 2^32 keeps products < 2^63
-# for ids < ~3.4e9 — no BIGINT overflow in either engine.
+# Knuth's 2^32 golden-ratio multiplier, modulus 2^32. det_hash's split
+# form (below) stays BIGINT-safe for ids up to ~2^47; the NAIVE product
+# form (det_hash_sql, oracle-only) overflows past ids ~3.4e9 and is kept
+# strictly for the small-id regime the test data lives in.
 _MULT = 2654435761
 _ADD = 1013904223
 _MOD = 4294967296
@@ -43,10 +45,12 @@ def det_hash(id_col: Column, seed: int = 0) -> Column:
     Computed in an overflow-safe split form: the naive (id+seed)*mult
     exceeds BIGINT for ids past ~2e9 (an ANSI arithmetic error under
     Spark 4's defaults — fatal at web-scale row counts). Splitting
-    a = hi*2^16 + lo keeps every intermediate under 2^48 while producing
-    the EXACT same value mod 2^32 (multiplication is a homomorphism mod
-    2^32), so oracle parity with det_hash_sql's naive form on small-id
-    test data is unchanged. Valid for ids up to ~2^47."""
+    a = hi*2^16 + lo keeps every intermediate under 2^63 — the largest is
+    hi*ms ~= 2^(47-16) * 2^32 = 2^63-ish at the id ceiling (per-seed
+    multipliers approach 2^32), comfortably inside signed BIGINT, while
+    producing the EXACT same value mod 2^32 (multiplication is a
+    homomorphism mod 2^32), so oracle parity with det_hash_sql's naive
+    form on small-id test data is unchanged. Valid for ids up to ~2^47."""
     ms = _seed_mult(seed)
     a = id_col + F.lit(seed)
     hi = F.shiftright(a, 16)

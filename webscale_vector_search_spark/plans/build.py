@@ -1238,13 +1238,20 @@ def search_index(
                 # of them: the adaptive budget is a max over queries, and a
                 # 4096-query sample's max is the batch's max in any
                 # realistic batch — serve-sized batches fit under the cap,
-                # keeping the serve-path plan bit-identical)
+                # keeping the serve-path plan bit-identical). Ordered by
+                # query_id before the cut (TakeOrderedAndProject — no full
+                # sort lands on the driver): a bare limit() over >4096
+                # queries returns whichever partitions answer first, so the
+                # plan itself would vary run-to-run (ADVICE r11).
                 import numpy as np
 
                 plan_q = np.stack(
                     [
                         r["qvec"]
-                        for r in queries.select("qvec").limit(4096).collect()
+                        for r in queries.select("query_id", "qvec")
+                        .orderBy("query_id")
+                        .limit(4096)
+                        .collect()
                     ]
                 ).astype("float64")
             nprobe = plan_nprobe(

@@ -444,11 +444,15 @@ def _graph_fallback_allowed(handle, where, allowed_sorted) -> np.ndarray:
             )
         attrs = {n[2:]: col for n, col in side.items() if n.startswith("a:")}
         ids_w = side["ids"][np.asarray(where(attrs), dtype=bool)]
-        if len(cache) >= 8:
-            cache.pop(next(iter(cache)))
-        hit = cache[key] = (
+        hit = (
             ids_w if allowed_sorted is None else np.intersect1d(ids_w, allowed_sorted)
         )
+        # same FIFO discipline (and cap) as every other per-handle plan
+        # cache — a second inline implementation had already drifted to
+        # its own cap of 8 (ADVICE r11)
+        from webscale_vector_search_spark.sources.attr_stats import _cache_put
+
+        _cache_put(cache, key, hit)
     return hit
 
 

@@ -268,6 +268,47 @@ def incremental_build(
                 "match the stored layout"
             )
     num_shards = int(meta_now.get("num_shards") or config.num_shards)
+    # IVF-family appends into an EXISTING index must assign against the
+    # STORED centroid table (ADVICE r11): the layout checks above verify
+    # index_type/num_shards/metric but previously trusted a caller-passed
+    # centroids table — a mismatched one silently files appended vectors
+    # into cells no probe selection will ever route their queries to. Same
+    # refuse-on-mismatch discipline as the other layout knobs: the stored
+    # table wins; a passed table that DISAGREES (count or contents) is an
+    # error, not a preference. Both tables are nlist-sized, so the exact
+    # comparison is a bounded job.
+    if config.index_type in ("IVF", "IVFPQ"):
+        stored_cent_dir = os.path.join(out_dir, "centroids")
+        if any(
+            f.endswith(".parquet")
+            for f in (os.listdir(stored_cent_dir) if os.path.isdir(stored_cent_dir) else [])
+        ):
+            stored_cents = spark.read.parquet(stored_cent_dir)
+            if centroids is not None:
+                from pyspark.sql import functions as F
+
+                def _norm(df):
+                    # common frame for the exact comparison: a float32
+                    # table passed against a float64 store (or vice versa)
+                    # must compare by value, not by schema accident
+                    return df.select(
+                        F.col("centroid_id").cast("int").alias("centroid_id"),
+                        F.col("cvec").cast("array<double>").alias("cvec"),
+                    )
+
+                disagree = (
+                    centroids.count() != stored_cents.count()
+                    or _norm(centroids).exceptAll(_norm(stored_cents)).count() != 0
+                )
+                if disagree:
+                    raise ValueError(
+                        "the passed centroids table disagrees with the "
+                        f"stored <{out_dir}>/centroids — appended vectors "
+                        "would be filed into cells the probe selector "
+                        "never routes to; pass the stored table (or "
+                        "nothing: it is used automatically)"
+                    )
+            centroids = stored_cents
     # appends to an attributed index must carry the attr columns: epochs
     # published without them read back as NULLs and never match any filter
     # (same contract as plans.build.append_vectors, one layer down)
