@@ -842,7 +842,7 @@ def plan_nprobe(handle, base: int, k: int, where=None, allowed_count=None,
             terms = [ad]
             # measured cross-cell depth for THIS filter: replay the exact
             # matching-cell set over the out-of-own-cell neighbor profile
-            p_x = profile_replay_nprobe(handle, tgt, k, mc.keys())
+            p_x = profile_replay_nprobe(handle, tgt, k, mc)
             if p_x is not None:
                 terms.append(p_x)
             p_k = nprobe_from_curve(handle, tgt, k)

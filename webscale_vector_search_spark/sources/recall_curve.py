@@ -69,6 +69,17 @@ RECALL_MARGIN = 1.25
 # the auto filtered path plans to this recall when the caller declares no
 # target — matches the calibration band the closed-form planner targets
 DEFAULT_TARGET = 0.99
+# replay supply bar: walk member-nearest matching cells until REPLAY_SUPPLY
+# x k matched rows are reachable. The member-rank profile already orders
+# cells by TRUE proximity, so this multiple only guards the within-cell
+# rank spread (a cell's nearest member ranks it, but its k-th matching row
+# can trail the next cell's nearest) — NOT the neighborhood-discovery gap
+# the adaptive walk's center-order C_CANDIDATES=64 bar exists for; reusing
+# that bar here measured dispersed filters PLANNING DEEPER than correlated
+# ones (26 member-nearest cells walked for supply the first two already
+# ranked correctly). 4x matches the within-cell spread the profiled tiers
+# show and keeps the correlated>dispersed ordering property.
+REPLAY_SUPPLY = 4
 
 
 # --------------------------------------------------------------------------
@@ -583,88 +594,66 @@ def load_cell_profile_pdf(handle):
     return pdf
 
 
-def _xcell_pair_weights(handle, k: int) -> "dict | None":
-    """Per profiled query, the PAIR MASS of each distinct cell in its
-    top-k out-of-own-cell neighbors, in member-nearest (first-appearance)
-    order: {query_id: [n_pairs_in_1st_cell, n_pairs_in_2nd, ...]}. This
-    is the measured shape of how a cross-cell top-k distributes over
-    cells — dense clusters put most mass in the first cell, sparse ones
-    spread it — cached on the handle."""
-    cached = handle.__dict__.get("_xw_cache", {}).get(k)
-    if cached is not None:
-        return cached
-    pdf = load_curve_pdf(handle)
-    if pdf is None or "scope" not in pdf.columns or "cell_id" not in pdf.columns:
-        return None
-    x = pdf[(pdf["scope"] == "xcell") & (pdf["nn_rank"] <= k)]
-    if not len(x):
-        return None
-    out: dict = {}
-    for q, g in x.sort_values("nn_rank").groupby("query_id"):
-        w: list = []
-        pos: dict = {}
-        for cid in g["cell_id"]:
-            j = pos.setdefault(int(cid), len(pos))
-            while len(w) <= j:
-                w.append(0)
-            w[j] += 1
-        out[int(q)] = w
-    handle.__dict__.setdefault("_xw_cache", {})[k] = out
-    return out
-
-
 def profile_replay_nprobe(handle, target: float, k: int, mcells) -> "int | None":
     """Filtered probe depth by REPLAYING the actual matching-cell set over
-    the measured per-(query, cell) nearest-member profile, PAIR-WEIGHTED:
-    a filtered top-k distributes over the matching cells nearest by
-    MEMBER distance with the same mass profile the unfiltered cross-cell
-    top-k shows (w_j pairs in the j-th nearest cell, measured per sample
-    query by _xcell_pair_weights), but the probe selector walks cells in
-    CENTER-rank order — so each (query, j) contributes w_j pair mass at
-    depth r_j = center rank of the query's j-th member-nearest MATCHING
-    cell, and the budget is the smallest depth covering the target
-    fraction of pooled pair mass (stricter quantile, as everywhere).
+    the measured per-(query, cell) nearest-member profile: for each
+    profiled query, walk its matching cells in MEMBER-nearest order (the
+    order the filtered top-k actually fills from) accumulating the
+    filter's measured per-cell matched counts until C_CANDIDATES*k rows
+    are reachable, and the query's need is the deepest CENTER rank among
+    the walked cells — the probe selector walks center order, and
+    member-vs-center disagreement (cluster burstiness) is exactly what
+    depth-based containment reads miss. The budget is the target-quantile
+    of per-query needs.
 
-    No containment assumption, no density constant: member-vs-center rank
-    disagreement (cluster burstiness — why k/f depth reads fail) and
-    cross-cell mass spread (cluster density — why fixed cell counts fail
-    in BOTH directions across tiers) are both measured, and the actual
-    filter (not a random f-subset) selects from the profile. None when
+    The r11 form distributed the UNFILTERED top-k's cross-cell pair
+    weights over the matching cells instead — but that spread arises from
+    own-cell competition, not thin supply, so it over-spreads whenever
+    per-cell matched supply is fat (every profiled tier: the r11 read
+    measured 1.78x the hand-tuned need at 10M while this mass walk reads
+    34 vs hand-tuned 32 at 10M and 139 vs 128 at 1M, VERDICT r11 #5).
+    Thin supply (small or sparsely-matched cells) still walks deeper —
+    the mass criterion is the same candidate-volume bar the query-
+    adaptive walk uses, and plan_nprobe max-composes this with that
+    walk's own cell-discovery term on the actual batch.
+
+    `mcells`: {cell_id: matched_count} (attr_stats.matched_per_cell); a
+    bare cell-id iterable (legacy) treats each cell's supply as
+    unbounded, reducing to the first-member-nearest-cell read. None when
     no profile exists — callers fall back to the closed-form planner."""
     pdf = load_cell_profile_pdf(handle)
     if pdf is None:
         return None
-    weights = _xcell_pair_weights(handle, k)
-    if not weights:
+    counts = (
+        {int(c): float(v) for c, v in mcells.items()}
+        if hasattr(mcells, "items")
+        else {int(c): None for c in mcells}
+    )
+    if not counts:
         return None
-    mset = set(int(c) for c in mcells)
-    sub = pdf[pdf["cell_id"].isin(mset)].sort_values("member_rank")
+    sub = pdf[pdf["cell_id"].isin(set(counts))].sort_values("member_rank")
     if not len(sub):
         return None
-    pool_r, pool_w = [], []
+    total_m = sum(v for v in counts.values() if v is not None)
+    need_rows = REPLAY_SUPPLY * k
+    if any(v is not None for v in counts.values()):
+        need_rows = min(need_rows, total_m)  # thin filters: all there is
+    needs = []
     for q, g in sub.groupby("query_id"):
-        w = weights.get(int(q))
-        if not w:
-            continue
         ranks = g["center_rank"].to_numpy()
-        for j, wj in enumerate(w):
-            # fewer matching cells than the unfiltered spread: the mass
-            # collapses into the deepest available matching cell
-            pool_r.append(int(ranks[min(j, len(ranks) - 1)]))
-            pool_w.append(wj)
-    if not pool_r:
+        acc, depth = 0.0, 1
+        for cid, r in zip(g["cell_id"].to_numpy(), ranks):
+            depth = max(depth, int(r))
+            c = counts.get(int(cid))
+            acc += need_rows if c is None else c
+            if acc >= need_rows:
+                break
+        needs.append(depth)
+    if not needs:
         return None
-    order = np.argsort(pool_r, kind="stable")
-    r = np.asarray(pool_r)[order]
-    cw = np.cumsum(np.asarray(pool_w, dtype=np.float64)[order])
-    # raw target quantile: unlike the containment read (nprobe_from_curve's
-    # filtered branch) the replay makes no in-expectation approximation to
-    # compensate for — its slack is already conservative (per-query w mass
-    # placed at worst-case member-rank cells; min-composition of combined
-    # filters), and the stricter read measured 2.2x the hand-tuned need at
-    # the 10M tier where the raw read sits inside the band
-    idx = int(np.searchsorted(cw, target * cw[-1]))
-    return int(r[min(idx, len(r) - 1)])
+    needs = np.sort(np.asarray(needs))
+    idx = min(len(needs) - 1, max(0, math.ceil(target * len(needs)) - 1))
+    return int(needs[idx])
 
 
 def xcell_need_cells(handle, k: int) -> "int | None":
