@@ -333,9 +333,22 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     # HNSW over persisted graphs: traversal-only serving. Two warm-ups so
     # the per-python-worker graph cache is populated before timing (cold
     # tasks pay the one-time adjacency load the reference pays at node
-    # startup, 537-545)
+    # startup, 537-545). The DEFAULT arm follows the engine default (r12:
+    # curve-picked beam at DEFAULT_TARGET when a curve exists — VERDICT
+    # r11 #4), so the picked ef is recorded beside it and an explicit
+    # ef=64 arm keeps the r1-r11 trend comparable.
+    from webscale_vector_search_spark.sources.recall_curve import (
+        DEFAULT_TARGET as _DT,
+        ef_from_curve as _efc,
+    )
+
+    hnsw_default_ef = _efc(hnsw_handle, _DT, k) or 64
     hnsw_sec, hnsw_res = timed(
         lambda: search_index(spark, hnsw_handle, queries, k=k), warmups=2
+    )
+    hnsw64_sec, hnsw64_res = timed(
+        lambda: search_index(spark, hnsw_handle, queries, k=k, ef_search=64),
+        warmups=1, runs=2,
     )
     # single-query latency: the low-latency serving shape, where probe
     # pruning cuts IO 250x (4 of 1000 lists) instead of the batch union
@@ -471,6 +484,9 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         },
         "hnsw_sec": hnsw_sec,
         "hnsw_recall": round(recall_at_k(hnsw_res, exact, k=k), 4),
+        "hnsw_default_ef": hnsw_default_ef,
+        "hnsw_ef64_sec": hnsw64_sec,
+        "hnsw_ef64_recall": round(recall_at_k(hnsw64_res, exact, k=k), 4),
         "hnsw_m": builds["hnsw"].hnsw_m,
         "hnsw_shards": builds["hnsw"].num_shards,
         "flat_1q_sec": flat1_sec,
@@ -904,6 +920,109 @@ def _ann_highdim(spark, cache_dir: str) -> dict:
             sweep[arm].append(
                 {"ef_search": ef, "batch_sec": s, "recall": round(recall_at_k(r, exact, k=k), 4)}
             )
+    # ---- clustered 512-d arm (VERDICT r11 #8 stretch): the uniform
+    # hypercube above is the structureless worst case (graphs cap at 0.57
+    # recall, IVF needs 2 probes). Real embedding corpora carry cluster
+    # structure at EVERY dim — this arm keeps dim=512 but generates from
+    # 316 natural clusters (the same generator family as the 64-d tiers),
+    # so the pair (uniform, clustered) isolates STRUCTURE, not dim, as the
+    # regime variable, and the stored recall curves of both families show
+    # whether the curve-driven planner (recall_target) picks the right
+    # family at each point — the decision a high-dim embedding user faces.
+    cl_centers = np.random.default_rng(seed + 1).normal(
+        0.0, 1.0, (nlist, dim)
+    ).astype(np.float32)
+    corpus_cl_path = os.path.join(cache_dir, f"corpus_hdcl_n{n}_d{dim}")
+    if not os.path.exists(os.path.join(corpus_cl_path, "_SUCCESS")):
+
+        def gen_cl(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                vecs = _ann_vectors(ids, cl_centers, seed + 1)
+                yield pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+        t0 = time.perf_counter()
+        (
+            spark.range(n, numPartitions=32)
+            .mapInPandas(gen_cl, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .write.mode("overwrite")
+            .parquet(corpus_cl_path)
+        )
+        build_secs["gen_cl"] = round(time.perf_counter() - t0, 1)
+    corpus_cl = spark.read.parquet(corpus_cl_path)
+    q_cl = _ann_vectors(
+        np.arange(n, n + n_queries, dtype=np.int64), cl_centers, seed + 1
+    )
+    queries_cl = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(q_cl)],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    ).cache()
+    queries_cl.count()
+    builds_cl = {
+        "ivf_cl": EngineConfig(
+            index_type="IVF", vector_dim=dim, nlist=nlist,
+            kmeans_sample_fraction=0.2, ivf_max_list_factor=None,
+        ),
+        "hnsw_cl": EngineConfig(
+            index_type="HNSW", vector_dim=dim, num_shards=n_shards,
+            ivf_max_list_factor=None,
+        ),
+    }
+    handles_cl = {}
+    for name, cfg in builds_cl.items():
+        idx_dir = _idx_cache_dir(cache_dir, f"hdcl_{cfg.index_type}", cfg, n)
+        if not os.path.exists(os.path.join(idx_dir, "shards_metadata.json")):
+            t0 = time.perf_counter()
+            build_index(spark, corpus_cl, idx_dir, cfg)
+            build_secs[f"build_{name}"] = round(time.perf_counter() - t0, 1)
+        handles_cl[name] = open_index(spark, idx_dir)
+    if build_secs:
+        with open(builds_file, "w") as f:
+            json.dump(build_secs, f)
+    flat_cl_sec, exact_cl = timed(lambda: knn_pandas(corpus_cl, queries_cl, k=k))
+    sweep_cl = {"ivf": [], "hnsw": []}
+    for np_ in (1, 2, 4, 8):
+        s, r = timed(
+            lambda np_=np_: search_index(
+                spark, handles_cl["ivf_cl"], queries_cl, k=k, nprobe=np_
+            ),
+            runs=2,
+        )
+        sweep_cl["ivf"].append(
+            {"nprobe": np_, "batch_sec": s,
+             "recall": round(recall_at_k(r, exact_cl, k=k), 4)}
+        )
+    for ef in (16, 32, 64, 128):
+        s, r = timed(
+            lambda ef=ef: search_index(
+                spark, handles_cl["hnsw_cl"], queries_cl, k=k, ef_search=ef
+            ),
+            warmups=2, runs=2,
+        )
+        sweep_cl["hnsw"].append(
+            {"ef_search": ef, "batch_sec": s,
+             "recall": round(recall_at_k(r, exact_cl, k=k), 4)}
+        )
+    # what the curve-driven planner would PICK on each (family, corpus):
+    # the stored build-time curves, read at the default target — the
+    # family decision signal (a pick at the ladder/lists ceiling means the
+    # curve itself says the family can't reach the target there)
+    from webscale_vector_search_spark.sources.recall_curve import (
+        DEFAULT_TARGET,
+        ef_from_curve,
+        nprobe_from_curve,
+    )
+
+    planner_cl = {
+        "uniform_ivf_nprobe": nprobe_from_curve(handles["ivf"], DEFAULT_TARGET, k),
+        "uniform_hnsw_ef": ef_from_curve(handles["hnsw"], DEFAULT_TARGET, k),
+        "clustered_ivf_nprobe": nprobe_from_curve(
+            handles_cl["ivf_cl"], DEFAULT_TARGET, k
+        ),
+        "clustered_hnsw_ef": ef_from_curve(handles_cl["hnsw_cl"], DEFAULT_TARGET, k),
+    }
     return {
         "corpus": n,
         "dim": dim,
@@ -914,6 +1033,12 @@ def _ann_highdim(spark, cache_dir: str) -> dict:
         "distribution": "uniform_hypercube",
         "flat_sec": flat_sec,
         "sweep": sweep,
+        "clustered": {
+            "distribution": "316 natural clusters, same dim/size",
+            "flat_sec": flat_cl_sec,
+            "sweep": sweep_cl,
+            "planner_picks": planner_cl,
+        },
         "build_sec": build_secs,
     }
 
@@ -1053,12 +1178,26 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
             spark, hc_handle, queries, k=k, nprobe=nprobe, refine_factor=4
         )
     )
+    # DEFAULT arm = the engine default, which since r12 is the curve-picked
+    # beam at DEFAULT_TARGET (VERDICT r11 #4: the hardcoded ef=64 served
+    # 0.9175 recall here while the sidecar knew better); the picked ef is
+    # recorded and an explicit ef=64 arm keeps the r1-r11 trend comparable
+    from webscale_vector_search_spark.sources.recall_curve import (
+        DEFAULT_TARGET as _DT,
+        ef_from_curve as _efc,
+    )
+
+    hnsw_default_ef = _efc(hnsw_handle, _DT, k) or 64
     hnsw_sec, hnsw_res = timed(
         lambda: search_index(spark, hnsw_handle, queries, k=k), warmups=2
     )
-    # the shard-depth recall datum: 625k-node shards at the default ef=64
-    # measure ~0.92 recall where 62.5k-node shards measure ~0.99 — ef=128
-    # buys back ~0.04 for ~10% latency, ef=192 only ~0.01 more for 2x
+    hnsw64_sec, hnsw64 = timed(
+        lambda: search_index(spark, hnsw_handle, queries, k=k, ef_search=64),
+        warmups=1, runs=2,
+    )
+    # the shard-depth recall datum: 625k-node shards at ef=64 measure
+    # ~0.92 recall where 62.5k-node shards measure ~0.99 — ef=128 buys
+    # back ~0.04 for ~10% latency, ef=192 only ~0.01 more for 2x
     # (measured r8), so shard SIZE, not beam width, is the recall lever
     # for graph serving at scale
     hnsw128_sec, hnsw128 = timed(
@@ -1119,6 +1258,9 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
         },
         "hnsw_sec": hnsw_sec,
         "hnsw_recall": round(recall_at_k(hnsw_res, exact, k=k), 4),
+        "hnsw_default_ef": hnsw_default_ef,
+        "hnsw_ef64_sec": hnsw64_sec,
+        "hnsw_ef64_recall": round(recall_at_k(hnsw64, exact, k=k), 4),
         "hnsw_ef128_sec": hnsw128_sec,
         "hnsw_ef128_recall": round(recall_at_k(hnsw128, exact, k=k), 4),
         "hnsw_shards": 16,
@@ -1430,12 +1572,18 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
         index_type="IVF", nlist=nlist, kmeans_sample_fraction=0.002,
         centroid_polish_iters=0, ivf_max_list_factor=None,
     )
-    idx_dir = _idx_cache_dir(cache_dir, "IVF100M", cfg, n)
+    # attributed since r12 (VERDICT r11 #3): label = vec_id % 10 rides the
+    # rows so the MEASURED filtered planner (attr stats + cell profile +
+    # recall curve) is exercised at the tier the 100 TB story extrapolates
+    # from. tools/enrich_100m_attrs.py migrates a cached r11 artifact
+    # in-place (same rows, same assignments) instead of re-paying the build.
+    idx_dir = _idx_cache_dir(cache_dir, "IVF100M_ATTR", cfg, n)
     built = os.path.exists(os.path.join(idx_dir, "shards_metadata.json"))
     if not built and os.environ.get("SPARK_GRAFT_ANN_100M", "0") != "1":
         return {}, {
             "skipped": "cold cache — a ~1 h 100M build; run "
-            "tools/prebuild_100m.py or set SPARK_GRAFT_ANN_100M=1"
+            "tools/prebuild_100m.py (or tools/enrich_100m_attrs.py over an "
+            "r11 artifact) or set SPARK_GRAFT_ANN_100M=1"
         }
     build_secs: dict[str, float] = {}
     if not built:
@@ -1446,13 +1594,19 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
             for pdf in batches:
                 ids = pdf["id"].to_numpy()
                 vecs = _ann_vectors(ids, centers, seed)
-                yield pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "embedding": list(vecs),
+                        "label": (ids % 10).astype("int32"),
+                    }
+                )
 
         corpus = spark.range(n, numPartitions=256).mapInPandas(
-            gen, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+            gen, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
         )
         t0 = time.perf_counter()
-        build_index(spark, corpus, idx_dir, cfg)
+        build_index(spark, corpus, idx_dir, cfg, attr_cols=["label"])
         build_secs["build_ivf"] = round(time.perf_counter() - t0, 1)
         builds_file = os.path.join(cache_dir, f"builds_n{n}.json")
         merged = {}
@@ -1485,16 +1639,19 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
     ivf16_sec, ivf16 = timed(
         lambda: search_index(spark, handle, queries, k=k, nprobe=16), runs=2
     )
-    # filtered arm at the stretch tier (VERDICT r9 #6): the artifact
-    # carries no attr columns, so the predicate derives from the stored
-    # vec_id column — same scan-side filtered path (PushedFilters +
-    # in-scan evaluation), selectivity 0.1, manual ~1/s probe scaling
-    # (no attr_stats table -> the auto planner correctly stays at the
-    # default; scaling here is the arm's own knob)
-    F_WHERE = "vec_id % 10 = 7"
+    # filtered arms at the stretch tier (VERDICT r9 #6; auto-planned since
+    # r12 — VERDICT r11 #3): label = vec_id % 10 rides the rows, so
+    # `label = 7` filters the SAME rows the r11 `vec_id % 10 = 7` arm did
+    # (cross-round comparability) while giving the measured planner its
+    # stats. The fixed nprobe*10 arm stays as the hand-scaled reference.
+    F_WHERE = "label = 7"
     filt_sec, filt = timed(
         lambda: search_index(spark, handle, queries, k=k, nprobe=nprobe * 10,
                              where=F_WHERE),
+        runs=2,
+    )
+    filt_auto_sec, filt_auto = timed(
+        lambda: search_index(spark, handle, queries, k=k, where=F_WHERE),
         runs=2,
     )
     exact_f = knn_pandas(
@@ -1528,11 +1685,43 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
         lambda: search_index(spark, handle, queries, k=k, recall_target=0.99),
         runs=2,
     )
+    # filtered planner calibration at the stretch tier (VERDICT r11 #3):
+    # the hand-tuned recall-0.99 need from a bounded nprobe ladder (one
+    # pass each — recall, not latency, is the readout) vs the auto pick
+    from webscale_vector_search_spark.config import default_nprobe
+    from webscale_vector_search_spark.sources.attr_stats import (
+        plan_nprobe,
+        selectivity,
+    )
+
+    hand_f_np, hand_f_sweep = nlist, {}
+    for p in (1, 2, 4, 8, 16, 32, 40, 64, 128, 256):
+        got_p = search_index(spark, handle, queries, k=k, nprobe=p, where=F_WHERE)
+        hand_f_sweep[p] = round(recall_at_k(got_p, exact_f, k=k), 4)
+        if hand_f_sweep[p] >= 0.99:
+            hand_f_np = p
+            break
+    auto_np = plan_nprobe(
+        handle, default_nprobe(nlist, "IVF"), k, where=F_WHERE, spark=spark,
+        Q=qvecs.astype("float64"),
+    )
+    rtf_sec, rtf_res = timed(
+        lambda: search_index(spark, handle, queries, k=k, where=F_WHERE,
+                             recall_target=0.99),
+        runs=2,
+    )
     recall_target_meta = {
         "target": 0.99,
         "curve_nprobe": curve_np,
         "rt_sec": rt_sec,
         "rt_recall": round(recall_at_k(rt_res, exact, k=k), 4),
+        "filtered_hand_tuned_nprobe": hand_f_np,
+        "filtered_hand_sweep": hand_f_sweep,
+        "filtered_auto_nprobe": auto_np,
+        "filtered_ratio": round(auto_np / hand_f_np, 2) if hand_f_np else None,
+        "filtered_selectivity_est": selectivity(handle, where=F_WHERE, spark=spark),
+        "filtered_rt_sec": rtf_sec,
+        "filtered_rt_recall": round(recall_at_k(rtf_res, exact_f, k=k), 4),
     }
 
     # ---- maintenance at the stretch tier (r11 judge ask #7): the
@@ -1611,6 +1800,11 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
             "sec": filt_sec,
             "recall": round(recall_at_k(filt, exact_f, k=k), 4),
         },
+        "filtered_auto": {
+            "where": F_WHERE,
+            "sec": filt_auto_sec,
+            "recall": round(recall_at_k(filt_auto, exact_f, k=k), 4),
+        },
         "serve_local": {"ivf_1q_ms": round(best * 1000, 3)},
         "recall_target": recall_target_meta,
         "maint_clustered": maint_meta,
@@ -1619,7 +1813,11 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
         "build_sec": build_secs or None,
         "probe": probe,
     }
-    timings = {"q_ann100m_ivf": ivf_sec, "q_ann100m_filtered": filt_sec}
+    timings = {
+        "q_ann100m_ivf": ivf_sec,
+        "q_ann100m_filtered": filt_sec,
+        "q_ann100m_filtered_auto": filt_auto_sec,
+    }
     exact_f.unpersist()
     return timings, meta
 
