@@ -551,3 +551,70 @@ def test_hnsw_curveless_keeps_legacy_default(spark, corpus, tmp_path_factory,
     )
     search_index(spark, h, queries, k=10).count()
     assert seen["ef"] == 64
+
+
+def test_profile_replay_member_order_walk_unit():
+    """Pure-unit pins for the r12 member-order supply walk (no Spark):
+    fat supply stops at the first member-nearest matching cell, thin
+    supply walks deeper, a legacy bare-iterable mcells reduces to the
+    first-cell read, and a filter matching no profiled cell returns None
+    (fall back to the closed-form planner)."""
+    from types import SimpleNamespace
+
+    import pandas as pd
+
+    from webscale_vector_search_spark.sources.recall_curve import (
+        REPLAY_SUPPLY,
+        profile_replay_nprobe,
+    )
+
+    # one profiled query; matching cells in member-nearest order 10, 20, 30
+    # sit at center ranks 5, 9, 50 (burstiness: member order != center order)
+    prof = pd.DataFrame(
+        {
+            "query_id": [1, 1, 1],
+            "cell_id": [10, 20, 30],
+            "member_rank": [1, 2, 3],
+            "center_rank": [5, 9, 50],
+        }
+    )
+    h = SimpleNamespace(index_dir="fake", _cell_profile_pdf=prof)
+    k = 10
+    fat = REPLAY_SUPPLY * k  # one cell covers the whole supply bar
+    assert profile_replay_nprobe(h, 0.99, k, {10: fat, 20: fat, 30: fat}) == 5
+    # thin supply: needs two cells -> the deeper center rank of the pair
+    half = fat // 2
+    assert profile_replay_nprobe(h, 0.99, k, {10: half, 20: half, 30: half}) == 9
+    # total matched mass below the bar: walk stops once ALL of it is
+    # reachable (thin filters: all there is), not at the full bar
+    assert profile_replay_nprobe(h, 0.99, k, {10: 1, 20: 1, 30: 1}) == 50
+    # legacy bare iterable: unbounded supply per cell == first-cell read
+    assert profile_replay_nprobe(h, 0.99, k, [10, 20, 30]) == 5
+    # filter matches only the bursty far cell: its center rank is the need
+    assert profile_replay_nprobe(h, 0.99, k, {30: fat}) == 50
+    # no matching cell in the profile -> None (closed-form fallback)
+    assert profile_replay_nprobe(h, 0.99, k, {999: fat}) is None
+    assert profile_replay_nprobe(h, 0.99, k, {}) is None
+
+
+def test_ef_from_curve_strict_read_unit():
+    """The ef pick reads the ladder against the stricter
+    1-(1-target)/RECALL_MARGIN (sample-noise headroom, r12): a rung whose
+    measured recall sits exactly at the target is NOT picked; the ladder
+    ceiling is returned when nothing reaches the strict bar."""
+    from types import SimpleNamespace
+
+    import pandas as pd
+
+    from webscale_vector_search_spark.sources.recall_curve import ef_from_curve
+
+    curve = pd.DataFrame(
+        {"ef": [16, 32, 64], "recall": [0.90, 0.990, 0.996], "k": [10] * 3}
+    )
+    h = SimpleNamespace(index_dir="fake", _recall_curve_pdf=curve)
+    # strict bar for 0.99 is 0.992: the exactly-at-target ef=32 rung is
+    # one resample from underneath it -> pick 64
+    assert ef_from_curve(h, 0.99, 10) == 64
+    assert ef_from_curve(h, 0.95, 10) == 32  # strict 0.96 < 0.990
+    # nothing reaches strict(0.999) -> ceiling (the graph's measured limit)
+    assert ef_from_curve(h, 0.999, 10) == 64

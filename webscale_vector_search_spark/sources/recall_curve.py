@@ -681,17 +681,23 @@ def xcell_need_cells(handle, k: int) -> "int | None":
 
 def ef_from_curve(handle, target: float, k: int) -> "int | None":
     """Smallest measured ef meeting `target` recall@k (the curve's k; a
-    different serve-time k shifts the operating point only mildly — the
-    ladder's MARGIN-free pick is already a measured lower bound and the
-    next rung doubles it). Returns the ladder ceiling when no measured
-    point reaches the target (the graph's measured limit — an exact scan
-    is the honest alternative, cf. graph_filter_fallback). None when no
-    ef curve exists."""
+    different serve-time k shifts the operating point only mildly),
+    with the same sample-noise headroom stance as the nprobe side: the
+    NQ-query profile estimates recall near the target coarsely, so the
+    rung is picked against the stricter 1-(1-target)/RECALL_MARGIN —
+    a rung whose measured recall sits EXACTLY at the target is one
+    fresh-query resample away from under it (measured r12: the clustered
+    512-d curve read ef=32 as 0.99-reaching where a 500-fresh-query sweep
+    measured 0.9754; the stricter read picks 64 -> 0.9942). Returns the
+    ladder ceiling when no measured point reaches it (the graph's
+    measured limit — an exact scan is the honest alternative, cf.
+    graph_filter_fallback). None when no ef curve exists."""
     pdf = load_curve_pdf(handle)
     if pdf is None or "ef" not in pdf.columns:
         return None
     pdf = pdf.sort_values("ef")
-    ok = pdf[pdf["recall"] >= target]
+    strict = 1.0 - (1.0 - target) / RECALL_MARGIN
+    ok = pdf[pdf["recall"] >= strict]
     if len(ok):
         return int(ok["ef"].iloc[0])
     return int(pdf["ef"].iloc[-1])
