@@ -916,3 +916,56 @@ def test_incremental_ivf_append_uses_stored_centroids(spark, corpus,
         .collect()
     }
     assert got == want
+
+
+def test_incremental_ivfpq_append_uses_stored_codebooks(spark, corpus,
+                                                        tmp_path_factory):
+    """Codebook analog of the stored-centroids discipline: an IVFPQ append
+    into an existing index encodes with the STORED books — a disagreeing
+    passed array refuses, passing nothing works."""
+    import numpy as np
+
+    from webscale_vector_search_spark.plans.build import build_index
+    from webscale_vector_search_spark.sources.index_io import (
+        open_index,
+        read_codebooks,
+    )
+    from webscale_vector_search_spark.streaming.build_stream import (
+        incremental_build,
+        refresh_metadata,
+    )
+
+    first = corpus.filter(F.col("vec_id") % 2 == 0)
+    rest = corpus.filter(F.col("vec_id") % 2 == 1)
+    out = str(tmp_path_factory.mktemp("ivfpq_stored_books"))
+    cfg = EngineConfig(index_type="IVFPQ", nlist=8, pq_m=16,
+                       kmeans_sample_fraction=1.0)
+    build_index(spark, first, out, cfg)
+    handle = open_index(spark, out)
+
+    bad = read_codebooks(spark, out) + 5.0  # a different training run
+    src_bad = str(tmp_path_factory.mktemp("books_src_bad"))
+    with pytest.raises(ValueError, match="stored"):
+        incremental_build(
+            spark, _stream_corpus(spark, rest, src_bad), out, cfg,
+            centroids=handle.centroids, codebooks=bad,
+        )
+
+    # neither table passed: both stored artifacts are picked up
+    src = str(tmp_path_factory.mktemp("books_src"))
+    q = incremental_build(spark, _stream_corpus(spark, rest, src), out, cfg)
+    q.awaitTermination(120)
+    refresh_metadata(spark, out)
+    h2 = open_index(spark, out)
+    assert h2.meta["total_vectors"] == corpus.count()
+    # appended codes decode through the stored books: ADC search returns
+    # appended ids too (mis-encoded codes would rank them out)
+    from webscale_vector_search_spark.plans.build import search_index
+
+    rows = rest.limit(3).collect()
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), r["embedding"]) for r in rows],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    )
+    got = search_index(spark, h2, queries, k=1, nprobe=8).collect()
+    assert {r["neighbor_id"] for r in got} == {r["vec_id"] for r in rows}

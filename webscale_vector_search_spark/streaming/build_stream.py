@@ -444,14 +444,42 @@ def incremental_build(
             _maybe_auto_compact(batch_df.sparkSession, epoch_id)
 
     elif config.index_type == "IVFPQ":
-        if centroids is None or codebooks is None:
-            raise ValueError("IVFPQ incremental build requires fixed centroids AND codebooks")
         if meta_now.get("pq_local_codebooks"):
             raise ValueError(
                 "incremental append to a per-cell-LOPQ index is not supported "
                 "(the stream encodes with one global codebook); use a "
                 "global-codebook IVFPQ for streaming ingest"
             )
+        # stored codebooks win, same discipline as the centroid check
+        # above: appended batches encoded with a DIFFERENT codebook are
+        # silently mis-scored by every ADC read thereafter. The stored
+        # table is float32-exact, so the comparison casts the passed books
+        # to float32 (what write_codebooks would persist) before equating.
+        cb_dir = os.path.join(out_dir, "codebooks")
+        if any(
+            f.endswith(".parquet")
+            for f in (os.listdir(cb_dir) if os.path.isdir(cb_dir) else [])
+        ):
+            import numpy as _np
+
+            from webscale_vector_search_spark.sources.index_io import read_codebooks
+
+            stored_books = read_codebooks(spark, out_dir)
+            if codebooks is not None:
+                passed = _np.asarray(codebooks)
+                if passed.shape != stored_books.shape or not _np.array_equal(
+                    passed.astype(_np.float32),
+                    stored_books.astype(_np.float32),
+                ):
+                    raise ValueError(
+                        "the passed codebooks disagree with the stored "
+                        f"<{out_dir}>/codebooks — appended codes would be "
+                        "mis-scored by ADC at search time; pass the stored "
+                        "books (or nothing: they are used automatically)"
+                    )
+            codebooks = stored_books
+        if centroids is None or codebooks is None:
+            raise ValueError("IVFPQ incremental build requires fixed centroids AND codebooks")
         cents = centroids
         cents_count = cents.count()
         books = codebooks
