@@ -618,3 +618,50 @@ def test_ef_from_curve_strict_read_unit():
     assert ef_from_curve(h, 0.95, 10) == 32  # strict 0.96 < 0.990
     # nothing reaches strict(0.999) -> ceiling (the graph's measured limit)
     assert ef_from_curve(h, 0.999, 10) == 64
+
+
+def test_ensure_recall_curve_remediates_stale(spark, corpus, tmp_path_factory):
+    """ensure_recall_curve is the documented remediation for profile_stale:
+    with the flag set it RE-measures (under the stored knobs) and clears
+    it, instead of no-opping on matching knobs and leaving the flag set
+    forever."""
+    import glob
+
+    from webscale_vector_search_spark.plans.build import (
+        compact_index,
+        delete_vectors,
+    )
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+    from webscale_vector_search_spark.sources.recall_curve import (
+        load_profile_meta,
+    )
+
+    out = str(tmp_path_factory.mktemp("rt_remediate") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(
+            index_type="IVF", vector_dim=DIM, nlist=8,
+            recall_curve_queries=16, recall_curve_kmax=150,
+        ),
+        attr_cols=["label"],
+    )
+    delete_vectors(spark, out, corpus.limit(5).select("vec_id"))
+    compact_index(spark, out, mode="full", reprofile=False)
+    assert read_metadata(out)["profile_stale"] is True
+
+    def mtime():
+        return max(
+            os.path.getmtime(f)
+            for f in glob.glob(os.path.join(out, CURVE_DIRNAME, "*.parquet"))
+        )
+
+    t0 = mtime()
+    assert ensure_recall_curve(spark, out)  # no kwargs: stored knobs reused
+    assert mtime() > t0  # actually re-measured
+    assert not read_metadata(out).get("profile_stale", False)
+    meta = load_profile_meta(out)
+    assert meta["nq"] == 16 and meta["kmax"] == 150  # knobs preserved
+    # and now a second call is the normal no-op again
+    t1 = mtime()
+    assert ensure_recall_curve(spark, out)
+    assert mtime() == t1

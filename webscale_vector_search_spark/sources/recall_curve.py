@@ -503,10 +503,15 @@ def measure_recall_curve(
 def ensure_recall_curve(spark, index_dir: str, **kwargs) -> bool:
     """Backfill the curve for an index built before it existed (or with
     recall_curve=False). No-op when present AND profiled under the same
-    knobs as requested: a caller asking for e.g. a deeper kmax than the
-    stored profile was measured at gets a RE-profile, not a silent reuse
-    of the stale sidecar (a legacy curve with no recorded knobs counts as
-    the module defaults). Returns True when a curve exists afterwards."""
+    knobs as requested AND not flagged `profile_stale`: a caller asking
+    for e.g. a deeper kmax than the stored profile was measured at gets a
+    RE-profile, not a silent reuse of the stale sidecar (a legacy curve
+    with no recorded knobs counts as the module defaults) — and a curve
+    the sidecar says lags the vectors (targeted compaction / a failed
+    re-profile set the flag) re-measures too, since this function IS the
+    documented remediation for that flag; a matching-knobs no-op here
+    would leave it set forever. Returns True when a curve exists
+    afterwards."""
     from webscale_vector_search_spark.sources import index_io
 
     path = os.path.join(index_dir, CURVE_DIRNAME)
@@ -514,8 +519,22 @@ def ensure_recall_curve(spark, index_dir: str, **kwargs) -> bool:
         stored = load_profile_meta(index_dir) or {
             "nq": CURVE_NQ, "kmax": CURVE_KMAX, "k": 10, "seed": 42,
         }
-        if all(stored.get(name) == val for name, val in kwargs.items()):
+        try:
+            stale = bool(index_io.read_metadata(index_dir).get("profile_stale"))
+        except (OSError, ValueError):
+            stale = False
+        if not stale and all(
+            stored.get(name) == val for name, val in kwargs.items()
+        ):
             return True
+        if stale and not kwargs:
+            # re-profile under the STORED knobs, not the module defaults:
+            # a kmax=5000 profile must not silently shrink on remediation
+            kwargs = {
+                name: stored[name]
+                for name in ("nq", "kmax", "k", "seed")
+                if name in stored
+            }
     handle = index_io.open_index(spark, index_dir)
     return measure_recall_curve(spark, handle, **kwargs)
 
