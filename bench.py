@@ -2028,8 +2028,12 @@ def main() -> None:
     }
     gemm = calibration["gemm_sec"]
     for blk_name, arm_keys in (
-        ("ann_1m", ("flat_sec", "ivf_sec", "ivfpq_adc_sec", "hnsw_sec")),
-        ("ann_10m", ("flat_sec", "ivf_sec", "ivfpq_adc_sec", "hnsw_sec")),
+        # hnsw_ef64_sec is the r1-r11-comparable trend row (the default
+        # arm moved to the curve-picked beam in r12)
+        ("ann_1m", ("flat_sec", "ivf_sec", "ivfpq_adc_sec", "hnsw_sec",
+                    "hnsw_ef64_sec")),
+        ("ann_10m", ("flat_sec", "ivf_sec", "ivfpq_adc_sec", "hnsw_sec",
+                     "hnsw_ef64_sec")),
     ):
         blk = detail.get(blk_name)
         if isinstance(blk, dict):

@@ -665,3 +665,40 @@ def test_ensure_recall_curve_remediates_stale(spark, corpus, tmp_path_factory):
     t1 = mtime()
     assert ensure_recall_curve(spark, out)
     assert mtime() == t1
+
+
+def test_recall_target_serves_through_stale_profile(spark, corpus,
+                                                    tmp_path_factory):
+    """A stale curve still PLANS (the flag is observability, not a
+    disable switch): after a targeted-class compaction flags the profile,
+    recall_target searches keep working and keep meeting the target
+    against the live ground truth."""
+    from webscale_vector_search_spark.plans.build import (
+        compact_index,
+        delete_vectors,
+    )
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+
+    out = str(tmp_path_factory.mktemp("rt_stale_serve") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(
+            index_type="IVF", vector_dim=DIM, nlist=8,
+            recall_curve_queries=16, recall_curve_kmax=100,
+        ),
+        attr_cols=["label"],
+    )
+    delete_vectors(spark, out, corpus.limit(20).select("vec_id"))
+    compact_index(spark, out, mode="full", reprofile=False)
+    assert read_metadata(out)["profile_stale"] is True
+
+    h = open_index(spark, out)
+    qrows = corpus.filter("vec_id >= 20").orderBy("vec_id").limit(8).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    )
+    live = corpus.filter("vec_id >= 20").select("vec_id", "embedding")
+    oracle = knn_pandas(live, queries, k=10)
+    got = search_index(spark, h, queries, k=10, recall_target=0.99)
+    assert recall_at_k(got, oracle, k=10) >= 0.99 - 1e-9
