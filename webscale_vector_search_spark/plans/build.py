@@ -1624,9 +1624,12 @@ def compact_index(
         # compactions is bounded by the same argument as the stats').
         # reprofile=False opts out for callers who compact often and
         # re-profile on their own schedule — the pass is one exact scan,
-        # comparable to the rewrite itself. The stored profiling knobs are
-        # reused so the re-profile reproduces the build-time configuration
-        # (a kmax=5000 profile must not silently shrink to the default).
+        # comparable to the rewrite itself; the opt-out (like a failure
+        # or a targeted pass) sets `profile_stale` in the sidecar, and
+        # ensure_recall_curve is the remediation that re-measures and
+        # clears it. The stored profiling knobs are reused so the
+        # re-profile reproduces the build-time configuration (a kmax=5000
+        # profile must not silently shrink to the default).
         try:
             from webscale_vector_search_spark.sources.recall_curve import (
                 load_profile_meta,

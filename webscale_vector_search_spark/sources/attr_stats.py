@@ -840,8 +840,8 @@ def plan_nprobe(handle, base: int, k: int, where=None, allowed_count=None,
             )
 
             terms = [ad]
-            # measured cross-cell depth for THIS filter: replay the exact
-            # matching-cell set over the out-of-own-cell neighbor profile
+            # measured depth for THIS filter: walk the exact matching-cell
+            # set (with its matched counts) in member-nearest profile order
             p_x = profile_replay_nprobe(handle, tgt, k, mc)
             if p_x is not None:
                 terms.append(p_x)

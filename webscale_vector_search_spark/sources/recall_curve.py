@@ -705,9 +705,12 @@ def ef_from_curve(handle, target: float, k: int) -> "int | None":
     NQ-query profile estimates recall near the target coarsely, so the
     rung is picked against the stricter 1-(1-target)/RECALL_MARGIN —
     a rung whose measured recall sits EXACTLY at the target is one
-    fresh-query resample away from under it (measured r12: the clustered
-    512-d curve read ef=32 as 0.99-reaching where a 500-fresh-query sweep
-    measured 0.9754; the stricter read picks 64 -> 0.9942). Returns the
+    fresh-query resample away from under it. The headroom narrows but
+    does not close the in-corpus-vs-fresh-query gap: the clustered 512-d
+    arm's curve reads ef=32 at 0.9953 (above even the strict bar) where a
+    500-fresh-query sweep measures 0.9754 — in-corpus samples flatter a
+    graph (every query has a guaranteed near-duplicate entry region), a
+    bias margin alone cannot remove (recorded in SCALE.md). Returns the
     ladder ceiling when no measured point reaches it (the graph's
     measured limit — an exact scan is the honest alternative, cf.
     graph_filter_fallback). None when no ef curve exists."""
