@@ -116,6 +116,50 @@ def _quick_probe(io_dir: str) -> dict:
     return {"gemm_sec": round(gemm, 4), "io_sec": round(io, 4)}
 
 
+def _curve_vs_fresh(spark, handle, corpus, q_ids, Q, k: int) -> dict | None:
+    """Receipt for the held-out profiling protocol (VERDICT r12 ask #1):
+    the stored ef curve's reading at each measured rung vs the recall of
+    GENUINELY FRESH queries (same generator, ids beyond the corpus) served
+    at that rung against exact ground truth. `gap` > 0 means the curve
+    still over-promises; the held-out protocol should hold every gap
+    within sample noise (the in-corpus protocol measured +0.02 at the
+    clustered 512-d arm — the r12 finding this receipt tracks)."""
+    from webscale_vector_search_spark.operators.ivf import recall_at_k
+    from webscale_vector_search_spark.operators.knn import knn_pandas
+    from webscale_vector_search_spark.plans.build import search_index
+    from webscale_vector_search_spark.sources.recall_curve import load_curve_pdf
+
+    pdf = load_curve_pdf(handle)
+    if pdf is None or "ef" not in pdf.columns:
+        return None
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Q)],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    ).cache()
+    queries.count()
+    exact = knn_pandas(corpus.select("vec_id", "embedding"), queries, k=k).cache()
+    exact.count()
+    rows = []
+    for ef, cr in zip(pdf["ef"].tolist(), pdf["recall"].tolist()):
+        res = search_index(spark, handle, queries, k=k, ef_search=int(ef))
+        fr = recall_at_k(res, exact, k=k)
+        rows.append(
+            {
+                "ef": int(ef),
+                "curve": round(float(cr), 4),
+                "fresh": round(fr, 4),
+                "gap": round(float(cr) - fr, 4),
+            }
+        )
+    exact.unpersist()
+    queries.unpersist()
+    return {
+        "n_fresh_queries": int(len(q_ids)),
+        "rows": rows,
+        "max_curve_overshoot": max(r["gap"] for r in rows),
+    }
+
+
 def _timed(fn, warmups: int = 1, runs: int = 3):
     """min-of-N wall clock for a DataFrame-producing thunk (the ONE timing
     policy every tier shares). Warm-ups pay JIT/scan caches (HNSW arms use
@@ -275,6 +319,24 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         with open(builds_file, "w") as f:
             json.dump(build_secs, f)
 
+    # r13: upgrade any cached artifact's recall curve to the HELD-OUT
+    # protocol (the sampled rows excluded from the searched corpus during
+    # profiling — VERDICT r12 ask #1). One re-measure per cached index the
+    # first run after the protocol change, a no-op after.
+    from webscale_vector_search_spark.sources.recall_curve import (
+        ensure_recall_curve as _ensure_curve,
+    )
+
+    for _d in handles.values():
+        _ensure_curve(spark, _d)
+    # a graph re-profile serves the ef ladder through serve_local — reap
+    # its pinned shard workers before ANY timed arm (the r8 lesson)
+    from webscale_vector_search_spark.plans.serve_local import (
+        _stop_shard_workers as _reap,
+    )
+
+    _reap()
+
     # serving opens an index once; per-batch timing excludes the one-time
     # metadata read + file listing + codebook load (search_index takes the
     # opened handle)
@@ -294,8 +356,41 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     # IMMEDIATELY adjacent to this arm attribute any such swing to the box
     # (or finally convict the plan) per VERDICT r9 #4.
     probe_pre_flat = _quick_probe(cache_dir)
-    flat_sec, exact = timed(lambda: knn_pandas(corpus, queries, k=k), runs=4)
+    flat_inrun_sec, exact = timed(lambda: knn_pandas(corpus, queries, k=k), runs=4)
     probe_post_flat = _quick_probe(cache_dir)
+    # the OFFICIAL flat_sec is measured ISOLATED (VERDICT r12 #1: twice a
+    # recorded number needed a post-hoc fresh-process adjudication tool —
+    # tools/remeasure_hnsw10m.py, the r12 1M FLAT 6.71->2.77 re-measure;
+    # that protocol now lives in the run): a fresh python + fresh JVM
+    # subprocess (tools/isolated_flat.py), nothing resident from this
+    # process's preceding tiers, min-of-3 with its own bracketing probes.
+    # The in-run number + adjacent probes stay recorded for the trend.
+    flat_isolated = None
+    if n == 1_000_000:  # SCALE.md: the run's most position-sensitive arm
+        import subprocess
+
+        try:
+            out_txt = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "isolated_flat.py",
+                    ),
+                    corpus_path, str(n), str(ncl), str(seed),
+                    str(n_queries), str(k),
+                ],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip().splitlines()
+            flat_isolated = json.loads(out_txt[-1]) if out_txt else None
+        except Exception as exc:  # the in-run number still stands
+            flat_isolated = {"error": str(exc)[:200]}
+    flat_sec = (
+        flat_isolated["flat_sec"]
+        if flat_isolated and "flat_sec" in flat_isolated
+        else flat_inrun_sec
+    )
     ivf_sec, ivf = timed(
         lambda: search_index(spark, ivf_handle, queries, k=k, nprobe=nprobe)
     )
@@ -338,11 +433,10 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
     # r11 #4), so the picked ef is recorded beside it and an explicit
     # ef=64 arm keeps the r1-r11 trend comparable.
     from webscale_vector_search_spark.sources.recall_curve import (
-        DEFAULT_TARGET as _DT,
-        ef_from_curve as _efc,
+        default_ef as _def_ef,
     )
 
-    hnsw_default_ef = _efc(hnsw_handle, _DT, k) or 64
+    hnsw_default_ef = _def_ef(hnsw_handle, k)
     hnsw_sec, hnsw_res = timed(
         lambda: search_index(spark, hnsw_handle, queries, k=k), warmups=2
     )
@@ -465,6 +559,8 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         "pq_m": pq_cfg.resolved_pq_m(),
         "pq_bits": pq_cfg.pq_bits,
         "flat_sec": flat_sec,
+        "flat_sec_inrun": flat_inrun_sec,
+        "flat_isolated": flat_isolated,
         "ivf_sec": ivf_sec,
         "ivf_recall": round(recall_at_k(ivf, exact, k=k), 4),
         "ivfpq_sec": pq_sec,
@@ -883,6 +979,10 @@ def _ann_highdim(spark, cache_dir: str) -> dict:
             hnsw_m=32, hnsw_ef_construction=128, ivf_max_list_factor=None,
         ),
     }
+    from webscale_vector_search_spark.sources.recall_curve import (
+        ensure_recall_curve as _ensure_curve,
+    )
+
     handles = {}
     for name, cfg in builds.items():
         idx_dir = _idx_cache_dir(cache_dir, f"hd_{cfg.index_type}", cfg, n)
@@ -890,7 +990,13 @@ def _ann_highdim(spark, cache_dir: str) -> dict:
             t0 = time.perf_counter()
             build_index(spark, corpus, idx_dir, cfg)
             build_secs[f"build_{name}"] = round(time.perf_counter() - t0, 1)
+        _ensure_curve(spark, idx_dir)  # r13: held-out protocol upgrade
         handles[name] = open_index(spark, idx_dir)
+    from webscale_vector_search_spark.plans.serve_local import (
+        _stop_shard_workers as _reap,
+    )
+
+    _reap()  # re-profile serve workers must not shadow the timed sweeps
     if os.path.exists(builds_file):
         with open(builds_file) as f:
             build_secs = {**json.load(f), **build_secs}
@@ -977,7 +1083,9 @@ def _ann_highdim(spark, cache_dir: str) -> dict:
             t0 = time.perf_counter()
             build_index(spark, corpus_cl, idx_dir, cfg)
             build_secs[f"build_{name}"] = round(time.perf_counter() - t0, 1)
+        _ensure_curve(spark, idx_dir)  # r13: held-out protocol upgrade
         handles_cl[name] = open_index(spark, idx_dir)
+    _reap()  # same discipline for the clustered arm's re-profiles
     if build_secs:
         with open(builds_file, "w") as f:
             json.dump(build_secs, f)
@@ -1023,6 +1131,41 @@ def _ann_highdim(spark, cache_dir: str) -> dict:
         ),
         "clustered_hnsw_ef": ef_from_curve(handles_cl["hnsw_cl"], DEFAULT_TARGET, k),
     }
+
+    # held-out calibration receipts (VERDICT r12 ask #1 "Done" at BOTH
+    # highdim arms): the stored (now held-out) curve's reading at each rung
+    # the fresh-query sweeps above already measured — zero extra serving;
+    # `gap` > 0 is curve over-promise, which the r12 in-corpus protocol
+    # measured at +0.02 on the clustered arm
+    from webscale_vector_search_spark.sources.recall_curve import load_curve_pdf
+
+    def sweep_receipt(handle, sweep_rows):
+        pdf = load_curve_pdf(handle)
+        if pdf is None or "ef" not in pdf.columns:
+            return None
+        cr = {int(e): float(r) for e, r in zip(pdf["ef"], pdf["recall"])}
+        rows = [
+            {
+                "ef": s["ef_search"],
+                "curve": round(cr[s["ef_search"]], 4),
+                "fresh": s["recall"],
+                "gap": round(cr[s["ef_search"]] - s["recall"], 4),
+            }
+            for s in sweep_rows
+            if s["ef_search"] in cr
+        ]
+        if not rows:
+            return None
+        return {
+            "n_fresh_queries": n_queries,
+            "rows": rows,
+            "max_curve_overshoot": max(r["gap"] for r in rows),
+        }
+
+    curve_vs_fresh = {
+        "uniform_hnsw": sweep_receipt(handles["hnsw"], sweep["hnsw"]),
+        "clustered_hnsw": sweep_receipt(handles_cl["hnsw_cl"], sweep_cl["hnsw"]),
+    }
     return {
         "corpus": n,
         "dim": dim,
@@ -1039,6 +1182,7 @@ def _ann_highdim(spark, cache_dir: str) -> dict:
             "sweep": sweep_cl,
             "planner_picks": planner_cl,
         },
+        "curve_vs_fresh": curve_vs_fresh,
         "build_sec": build_secs,
     }
 
@@ -1135,6 +1279,21 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
         with open(builds_file, "w") as f:
             json.dump(build_secs, f)
 
+    # r13: upgrade cached curves to the held-out protocol (one re-measure
+    # per cached index on the first post-change run; no-op after)
+    from webscale_vector_search_spark.sources.recall_curve import (
+        ensure_recall_curve as _ensure_curve,
+    )
+
+    for _nm in ("ivf", "ivfpq", "ivfpq_hc", "hnsw"):
+        _ensure_curve(spark, handles[_nm])
+    # reap the re-profile's pinned graph workers before the timed arms
+    from webscale_vector_search_spark.plans.serve_local import (
+        _stop_shard_workers as _reap,
+    )
+
+    _reap()
+
     ivf_handle = open_index(spark, handles["ivf"])
     pq_handle = open_index(spark, handles["ivfpq"])
     hc_handle = open_index(spark, handles["ivfpq_hc"])
@@ -1183,11 +1342,10 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
     # 0.9175 recall here while the sidecar knew better); the picked ef is
     # recorded and an explicit ef=64 arm keeps the r1-r11 trend comparable
     from webscale_vector_search_spark.sources.recall_curve import (
-        DEFAULT_TARGET as _DT,
-        ef_from_curve as _efc,
+        default_ef as _def_ef,
     )
 
-    hnsw_default_ef = _efc(hnsw_handle, _DT, k) or 64
+    hnsw_default_ef = _def_ef(hnsw_handle, k)
     hnsw_sec, hnsw_res = timed(
         lambda: search_index(spark, hnsw_handle, queries, k=k), warmups=2
     )
@@ -1225,8 +1383,25 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
 
     serve = {
         "ivf_1q_ms": timed_local(lambda: serve_local(ivf_handle, q1_np, k=k, nprobe=nprobe)),
+        # the DEFAULT serve row follows the engine default (curve-picked
+        # beam); the explicit ef=64 row prices that default change on the
+        # serve path — the batch arm has carried the same trend pair since
+        # r12, the serve row didn't (VERDICT r12 ask #5)
         "hnsw_1q_ms": timed_local(lambda: serve_local(hnsw_handle, q1_np, k=k)),
+        "hnsw_1q_ef64_ms": timed_local(
+            lambda: serve_local(hnsw_handle, q1_np, k=k, ef_search=64)
+        ),
+        "hnsw_1q_default_ef": hnsw_default_ef,
     }
+    # held-out calibration receipt at 10M (VERDICT r12 ask #1 "Done"): the
+    # stored ef curve vs 64 genuinely fresh queries (ids beyond the corpus,
+    # same generator) — one extra exact pass + one serve per rung
+    fresh_ids = n + np.arange(64, dtype=np.int64)
+    curve_vs_fresh = _curve_vs_fresh(
+        spark, hnsw_handle, corpus, fresh_ids,
+        _ann_vectors(fresh_ids, centers, seed), k,
+    )
+
     # reap the pinned per-shard graph workers: they survive the serve block
     # otherwise and compete with every later arm in the run (the r8 capped
     # mis-measurement's environment)
@@ -1264,6 +1439,7 @@ def _ann_10m(spark, cache_dir: str) -> tuple[dict, dict]:
         "hnsw_ef128_sec": hnsw128_sec,
         "hnsw_ef128_recall": round(recall_at_k(hnsw128, exact, k=k), 4),
         "hnsw_shards": 16,
+        "hnsw_curve_vs_fresh": curve_vs_fresh,
         "serve_local": serve,
         "skew": skew,
         "ivf_capped": {
@@ -1710,11 +1886,37 @@ def _ann_100m(spark, cache_dir: str) -> tuple[dict, dict | None]:
                              recall_target=0.99),
         runs=2,
     )
+    # held-out validation of the nprobe curve at the stretch tier (VERDICT
+    # r12 ask #7): 50 genuinely FRESH queries (ids beyond the corpus, same
+    # generator) served at the curve-picked budget vs their own exact
+    # truth — the fresh-query gap the held-out profile claims to close.
+    # One extra exact pass (flat-arm cost, untimed) + one probed search.
+    fresh_qids = n + np.arange(n_queries, dtype=np.int64)
+    fresh_qvecs = _ann_vectors(fresh_qids, centers, seed)
+    fresh_queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(fresh_qids, fresh_qvecs)],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    ).cache()
+    fresh_queries.count()
+    exact_fresh = knn_pandas(
+        handle.vectors.select("vec_id", "embedding"), fresh_queries, k=k
+    ).cache()
+    exact_fresh.count()
+    fresh_at_pick = recall_at_k(
+        search_index(spark, handle, fresh_queries, k=k, recall_target=0.99),
+        exact_fresh, k=k,
+    )
+    exact_fresh.unpersist()
+    fresh_queries.unpersist()
+
     recall_target_meta = {
         "target": 0.99,
         "curve_nprobe": curve_np,
         "rt_sec": rt_sec,
         "rt_recall": round(recall_at_k(rt_res, exact, k=k), 4),
+        "fresh_recall_at_pick": round(fresh_at_pick, 4),
+        "fresh_gap": round(0.99 - fresh_at_pick, 4),
+        "n_fresh_queries": n_queries,
         "filtered_hand_tuned_nprobe": hand_f_np,
         "filtered_hand_sweep": hand_f_sweep,
         "filtered_auto_nprobe": auto_np,
@@ -2040,6 +2242,30 @@ def main() -> None:
             for key in arm_keys:
                 if isinstance(blk.get(key), (int, float)) and gemm:
                     norm[f"{blk_name}_{key}_per_gemm"] = round(blk[key] / gemm, 2)
+    # 100M rows (VERDICT r12 ask #4): the stretch tier is IO-bound (its
+    # r12 +18% swing tracked the tier's io probe, gemm flat), so its trend
+    # rows normalize by the tier-ADJACENT io probe, not the global gemm —
+    # the denominator that actually moves with the arm
+    blk100 = detail.get("ann_100m")
+    if isinstance(blk100, dict) and isinstance(blk100.get("probe"), dict):
+        tier_io = blk100["probe"].get("io_sec")
+        if tier_io:
+            norm["ann_100m_normalizer"] = (
+                "tier-adjacent io probe (the 100M tier is io-bound; "
+                "VERDICT r12)"
+            )
+            for label, val in (
+                ("ivf_sec", blk100.get("ivf_sec")),
+                ("filtered_sec", (blk100.get("filtered") or {}).get("sec")),
+                (
+                    "filtered_auto_sec",
+                    (blk100.get("filtered_auto") or {}).get("sec"),
+                ),
+            ):
+                if isinstance(val, (int, float)):
+                    norm[f"ann_100m_{label}_per_tier_io"] = round(
+                        val / tier_io, 2
+                    )
     detail["normalized"] = norm
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     # merge with the committed last-good record: a smoke run (tier disabled

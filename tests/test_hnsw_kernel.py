@@ -92,3 +92,50 @@ def test_degree_bound_with_shrink_slack():
             mmax = g.M0 if lc == 0 else g.M
             assert len(lst) <= mmax + g.shrink_slack
             assert len(lst) == len(set(lst)), "duplicate links"
+
+
+def test_banned_nodes_behave_as_absent():
+    """The held-out profiling hook (r13): `banned` local indices must never
+    appear in results, at ANY ef — including ef high enough that an
+    unbanned search would certainly return them — and the non-banned
+    results must match the exact top-k over the corpus WITHOUT the banned
+    rows once the beam is wide enough. banned=None stays bit-identical to
+    the pre-r13 call (same code path: the banned branches are skipped)."""
+    V = _corpus(n=1500)
+    g = PyHNSW(V.shape[1], M=8, ef_construction=48, seed=0)
+    g.add_items(V)
+    Q = V[:24] + 1e-3  # queries sitting almost ON stored rows 0..23
+    banned = set(range(24))
+
+    labels, dists = g.knn_query(Q, k=10, ef=200, banned=banned)
+    assert not (set(labels.ravel().tolist()) & banned)
+
+    # parity with exact truth over corpus-minus-banned at a wide beam
+    keep = np.array(sorted(set(range(len(V))) - banned))
+    exact = keep[_exact_topk(V[keep], Q, 10)]
+    assert _recall(labels, exact) >= 0.95
+
+    # an unbanned search DOES return the near-duplicate row (the bias the
+    # hook removes), and banned=None results are unchanged by the feature
+    lab_plain, _ = g.knn_query(Q, k=10, ef=200)
+    assert set(lab_plain[:, 0].tolist()) <= set(range(24))
+    lab_again, _ = g.knn_query(Q, k=10, ef=200, banned=None)
+    assert np.array_equal(lab_plain, lab_again)
+
+
+def test_banned_entry_point_still_navigable():
+    """Banning the graph's global entry node must not strand the search:
+    eps are scored into the candidate heap regardless (the one documented
+    exception), expansion proceeds from there, and the entry never
+    appears in results."""
+    V = _corpus(n=800)
+    g = PyHNSW(V.shape[1], M=8, ef_construction=32, seed=0)
+    g.add_items(V)
+    banned = {g.entry}
+    Q = _corpus(n=16, dim=16, seed=5)
+    labels, dists = g.knn_query(Q, k=5, ef=64, banned=banned)
+    assert (labels >= 0).all()  # nothing stranded
+    assert g.entry not in set(labels.ravel().tolist())
+    keep = np.array(sorted(set(range(len(V))) - banned))
+    exact = keep[_exact_topk(V[keep], Q, 5)]
+    assert _recall(labels, exact) >= 0.9

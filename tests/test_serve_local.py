@@ -250,3 +250,39 @@ def test_cosine_ivf_bit_identical(spark, corpus, queries, tmp_path_factory):
     want = search_index(spark, handle, queries, k=10, nprobe=3)
     got = serve_local(handle, queries, k=10, nprobe=3)
     _assert_identical(want, got)
+
+
+def test_exclude_ids_serves_as_if_absent(
+    spark, flat_handle, ivf_handle, pq_handle, hnsw_handle, queries
+):
+    """The held-out profiling hook (r13): with exclude_ids = the query
+    batch's own stored ids, no excluded id is ever returned — on any index
+    type — and the results equal serving the same queries over a corpus
+    that never contained those rows (exact parity for the scanned
+    families; for the graph the excluded nodes are banned inside the
+    kernel, so the self-row's edges can't guide the beam either)."""
+    qrows = queries.collect()
+    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([r["qvec"] for r in qrows]).astype(np.float64)
+    ex = set(q_ids.tolist())
+
+    for handle in (flat_handle, ivf_handle, pq_handle, hnsw_handle):
+        res = serve_local(handle, (q_ids, Q), k=5, exclude_ids=q_ids)
+        assert not (set(res["neighbor_id"].tolist()) & ex), handle.meta[
+            "index_type"
+        ]
+
+    # scanned-family parity: exclusion == the allowed-complement serve
+    all_ids = {
+        int(r["vec_id"])
+        for r in flat_handle.vectors.select("vec_id").collect()
+    }
+    allowed = np.array(sorted(all_ids - ex), dtype=np.int64)
+    a = _canon(serve_local(flat_handle, (q_ids, Q), k=5, exclude_ids=q_ids))
+    b = _canon(serve_local(flat_handle, (q_ids, Q), k=5, allowed_ids=allowed))
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+    # without exclusion the self-row IS rank 1 (the bias the hook removes)
+    plain = serve_local(flat_handle, (q_ids, Q), k=5)
+    top = plain[plain["rank"] == 1]
+    assert set(top["neighbor_id"].astype(int)) == ex

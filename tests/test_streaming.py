@@ -891,6 +891,31 @@ def test_incremental_ivf_append_uses_stored_centroids(spark, corpus,
             spark, _stream_corpus(spark, rest, src_bad), out, cfg, centroids=bad
         )
 
+    # a SEMANTICALLY-EQUAL table that round-tripped through float32 (the
+    # lossy path ADVICE r12 flagged: exact float equality refused callers
+    # whose geometry is identical): accepted under the element tolerance
+    ok32 = handle.centroids.withColumn(
+        "cvec", F.col("cvec").cast("array<float>")
+    )
+    src_ok = str(tmp_path_factory.mktemp("ivf_cents_src_ok"))
+    q = incremental_build(
+        spark,
+        _stream_corpus(spark, rest.limit(0), src_ok),
+        out, cfg, centroids=ok32,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ivf_cents_ckpt_ok")),
+    )
+    q.awaitTermination(120)
+
+    # a WRONG row count names the observed mismatch in the error
+    with pytest.raises(ValueError, match="rows"):
+        incremental_build(
+            spark,
+            _stream_corpus(
+                spark, rest, str(tmp_path_factory.mktemp("ivf_cents_src_n"))
+            ),
+            out, cfg, centroids=handle.centroids.limit(4),
+        )
+
     # centroids=None: the stored table is picked up automatically
     src = str(tmp_path_factory.mktemp("ivf_cents_src"))
     q = incremental_build(spark, _stream_corpus(spark, rest, src), out, cfg)

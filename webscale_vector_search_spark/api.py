@@ -178,7 +178,8 @@ class VectorCluster:
             "index_type": self.meta["index_type"],
             # True when the stored recall curve was measured against an
             # earlier vectors version (targeted compaction, a failed or
-            # opted-out re-profile) — the planner still reads it, but the
-            # operator can see the drift and schedule ensure_recall_curve
+            # opted-out re-profile, or appends/upserts past the growth
+            # bar) — the planner still reads it, but the operator can see
+            # the drift and schedule ensure_recall_curve
             "profile_stale": bool(self.meta.get("profile_stale", False)),
         }

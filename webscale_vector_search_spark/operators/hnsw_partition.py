@@ -131,7 +131,8 @@ class PyHNSW:
                         heapq.heappop(res)
         return sorted((-nd, u) for nd, u in res)
 
-    def _batch_search_layer(self, Q: np.ndarray, eps_list, ef: int, level: int):
+    def _batch_search_layer(self, Q: np.ndarray, eps_list, ef: int, level: int,
+                            banned=None):
         """Beam search for MANY queries over the same frozen graph, run in
         lockstep: each round performs one pop-and-expand step of every
         still-active query, then scores ALL of the round's (query, neighbor)
@@ -143,9 +144,25 @@ class PyHNSW:
         answer to VERDICT r5 #1 (hnswlib remains uninstallable here):
         measured ~3x on build, ~4x on batch serving at 62.5k-node shards.
 
+        `banned` (a set of LOCAL node indices) makes those nodes behave as
+        if ABSENT from the graph: never scored, never expanded, never
+        returned — the held-out recall-profiling hook (a banned node's
+        edges can't guide the beam, unlike a tombstone post-filter, which
+        would keep the in-corpus navigation advantage the profile exists
+        to remove). The one exception is a banned ENTRY point: eps are
+        scored into the candidate heap regardless (a graph must be
+        enterable somewhere), and the final filter drops them from the
+        returned lists. banned=None (the default) takes none of these
+        branches — serving results stay bit-identical.
+
         Returns one ascending [(dist, id), ...] list per query."""
         B = len(Q)
-        visited = [set(eps) for eps in eps_list]
+        if banned:
+            # seeding `visited` with the banned set blocks them from ever
+            # being scored as fresh neighbors — invisible to the beam
+            visited = [set(eps) | banned for eps in eps_list]
+        else:
+            visited = [set(eps) for eps in eps_list]
         flat_q = [i for i, eps in enumerate(eps_list) for _ in eps]
         flat_u = [u for eps in eps_list for u in eps]
         D = self._pair_dists(Q, flat_q, flat_u)
@@ -200,6 +217,12 @@ class PyHNSW:
                         if len(ri) > ef:
                             heapq.heappop(ri)
             active = still
+        if banned:
+            # only initial eps can be banned-in-res (see docstring): drop
+            # them so callers never see a held-out node
+            return [
+                sorted((-nd, u) for nd, u in r if u not in banned) for r in res
+            ]
         return [sorted((-nd, u) for nd, u in r) for r in res]
 
     def _select_heuristic(self, cands, m: int) -> list[int]:
@@ -362,7 +385,7 @@ class PyHNSW:
                 self._insert_chunk(chunk)
                 i = chunk[-1] + 1
 
-    def knn_query(self, Q: np.ndarray, k: int, ef: int = 64):
+    def knn_query(self, Q: np.ndarray, k: int, ef: int = 64, banned=None):
         """Top-k (squared-L2, the engine's canonical metric) per query row.
 
         Returns (labels, dists) shaped (nq, k) like hnswlib.knn_query.
@@ -374,15 +397,22 @@ class PyHNSW:
         pathological shard: back-link shrinking can strand nodes), the
         short rows are PADDED with label -1 / distance inf rather than
         crashing — callers mask `labels >= 0` before gathering ids.
+
+        `banned` (set of LOCAL node indices) searches the graph as if
+        those nodes were never inserted — the held-out recall-profiling
+        hook (see _batch_search_layer). Descent layers apply it too; a
+        query whose filtered descent result empties (its only entry was
+        banned) keeps the previous layer's entry, so navigation always
+        has a foothold.
         """
         Q = np.asarray(Q, dtype=np.float64)
         ef = max(ef, k)
         nq = len(Q)
         eps = [[self.entry]] * nq
         for lc in range(self.max_level, 0, -1):
-            out = self._batch_search_layer(Q, eps, 1, lc)
-            eps = [[r[0][1]] for r in out]
-        res = self._batch_search_layer(Q, eps, ef, 0)
+            out = self._batch_search_layer(Q, eps, 1, lc, banned=banned)
+            eps = [[r[0][1]] if r else eps[i] for i, r in enumerate(out)]
+        res = self._batch_search_layer(Q, eps, ef, 0, banned=banned)
         labels = np.full((nq, k), -1, dtype=np.int64)
         dists = np.full((nq, k), np.inf, dtype=np.float64)
         for qi, r in enumerate(res):

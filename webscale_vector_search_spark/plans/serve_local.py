@@ -526,16 +526,28 @@ def _ivf_parts(handle, q_ids, Q, k, probes: _LocalProbes, cache_budget_mb,
     return parts
 
 
-def _search_one_shard(shard_dir: str, Q: np.ndarray, k: int, ef_search: int):
+def _search_one_shard(shard_dir: str, Q: np.ndarray, k: int, ef_search: int,
+                      banned_ids=None):
     """One shard's traversal (runs in a shard worker or inline). Returns
     (query positions, neighbor ids, distances) as flat aligned arrays —
     positions rather than a rectangular kk so underflow-padded rows
-    (knn_query's -1 labels on a disconnected shard) can be masked out."""
+    (knn_query's -1 labels on a disconnected shard) can be masked out.
+
+    `banned_ids` (GLOBAL vec_ids) searches the shard graph as if those
+    nodes were never inserted — the held-out recall-profiling hook (maps
+    to local indices here, kernel semantics in PyHNSW.knn_query)."""
     from webscale_vector_search_spark.operators.hnsw_partition import load_shard_graph
 
     g = load_shard_graph(shard_dir)
-    kk = min(k, len(g.V))
-    labels, dists = g.knn_query(Q, k=kk, ef=max(ef_search, kk))
+    banned = None
+    if banned_ids is not None and len(banned_ids):
+        locs = np.flatnonzero(np.isin(g.ids, banned_ids))
+        if len(locs):
+            banned = set(locs.tolist())
+    kk = min(k, len(g.V) - (len(banned) if banned else 0))
+    if kk <= 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+    labels, dists = g.knn_query(Q, k=kk, ef=max(ef_search, kk), banned=banned)
     flat = labels.ravel()
     valid = flat >= 0
     qpos = np.repeat(np.arange(len(Q)), kk)[valid]
@@ -605,7 +617,7 @@ def _shard_worker(shard_dir: str):
     return _SHARD_WORKERS[shard_dir]
 
 
-def _hnsw_parts(handle, q_ids, Q, k, ef_search) -> list[dict]:
+def _hnsw_parts(handle, q_ids, Q, k, ef_search, banned_ids=None) -> list[dict]:
     shard_dirs = [
         d
         for shard in range(handle.meta["num_shards"])
@@ -617,7 +629,7 @@ def _hnsw_parts(handle, q_ids, Q, k, ef_search) -> list[dict]:
             conns = []
             for d in shard_dirs:
                 _, conn = _shard_worker(d)
-                conn.send((Q, k, ef_search))
+                conn.send((Q, k, ef_search, banned_ids))
                 conns.append(conn)
             results = [c.recv() for c in conns]
         except (OSError, EOFError, BrokenPipeError):  # pragma: no cover
@@ -626,7 +638,10 @@ def _hnsw_parts(handle, q_ids, Q, k, ef_search) -> list[dict]:
             _stop_shard_workers()
             results = None
     if results is None:  # single shard, or a restricted environment
-        results = [_search_one_shard(d, Q, k, ef_search) for d in shard_dirs]
+        results = [
+            _search_one_shard(d, Q, k, ef_search, banned_ids=banned_ids)
+            for d in shard_dirs
+        ]
     return [
         {"query_id": q_ids[qpos], "vec_id": vids, "distance": dists}
         for qpos, vids, dists in results
@@ -762,6 +777,7 @@ def serve_local(
     allowed_ids=None,
     filter_oversample: int | None = None,
     recall_target: float | None = None,
+    exclude_ids=None,
 ):
     """Serve a small query batch from the driver — no Spark job.
 
@@ -792,6 +808,17 @@ def serve_local(
     evaluates against the same stats rows, so the two paths pick the same
     plan). `recall_target` picks the knob from the stored recall curve,
     exactly as search_index does (same curve rows -> same plan).
+
+    `exclude_ids` serves as if those stored rows were ABSENT from the
+    index — the held-out recall-profiling hook (sources/recall_curve.py
+    serves the profile sample with itself excluded, so the curve measures
+    what a FRESH query would see). Scan-side id mask for FLAT/IVF/IVFPQ
+    (absence and masking coincide on a scanned list); for HNSW graphs the
+    ids are BANNED inside the kernel — unscored, unexpanded, unreturned —
+    because a post-filter would keep the in-corpus navigation advantage
+    (the query's own node's edges point at its true neighbors) that the
+    held-out profile exists to remove. Not a user-facing delete: use
+    delete_vectors/allowed_ids for serving-time semantics.
     """
     # freshness probe (stat-only, ~µs): deletes/appends/compactions landing
     # after open take effect on the very next batch served through this
@@ -817,6 +844,25 @@ def serve_local(
         )
     filtered = where is not None or allowed_sorted is not None
     tomb_sorted = handle.tombstone_array()  # pending deletes, None if clean
+    ex_sorted = None
+    if exclude_ids is not None:
+        ex_sorted = np.unique(
+            np.fromiter(exclude_ids, dtype=np.int64)
+            if not isinstance(exclude_ids, np.ndarray)
+            else exclude_ids.astype(np.int64, copy=False)
+        )
+        if not len(ex_sorted):
+            ex_sorted = None
+    if ex_sorted is not None and not (
+        itype == "HNSW" and meta.get("hnsw_graph")
+    ):
+        # scanned lists: absence == id mask, so held-out rows ride the
+        # tombstone mask (the graph path instead bans them in the kernel)
+        tomb_sorted = (
+            ex_sorted
+            if tomb_sorted is None
+            else np.union1d(tomb_sorted, ex_sorted)
+        )
 
     _sel_cache: list = []
 
@@ -887,7 +933,7 @@ def serve_local(
                     as_arrays,
                 )
         from webscale_vector_search_spark.sources.recall_curve import (
-            DEFAULT_TARGET,
+            default_ef,
             ef_from_curve,
         )
 
@@ -895,12 +941,14 @@ def serve_local(
             ef_search = ef_from_curve(handle, recall_target, k) or ef_search
         if ef_search is None:
             # default the beam from the measured curve (mirror search_index:
-            # DEFAULT_TARGET pick when a curve exists, ef=64 for curve-less
-            # legacy indexes). The curve pdf itself is handle-cached
-            # (load_curve_pdf), so the 1-query hot path pays only a sort
-            # over the <=6-rung ladder — and a curve re-profile or reopen
-            # invalidates the pick with the pdf, no second cache to drift.
-            ef_search = ef_from_curve(handle, DEFAULT_TARGET, k) or 64
+            # DEFAULT_TARGET pick when a curve exists — floored at 64 for
+            # in-corpus-profiled curves, ADVICE r12 — and ef=64 for
+            # curve-less legacy indexes). The curve pdf and profile meta
+            # are handle-cached (load_curve_pdf/load_profile_meta_cached),
+            # so the 1-query hot path pays only a sort over the <=6-rung
+            # ladder — and a curve re-profile or reopen invalidates the
+            # pick with the pdf, no second cache to drift.
+            ef_search = default_ef(handle, k)
         # tombstones post-filter like a mild predicate (2x oversample);
         # user filters use filter_oversample (auto, clamped at the cap,
         # when None), and the margins COMPOSE when both apply — mirror
@@ -913,6 +961,7 @@ def serve_local(
         parts = _hnsw_parts(
             handle, q_ids, Q, k_search,
             max(ef_search, 2 * k_search) if widen else ef_search,
+            banned_ids=ex_sorted,
         )
         if widen:
             # cut to the global top-k_search FIRST (what hnsw_stored_search

@@ -287,26 +287,58 @@ def incremental_build(
             if centroids is not None:
                 from pyspark.sql import functions as F
 
-                def _norm(df):
-                    # common frame for the exact comparison: a float32
-                    # table passed against a float64 store (or vice versa)
-                    # must compare by value, not by schema accident
+                def _norm(df, name):
+                    # common frame for the comparison: a float32 table
+                    # passed against a float64 store (or vice versa) must
+                    # compare by value, not by schema accident
                     return df.select(
                         F.col("centroid_id").cast("int").alias("centroid_id"),
-                        F.col("cvec").cast("array<double>").alias("cvec"),
+                        F.col("cvec").cast("array<double>").alias(name),
                     )
 
-                disagree = (
-                    centroids.count() != stored_cents.count()
-                    or _norm(centroids).exceptAll(_norm(stored_cents)).count() != 0
-                )
-                if disagree:
+                # tolerant per-element comparison (ADVICE r12): exact float
+                # equality refused callers whose table round-tripped through
+                # a lossy path (float32 re-encode, float64 recompute) even
+                # though the geometry is identical. 1e-5 absolute on O(1)-
+                # magnitude centroids is ~100x a float32 round-trip error
+                # and ~10000x below any genuinely different centroid.
+                tol = 1e-5
+                n_passed, n_stored = centroids.count(), stored_cents.count()
+                if n_passed != n_stored:
                     raise ValueError(
-                        "the passed centroids table disagrees with the "
-                        f"stored <{out_dir}>/centroids — appended vectors "
-                        "would be filed into cells the probe selector "
-                        "never routes to; pass the stored table (or "
-                        "nothing: it is used automatically)"
+                        f"the passed centroids table has {n_passed} rows but "
+                        f"the stored <{out_dir}>/centroids has {n_stored} — "
+                        "appended vectors would be filed into cells the "
+                        "probe selector never routes to; pass the stored "
+                        "table (or nothing: it is used automatically)"
+                    )
+                n_bad = (
+                    _norm(centroids, "cvec_p")
+                    .join(_norm(stored_cents, "cvec_s"), "centroid_id", "full_outer")
+                    .where(
+                        F.col("cvec_p").isNull()
+                        | F.col("cvec_s").isNull()
+                        | (F.size("cvec_p") != F.size("cvec_s"))
+                        | (
+                            F.array_max(
+                                F.zip_with(
+                                    "cvec_p", "cvec_s",
+                                    lambda x, y: F.abs(x - y),
+                                )
+                            )
+                            > tol
+                        )
+                    )
+                    .count()
+                )
+                if n_bad:
+                    raise ValueError(
+                        f"{n_bad} centroid rows of the passed table disagree "
+                        f"with the stored <{out_dir}>/centroids beyond "
+                        f"tol={tol} (by id, element-wise) — appended vectors "
+                        "would be filed into cells the probe selector never "
+                        "routes to; pass the stored table (or nothing: it "
+                        "is used automatically)"
                     )
             centroids = stored_cents
     # appends to an attributed index must carry the attr columns: epochs
@@ -583,7 +615,16 @@ def refresh_metadata(spark: SparkSession, index_dir: str) -> dict:
         if fresh.get("vectors_dir") == meta.get("vectors_dir"):
             fresh["total_vectors"] = total
             write_metadata(index_dir, fresh)
-            return fresh
+            # appends grow the corpus the recall curve was measured on;
+            # past the growth bar the curve (NOT delta-maintainable, unlike
+            # the stats tables) gets flagged observably stale — every
+            # append path funnels through this recount (VERDICT r12 ask #2)
+            from webscale_vector_search_spark.sources.recall_curve import (
+                note_corpus_mutation,
+            )
+
+            note_corpus_mutation(index_dir, total_now=total)
+            return read_metadata(index_dir)
     # pointer kept flipping (continuous compaction): the freshest sidecar
     # already carries the compaction's own recount — leave it untouched
     return read_metadata(index_dir)
