@@ -490,7 +490,13 @@ def _ann_tier(spark, n: int, cache_dir: str) -> tuple[dict, dict]:
         "ivfpq_1q_ms": timed_local(
             lambda: serve_local(pq_handle, q1_np, k=k, nprobe=nprobe)
         ),
+        # default serve beam (curve-picked) priced beside the reference's
+        # hardcoded ef=64 — same trend pair as the batch arm (r12 ask #5)
         "hnsw_1q_ms": timed_local(lambda: serve_local(hnsw_handle, q1_np, k=k)),
+        "hnsw_1q_ef64_ms": timed_local(
+            lambda: serve_local(hnsw_handle, q1_np, k=k, ef_search=64)
+        ),
+        "hnsw_1q_default_ef": hnsw_default_ef,
         "ivf_64q_ms": timed_local(
             lambda: serve_local(ivf_handle, q64_np, k=k, nprobe=nprobe), runs=5
         ),

@@ -30,7 +30,10 @@ def main() -> None:
 
     corpus_path = sys.argv[1]
     n, ncl, seed, n_queries, k = (int(a) for a in sys.argv[2:7])
-    runs = int(sys.argv[7]) if len(sys.argv) > 7 else 3
+    # min-of-5 with TWO warm-ups: the arm's warm-up tail is long in a fresh
+    # JVM (measured runs [9.9, 4.5, 3.8, 4.8, 3.7, 4.2] — the first timed
+    # run after one warm-up still reads ~2.5x the floor)
+    runs = int(sys.argv[7]) if len(sys.argv) > 7 else 5
 
     from bench import _ann_vectors, _quick_probe
     from webscale_vector_search_spark.operators.knn import knn_pandas
@@ -53,7 +56,8 @@ def main() -> None:
 
     io_dir = os.path.dirname(corpus_path) or "/tmp"
     probe_pre = _quick_probe(io_dir)
-    knn_pandas(corpus, queries, k=k).count()  # warm-up: JIT + scan caches
+    for _ in range(2):  # warm-ups: JIT + scan caches + python-worker pool
+        knn_pandas(corpus, queries, k=k).count()
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()

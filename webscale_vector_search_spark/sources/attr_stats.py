@@ -836,15 +836,26 @@ def plan_nprobe(handle, base: int, k: int, where=None, allowed_count=None,
         ad = adaptive_filtered_nprobe(handle, Q, k, mc) if mc else None
         if ad is not None:
             from webscale_vector_search_spark.sources.recall_curve import (
+                RECALL_MARGIN,
                 profile_replay_nprobe,
             )
 
-            terms = [ad]
             # measured depth for THIS filter: walk the exact matching-cell
             # set (with its matched counts) in member-nearest profile order
             p_x = profile_replay_nprobe(handle, tgt, k, mc)
-            if p_x is not None:
-                terms.append(p_x)
+            # the walk reads are POINT ESTIMATES of a tail quantile — the
+            # replay from a 64-query profile sample, the adaptive walk
+            # from a supply bar that says "enough rows reachable", not
+            # "the true top-k is inside" — so they carry the same
+            # RECALL_MARGIN headroom every curve read already carries
+            # (nprobe_from_curve applies it internally; its absence here
+            # was an inconsistency, measured at the 1M label arm in r13:
+            # un-margined walk 70 probes -> recall 0.9845, silently under
+            # the 0.99 target; 1.25x -> 88 probes -> 0.9925. Undershoot
+            # costs recall silently, overshoot costs bounded latency —
+            # the module-docstring stance applied uniformly.)
+            walk = max([ad] + ([p_x] if p_x is not None else []))
+            terms = [math.ceil(RECALL_MARGIN * walk)]
             p_k = nprobe_from_curve(handle, tgt, k)
             if p_k is not None:
                 terms.append(p_k)
