@@ -554,11 +554,14 @@ def test_hnsw_curveless_keeps_legacy_default(spark, corpus, tmp_path_factory,
 
 
 def test_profile_replay_member_order_walk_unit():
-    """Pure-unit pins for the r12 member-order supply walk (no Spark):
-    fat supply stops at the first member-nearest matching cell, thin
-    supply walks deeper, a legacy bare-iterable mcells reduces to the
-    first-cell read, and a filter matching no profiled cell returns None
-    (fall back to the closed-form planner)."""
+    """Pure-unit pins for the member-order supply walk (no Spark): the
+    walk must cover BOTH bars — REPLAY_SUPPLY*k reachable rows (thin
+    supply walks deeper) AND the min(k, n_matching) member-prefix (r13:
+    the cells holding the filtered top-k are a <=k prefix of the
+    member-nearest order, so a single fat cell meeting the rows bar must
+    NOT stop a k>1 walk — the one-cell stop under-served 0.978 against a
+    0.99 target at the 100M label arm). A filter matching no profiled
+    cell returns None (fall back to the closed-form planner)."""
     from types import SimpleNamespace
 
     import pandas as pd
@@ -579,22 +582,92 @@ def test_profile_replay_member_order_walk_unit():
         }
     )
     h = SimpleNamespace(index_dir="fake", _cell_profile_pdf=prof)
-    k = 10
-    fat = REPLAY_SUPPLY * k  # one cell covers the whole supply bar
-    assert profile_replay_nprobe(h, 0.99, k, {10: fat, 20: fat, 30: fat}) == 5
-    # thin supply: needs two cells -> the deeper center rank of the pair
-    half = fat // 2
-    assert profile_replay_nprobe(h, 0.99, k, {10: half, 20: half, 30: half}) == 9
-    # total matched mass below the bar: walk stops once ALL of it is
-    # reachable (thin filters: all there is), not at the full bar
+    k = 2
+    fat = REPLAY_SUPPLY * k
+    # k=2 with fat supply: rows bar met at cell 10, prefix bar needs 2
+    # cells -> the deeper center rank of the member-prefix pair
+    assert profile_replay_nprobe(h, 0.99, k, {10: fat, 20: fat, 30: fat}) == 9
+    # k=1: the prefix is one cell — fat supply stops at the first
+    # member-nearest matching cell (the r12 behavior, correct for k=1)
+    assert profile_replay_nprobe(h, 0.99, 1, {10: fat, 20: fat, 30: fat}) == 5
+    # thin supply at k=2: the rows bar (2*REPLAY_SUPPLY rows at 1/cell)
+    # outwalks the 2-cell prefix -> all three cells
     assert profile_replay_nprobe(h, 0.99, k, {10: 1, 20: 1, 30: 1}) == 50
-    # legacy bare iterable: unbounded supply per cell == first-cell read
-    assert profile_replay_nprobe(h, 0.99, k, [10, 20, 30]) == 5
+    # legacy bare iterable: unbounded supply, prefix bar still walks k cells
+    assert profile_replay_nprobe(h, 0.99, 1, [10, 20, 30]) == 5
+    assert profile_replay_nprobe(h, 0.99, k, [10, 20, 30]) == 9
     # filter matches only the bursty far cell: its center rank is the need
     assert profile_replay_nprobe(h, 0.99, k, {30: fat}) == 50
     # no matching cell in the profile -> None (closed-form fallback)
     assert profile_replay_nprobe(h, 0.99, k, {999: fat}) is None
     assert profile_replay_nprobe(h, 0.99, k, {}) is None
+
+
+def test_expected_replay_nprobe_unit():
+    """Pure-unit pins for the r13 expected-geometry filtered read (no
+    Spark): a dispersed filter reads the containment depth from the
+    measured neighbor rows; a filter that zeroes the query's own cell
+    switches to the xcell scope; unobservable mass (profile exhausted
+    before k expected matches) lands on the member-prefix cells; and
+    missing inputs (no totals, counts-less mcells, no cell_id column)
+    return None for the supply-walk fallback."""
+    from types import SimpleNamespace
+
+    import pandas as pd
+
+    from webscale_vector_search_spark.sources.recall_curve import (
+        expected_replay_nprobe,
+    )
+
+    k = 2
+    # query 1: own cell (10) matches; 40 'all'-scope neighbors, the first
+    # 30 in cell 10 (center rank 1), the rest in cell 20 (center rank 3)
+    rows = []
+    for r in range(1, 41):
+        rows.append(
+            {
+                "query_id": 1,
+                "nn_rank": r,
+                "cell_rank": 1 if r <= 30 else 3,
+                "cell_id": 10 if r <= 30 else 20,
+                "scope": "all",
+                "new_cell": r in (1, 31),
+            }
+        )
+    curve = pd.DataFrame(rows)
+    prof = pd.DataFrame(
+        {
+            "query_id": [1, 1],
+            "cell_id": [10, 20],
+            "member_rank": [1, 2],
+            "center_rank": [1, 3],
+        }
+    )
+    h = SimpleNamespace(
+        index_dir="fake", _recall_curve_pdf=curve, _cell_profile_pdf=prof
+    )
+    totals = {10: 100, 20: 100}
+    # fat dispersed match in the own cell: expected k reached within the
+    # first cell's neighbors -> probe 1 suffices
+    assert expected_replay_nprobe(h, 0.99, k, {10: 100, 20: 100}, totals) == 1
+    # own cell zeroed (cluster-correlated filter): mass can only come
+    # from cell 20 via the xcell scope — absent here, so ALL mass is the
+    # member-prefix deficit on cell 20 -> its center rank
+    assert expected_replay_nprobe(h, 0.99, k, {20: 100}, totals) == 3
+    # thin match fraction in the own cell (1%): expected matches among 30
+    # observed neighbors = 0.3 << k, deficit spreads over the member
+    # prefix (cells 10 and 3) -> the deeper prefix rank
+    assert expected_replay_nprobe(h, 0.99, k, {10: 1, 20: 1}, totals) == 3
+    # unanswerable inputs -> None (fallback path)
+    assert expected_replay_nprobe(h, 0.99, k, {10: 100}, None) is None
+    assert expected_replay_nprobe(h, 0.99, k, [10, 20], totals) is None
+    assert expected_replay_nprobe(h, 0.99, k, {}, totals) is None
+    h_nocell = SimpleNamespace(
+        index_dir="fake",
+        _recall_curve_pdf=curve.drop(columns=["cell_id"]),
+        _cell_profile_pdf=prof,
+    )
+    assert expected_replay_nprobe(h_nocell, 0.99, k, {10: 100}, totals) is None
 
 
 def test_ef_from_curve_strict_read_unit():

@@ -732,6 +732,28 @@ def matched_per_cell(handle, where=None, allowed_arr=None, spark=None) -> "dict 
     return d_where if d_where is not None else d_allow
 
 
+def cell_total_rows(handle) -> "dict | None":
+    """Per-cell TOTAL row counts {centroid_id: n} from the attr cell-stats
+    table (sum over attribute combos), handle-cached — the denominator
+    that turns matched_per_cell into per-cell match FRACTIONS for the
+    expected-geometry filtered read (recall_curve.expected_replay_nprobe).
+    Delta-maintained with the stats table itself; None when absent."""
+    cached = handle.__dict__.get("_cell_totals", False)
+    if cached is not False:
+        return cached
+    pdf = load_cell_stats_pdf(handle)
+    totals = (
+        None
+        if pdf is None
+        else {
+            int(c): float(v)
+            for c, v in pdf.groupby("centroid_id")["count"].sum().items()
+        }
+    )
+    handle._cell_totals = totals
+    return totals
+
+
 def adaptive_filtered_nprobe(handle, Q, k: int, mcells: dict) -> "int | None":
     """The query-adaptive probe budget (r11): for EACH query in the batch,
     walk its actual centroid ordering (the same stable argsort the probe
@@ -837,25 +859,39 @@ def plan_nprobe(handle, base: int, k: int, where=None, allowed_count=None,
         if ad is not None:
             from webscale_vector_search_spark.sources.recall_curve import (
                 RECALL_MARGIN,
+                expected_replay_nprobe,
                 profile_replay_nprobe,
             )
 
-            # measured depth for THIS filter: walk the exact matching-cell
-            # set (with its matched counts) in member-nearest profile order
-            p_x = profile_replay_nprobe(handle, tgt, k, mc)
-            # the walk reads are POINT ESTIMATES of a tail quantile — the
-            # replay from a 64-query profile sample, the adaptive walk
-            # from a supply bar that says "enough rows reachable", not
-            # "the true top-k is inside" — so they carry the same
-            # RECALL_MARGIN headroom every curve read already carries
-            # (nprobe_from_curve applies it internally; its absence here
-            # was an inconsistency, measured at the 1M label arm in r13:
-            # un-margined walk 70 probes -> recall 0.9845, silently under
-            # the 0.99 target; 1.25x -> 88 probes -> 0.9925. Undershoot
-            # costs recall silently, overshoot costs bounded latency —
-            # the module-docstring stance applied uniformly.)
-            walk = max([ad] + ([p_x] if p_x is not None else []))
-            terms = [math.ceil(RECALL_MARGIN * walk)]
+            # PRIMARY (r13): aggregate-recall estimate over the measured
+            # neighbor geometry with per-cell match fractions — tracks the
+            # hand sweep across both correlated and dispersed filters
+            # (validated at the 100M label arm where the supply walk's
+            # one-cell stop under-served 0.978 and the worst-case prefix
+            # bound over-planned 374; this read picks 95 serving 0.996 at
+            # 1.48x the hand-tuned need). Strict-quantile read: no extra
+            # multiplier.
+            p_geo = expected_replay_nprobe(
+                handle, tgt, k, mc, cell_total_rows(handle)
+            )
+            p_x = None
+            if p_geo is not None:
+                terms = [max(p_geo, ad)]  # ad: batch discovery floor
+            else:
+                # FALLBACK (match fractions unanswerable): member-order
+                # supply walk + adaptive walk. These are POINT ESTIMATES
+                # of a tail quantile — the replay from a 64-query profile
+                # sample, the adaptive walk from a supply bar that says
+                # "enough rows reachable", not "the true top-k is inside"
+                # — so they carry the same RECALL_MARGIN headroom every
+                # curve read already carries (measured at the 1M label
+                # arm in r13: un-margined walk 70 probes -> recall 0.9845,
+                # silently under the 0.99 target; 1.25x -> 88 probes ->
+                # 0.9925. Undershoot costs recall silently, overshoot
+                # costs bounded latency.)
+                p_x = profile_replay_nprobe(handle, tgt, k, mc)
+                walk = max([ad] + ([p_x] if p_x is not None else []))
+                terms = [math.ceil(RECALL_MARGIN * walk)]
             p_k = nprobe_from_curve(handle, tgt, k)
             if p_k is not None:
                 terms.append(p_k)
@@ -866,13 +902,13 @@ def plan_nprobe(handle, base: int, k: int, where=None, allowed_count=None,
                     s_allow = min(1.0, allowed_count / total)
                     if 0 < s_allow < 1:
                         terms.append(math.ceil(base / s_allow))
-            if p_x is None:
-                # without the pair-weighted replay the walk is only a
+            if p_geo is None and p_x is None:
+                # without either measured replay the walk is only a
                 # discovery floor — keep the unfiltered default under it
                 # (an explicit recall_target with no measured curve backing
                 # it must not probe LESS than the no-target plan; the
                 # documented contract is that no-curve indexes keep the
-                # closed-form defaults). WITH the replay both terms are
+                # closed-form defaults). WITH a replay both terms are
                 # measured against this filter, and flooring at the default
                 # was the last fixed constant standing between the auto
                 # budget and the hand-tuned need (measured 2.2x at 10M)

@@ -783,29 +783,40 @@ def profile_replay_nprobe(handle, target: float, k: int, mcells) -> "int | None"
     """Filtered probe depth by REPLAYING the actual matching-cell set over
     the measured per-(query, cell) nearest-member profile: for each
     profiled query, walk its matching cells in MEMBER-nearest order (the
-    order the filtered top-k actually fills from) accumulating the
-    filter's measured per-cell matched counts until C_CANDIDATES*k rows
-    are reachable, and the query's need is the deepest CENTER rank among
-    the walked cells — the probe selector walks center order, and
-    member-vs-center disagreement (cluster burstiness) is exactly what
+    order the filtered top-k actually fills from) until the walked prefix
+    COVERS the filtered top-k, and the query's need is the deepest CENTER
+    rank among the walked cells — the probe selector walks center order,
+    and member-vs-center disagreement (cluster burstiness) is exactly what
     depth-based containment reads miss. The budget is the target-quantile
     of per-query needs.
+
+    Coverage criterion (r13): a matching cell holds a filtered top-k row
+    IFF its nearest matching member lies within the k-th matched distance
+    — so the top-k-holding cells are exactly a PREFIX of the member-
+    nearest order, of length at most k (each prefix cell's nearest member
+    is itself a top-k row). Walking min(k, n_matching) cells therefore
+    covers the filtered top-k by construction. The r12 form stopped at a
+    ROWS bar alone (REPLAY_SUPPLY*k reachable rows), which a single fat
+    cell satisfies — measured at the 100M label arm after the held-out
+    re-profile activated this replay there: the one-cell walk planned 30
+    probes serving 0.978 against the 0.99 target, where the prefix walk
+    must reach every cell whose nearest member outranks a within-cell
+    k-th row (hand-tuned need: 64). The rows bar is KEPT as the thin-
+    supply term (cells with few matched rows force a deeper walk to make
+    k matches reachable at all); the prefix bar is the fat-supply term
+    the rows bar structurally cannot see.
 
     The r11 form distributed the UNFILTERED top-k's cross-cell pair
     weights over the matching cells instead — but that spread arises from
     own-cell competition, not thin supply, so it over-spreads whenever
-    per-cell matched supply is fat (every profiled tier: the r11 read
-    measured 1.78x the hand-tuned need at 10M while this mass walk reads
-    34 vs hand-tuned 32 at 10M and 139 vs 128 at 1M, VERDICT r11 #5).
-    Thin supply (small or sparsely-matched cells) still walks deeper —
-    the mass criterion is the same candidate-volume bar the query-
-    adaptive walk uses, and plan_nprobe max-composes this with that
-    walk's own cell-discovery term on the actual batch.
+    per-cell matched supply is fat (measured 1.78x the hand-tuned need at
+    10M, VERDICT r11 #5).
 
     `mcells`: {cell_id: matched_count} (attr_stats.matched_per_cell); a
     bare cell-id iterable (legacy) treats each cell's supply as
-    unbounded, reducing to the first-member-nearest-cell read. None when
-    no profile exists — callers fall back to the closed-form planner."""
+    unbounded (the rows bar is met immediately; the prefix bar still
+    walks min(k, n_matching) cells). None when no profile exists —
+    callers fall back to the closed-form planner."""
     pdf = load_cell_profile_pdf(handle)
     if pdf is None:
         return None
@@ -826,12 +837,15 @@ def profile_replay_nprobe(handle, target: float, k: int, mcells) -> "int | None"
     needs = []
     for q, g in sub.groupby("query_id"):
         ranks = g["center_rank"].to_numpy()
+        need_cells = min(k, len(ranks))  # the member-prefix coverage bar
         acc, depth = 0.0, 1
-        for cid, r in zip(g["cell_id"].to_numpy(), ranks):
+        for walked, (cid, r) in enumerate(
+            zip(g["cell_id"].to_numpy(), ranks), start=1
+        ):
             depth = max(depth, int(r))
             c = counts.get(int(cid))
             acc += need_rows if c is None else c
-            if acc >= need_rows:
+            if acc >= need_rows and walked >= need_cells:
                 break
         needs.append(depth)
     if not needs:
@@ -839,6 +853,149 @@ def profile_replay_nprobe(handle, target: float, k: int, mcells) -> "int | None"
     needs = np.sort(np.asarray(needs))
     idx = min(len(needs) - 1, max(0, math.ceil(target * len(needs)) - 1))
     return int(needs[idx])
+
+
+def expected_replay_nprobe(
+    handle, target: float, k: int, mcells, cell_totals
+) -> "int | None":
+    """Filtered probe budget from an AGGREGATE-recall estimate over the
+    measured neighbor geometry — the r13 primary filtered read, replacing
+    the member-order supply walk's point estimate (kept as the fallback,
+    profile_replay_nprobe) whenever per-cell match FRACTIONS are
+    computable.
+
+    Model, per profiled query: walk its measured true neighbors (the
+    curve's (nn_rank, cell_id, cell_rank) rows — scope `all` when the
+    query's own cell holds matches, scope `xcell` when the filter zeroes
+    its own cell, the position a cluster-correlated filter puts most
+    queries in) weighting each neighbor by p_c = matched_c/total_c (the
+    chance that row passes the filter) times the Poisson survival
+    P(fewer than k matches seen before it) — the expected number of
+    FILTERED top-k rows that neighbor contributes. Mass the profiled
+    truth cannot observe (hard queries: the profile's KMAX neighbors
+    exhaust before k expected matches — exactly the queries whose
+    matching cells are far) is assigned one-row-per-cell across the
+    query's member-nearest matching-cell prefix (profile_replay_nprobe's
+    coverage theorem: the top-k-holding cells are a <=k prefix of that
+    order). Aggregate recall at budget p = mean over queries of the
+    per-query mass fraction within center rank <= p; the pick is the
+    smallest p meeting the STRICT filtered quantile 1-(1-target)/2 (same
+    strictening as the containment curve read; no additional multiplier
+    — the strict read IS the headroom, and the estimator is calibrated
+    against measured geometry, not a point guess).
+
+    Validated against the 100M label-arm hand sweep (BENCH_DETAIL
+    `filtered_hand_sweep`): est/measured recall 0.94/0.93 at nprobe 16,
+    0.983/0.978 at 32, 0.993/0.994 at 64; the pick (95) serves 0.996 at
+    1.48x the hand-tuned need — where the r12-era supply walk's one-cell
+    stop planned 30 and served 0.978 (the regression this function
+    fixes), and the worst-case prefix bound alone would plan 374.
+
+    None when unanswerable (no curve with cell ids, no per-cell totals,
+    counts-less mcells) — callers fall back to the supply-walk +
+    RECALL_MARGIN path."""
+    pdf = load_curve_pdf(handle)
+    if (
+        pdf is None
+        or "cell_rank" not in pdf.columns
+        or "cell_id" not in pdf.columns
+        or "scope" not in pdf.columns
+        or not hasattr(mcells, "items")
+        or not mcells
+        or not cell_totals
+        or any(v is None for v in mcells.values())
+    ):
+        return None
+    key = (
+        "georeplay",
+        round(float(target), 6),
+        int(k),
+        hash(frozenset((int(c), int(v)) for c, v in mcells.items())),
+    )
+    cache = handle.__dict__.setdefault("_georeplay_cache", {})
+    if key in cache:
+        return cache[key]
+    p_of = {
+        int(c): min(1.0, float(v) / max(float(cell_totals.get(int(c), 0)), 1.0))
+        for c, v in mcells.items()
+    }
+    prof = load_cell_profile_pdf(handle)
+    prefix_ranks: dict = {}
+    if prof is not None:
+        sub = prof[prof["cell_id"].isin(set(p_of))].sort_values("member_rank")
+        for q, g in sub.groupby("query_id"):
+            prefix_ranks[int(q)] = g["center_rank"].to_numpy()[:k]
+
+    def pois_survival(lam: float) -> float:
+        # P(Pois(lam) <= k-1): the chance the filtered top-k is not yet
+        # exhausted after lam expected matches
+        t = math.exp(-lam)
+        s = t
+        for j in range(1, k):
+            t *= lam / j
+            s += t
+        return s
+
+    per_q: list = []
+    for q, g in pdf.groupby("query_id"):
+        ga = g[g["scope"] == "all"].sort_values("nn_rank")
+        if not len(ga):
+            continue
+        own = int(ga["cell_id"].iloc[0])
+        rows = (
+            ga
+            if p_of.get(own, 0.0) > 0
+            else g[g["scope"] == "xcell"].sort_values("nn_rank")
+        )
+        cum = 0.0
+        rk: list = []
+        wt: list = []
+        for cid, cr in zip(
+            rows["cell_id"].to_numpy(), rows["cell_rank"].to_numpy()
+        ):
+            p = p_of.get(int(cid), 0.0)
+            if p <= 0:
+                continue
+            surv = pois_survival(cum)
+            if surv < 1e-3:
+                break
+            rk.append(int(cr))
+            wt.append(p * surv)
+            cum += p
+        deficit = max(0.0, k - sum(wt))
+        pr = prefix_ranks.get(int(q))
+        if deficit > 0 and pr is not None and len(pr):
+            share = deficit / len(pr)
+            for r in pr:
+                rk.append(int(r))
+                wt.append(share)
+        if rk:
+            per_q.append((np.asarray(rk), np.asarray(wt)))
+    per_q = [(rk, w) for rk, w in per_q if w.sum() > 0]
+    if not per_q:
+        _cache_small(cache, key, None)
+        return None
+    strict = 1.0 - (1.0 - target) / 2.0
+    # mean-of-per-query-fractions == pooled sum of per-query-normalized
+    # weights: one sort instead of a per-candidate-rank rescan
+    ranks = np.concatenate([rk for rk, _ in per_q])
+    mass = np.concatenate([w / (w.sum() * len(per_q)) for _, w in per_q])
+    order = np.argsort(ranks, kind="stable")
+    cum = np.cumsum(mass[order])
+    # the last index of each distinct rank carries that rank's full mass
+    met = np.flatnonzero(cum >= strict - 1e-12)
+    if len(met):
+        pick = int(ranks[order][met[0]])
+    else:
+        pick = int(ranks[order][-1])
+    _cache_small(cache, key, pick)
+    return pick
+
+
+def _cache_small(cache: dict, key, val, cap: int = 64) -> None:
+    if len(cache) >= cap:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
 
 
 def xcell_need_cells(handle, k: int) -> "int | None":
