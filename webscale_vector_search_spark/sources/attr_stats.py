@@ -868,8 +868,8 @@ def plan_nprobe(handle, base: int, k: int, where=None, allowed_count=None,
             # hand sweep across both correlated and dispersed filters
             # (validated at the 100M label arm where the supply walk's
             # one-cell stop under-served 0.978 and the worst-case prefix
-            # bound over-planned 374; this read picks 95 serving 0.996 at
-            # 1.48x the hand-tuned need). Strict-quantile read: no extra
+            # bound over-planned 374; this read picks 62 serving 0.994 at
+            # 0.97x the hand-tuned need). Strict-quantile read: no extra
             # multiplier.
             p_geo = expected_replay_nprobe(
                 handle, tgt, k, mc, cell_total_rows(handle)

@@ -879,17 +879,22 @@ def expected_replay_nprobe(
     coverage theorem: the top-k-holding cells are a <=k prefix of that
     order). Aggregate recall at budget p = mean over queries of the
     per-query mass fraction within center rank <= p; the pick is the
-    smallest p meeting the STRICT filtered quantile 1-(1-target)/2 (same
-    strictening as the containment curve read; no additional multiplier
-    — the strict read IS the headroom, and the estimator is calibrated
-    against measured geometry, not a point guess).
+    smallest p meeting the strict quantile 1-(1-target)/RECALL_MARGIN —
+    the module's uniform sample-noise headroom, read on the quantile
+    side exactly as ef_from_curve reads the ef ladder; no additional
+    multiplier (the estimator is calibrated against measured geometry,
+    not a point guess).
 
     Validated against the 100M label-arm hand sweep (BENCH_DETAIL
     `filtered_hand_sweep`): est/measured recall 0.94/0.93 at nprobe 16,
-    0.983/0.978 at 32, 0.993/0.994 at 64; the pick (95) serves 0.996 at
-    1.48x the hand-tuned need — where the r12-era supply walk's one-cell
+    0.983/0.978 at 32, 0.993/0.994 at 64; the pick (62) serves 0.994 at
+    0.97x the hand-tuned need — where the r12-era supply walk's one-cell
     stop planned 30 and served 0.978 (the regression this function
-    fixes), and the worst-case prefix bound alone would plan 374.
+    fixes), and the worst-case prefix bound alone would plan 374. At the
+    1M/10M label arms: 146 (1.14x the hand 128, recall >=0.999) and 60
+    (recall 0.999; the power-of-2 hand rung 32 reads 0.9900 EXACTLY — a
+    knife-edge the estimator's one hard profiled query, holding ~1.6% of
+    the mass at prefix rank 60, refuses to plan to).
 
     None when unanswerable (no curve with cell ids, no per-cell totals,
     counts-less mcells) — callers fall back to the supply-walk +
@@ -975,7 +980,7 @@ def expected_replay_nprobe(
     if not per_q:
         _cache_small(cache, key, None)
         return None
-    strict = 1.0 - (1.0 - target) / 2.0
+    strict = 1.0 - (1.0 - target) / RECALL_MARGIN
     # mean-of-per-query-fractions == pooled sum of per-query-normalized
     # weights: one sort instead of a per-candidate-rank rescan
     ranks = np.concatenate([rk for rk, _ in per_q])
