@@ -603,6 +603,98 @@ def test_profile_replay_member_order_walk_unit():
     assert profile_replay_nprobe(h, 0.99, k, {}) is None
 
 
+def test_expected_replay_covers_parity_correlated_spread(
+    spark, tmp_path_factory
+):
+    """Integration pin for the r13 100M planner regression, in miniature:
+    a parity-correlated filter (label = cluster % 2 — half the cells hold
+    ZERO matches, so a non-matching-cluster query's filtered top-k lives
+    in OTHER clusters) over FAT cells (each cell's matched supply alone
+    meets the REPLAY_SUPPLY*k rows bar). The r12 supply walk stopped at
+    the first member-nearest matching cell and under-served; the
+    expected-geometry read must be active and the auto plan must cover
+    the multi-cell spread (exact on this corpus), while a re-simulation
+    of the old one-cell pick measurably under-serves."""
+    import math
+
+    import pandas as pd
+
+    from webscale_vector_search_spark.config import default_nprobe
+    from webscale_vector_search_spark.sources.attr_stats import (
+        cell_total_rows,
+        matched_per_cell,
+    )
+    from webscale_vector_search_spark.sources.recall_curve import (
+        expected_replay_nprobe,
+        load_cell_profile_pdf,
+    )
+
+    rng = np.random.default_rng(7)
+    ncl, dim, per = 32, 16, 400
+    n = ncl * per
+    # center/noise std 2.0/2.0: clusters OVERLAP, so a non-matching-
+    # cluster query's filtered top-10 spreads across several matching
+    # cells — the spread the one-cell stop structurally misses
+    centers = rng.normal(0.0, 2.0, (ncl, dim))
+    ids = np.arange(n)
+    cluster = ids % ncl
+    V = (centers[cluster] + rng.normal(0.0, 2.0, (n, dim))).astype("float32")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": ids.astype("int64"),
+            "embedding": [v.tolist() for v in V],
+            "label": (cluster % 2).astype("int32"),
+        }
+    )
+    corpus = spark.createDataFrame(pdf)
+    out = str(tmp_path_factory.mktemp("geo_replay") / "idx")
+    # pin the cells to the TRUE generator centers: assignment (and so the
+    # profile, the walk, and every pick below) is then deterministic
+    # regardless of session partitioning, unlike sampled kmeans
+    cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in centers[c]]) for c in range(ncl)],
+        "centroid_id INT, cvec ARRAY<FLOAT>",
+    )
+    h = build_index(
+        spark, corpus, out,
+        EngineConfig(index_type="IVF", vector_dim=dim, nlist=ncl),
+        attr_cols=["label"], centroids_df=cents,
+    )
+    mc = matched_per_cell(h, where="label = 1", spark=spark)
+    # fat supply: the typical matching cell alone satisfies the old rows
+    # bar (a couple of boundary rows land in wrong-parity cells — which
+    # only adds thin cells, not the failure mode under test)
+    assert float(np.median(list(mc.values()))) >= 40
+    geo = expected_replay_nprobe(h, 0.99, 10, mc, cell_total_rows(h))
+    assert geo is not None  # the primary read answers on this index
+    qrows = corpus.filter("label = 0").orderBy("vec_id").limit(8).collect()
+    Q = np.stack([r["embedding"] for r in qrows]).astype(np.float64)
+    auto = plan_nprobe(
+        h, default_nprobe(ncl, "IVF"), 10, where="label = 1", spark=spark, Q=Q
+    )
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows],
+        "query_id BIGINT, qvec ARRAY<FLOAT>",
+    )
+    oracle = knn_pandas(
+        corpus.filter("label = 1").select("vec_id", "embedding"), queries, k=10
+    )
+    got = search_index(spark, h, queries, k=10, where="label = 1")
+    assert recall_at_k(got, oracle, k=10) == 1.0
+    # the r12 one-cell stop, re-simulated from the same profile: first
+    # member-nearest matching cell per query, 0.99-quantile, x1.25 margin
+    prof = load_cell_profile_pdf(h)
+    sub = prof[prof["cell_id"].isin(set(mc))].sort_values("member_rank")
+    one = np.sort(sub.groupby("query_id").first()["center_rank"].to_numpy())
+    old = int(one[min(len(one) - 1, max(0, math.ceil(0.99 * len(one)) - 1))])
+    old_margined = math.ceil(1.25 * old)
+    assert auto > old_margined
+    g_old = search_index(
+        spark, h, queries, k=10, nprobe=old_margined, where="label = 1"
+    )
+    assert recall_at_k(g_old, oracle, k=10) < 0.99
+
+
 def test_expected_replay_nprobe_unit():
     """Pure-unit pins for the r13 expected-geometry filtered read (no
     Spark): a dispersed filter reads the containment depth from the
