@@ -160,3 +160,35 @@ def test_inactive_customers_broadcast_anti(spark):
     df = QUERIES["q_inactive_customers"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dup_spans_single_scan(spark):
+    """r13: dup-span coverage must tokenize + md5-hash the corpus exactly
+    once — the former three-branch plan re-ran the per-position explode per
+    aggregate (3 corpus scans at 100 TB)."""
+    df = QUERIES["q_dup_spans"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 1, (
+        f"dup_span_stats must scan the corpus once:\n{plan}"
+    )
+
+
+def test_lm_score_two_scans(spark):
+    """r13: the bigram-LM scorer derives the corpus pair/left counts from
+    the per-doc pairs (window sums), leaving exactly two corpus scans: the
+    bigram explode and the unigram vocabulary pass."""
+    df = QUERIES["q_lm_score"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 2, (
+        f"lm_cross_entropy must scan the corpus exactly twice:\n{plan}"
+    )
+
+
+def test_tfidf_lazy_single_tokenize(spark):
+    """r13: q_tfidf derives doclen AND df from the one tf aggregate (the
+    tokenize+explode shuffle is reused at runtime) and computes n_docs as a
+    broadcast 1-row aggregate in the same DAG — construction must not fire
+    an eager job, and array_distinct re-tokenization must be gone."""
+    df = QUERIES["q_tfidf"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "array_distinct" not in plan, "df must derive from tf, not re-tokenize"

@@ -616,10 +616,10 @@ def dup_span_stats(
     for every w-token window position, is that window's text repeated in any
     OTHER document?
 
-    Shape: per-doc w-gram positions explode in the map task; one shuffle
-    aggregates each gram's distinct-doc count; grams seen in >= 2 docs join
-    back to positions (second shuffle, duplicated grams only); a final
-    per-doc count yields coverage. The gram key travels as a 16-hex-char
+    Shape (r13): per-doc w-gram positions explode in the map task ONCE;
+    one shuffle aggregates positions per (gram, doc); a gram-keyed window
+    counts each gram's distinct docs; a final per-doc aggregate folds
+    total and duplicated coverage together. The gram key travels as a 16-hex-char
     md5 prefix, not the raw window text, so shuffle width is constant no
     matter how long the windows are — at corpus scale this is the same
     partition-by-fingerprint plan the published Spark/BigQuery substring
@@ -641,24 +641,30 @@ def dup_span_stats(
             ))
         ).alias("gram_hash"),
     )
-    dup_grams = (
-        grams.groupBy("gram_hash")
-        .agg(F.count_distinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("gram_hash")
+    # r13 single-scan shape: the former three-branch plan re-ran the
+    # tokenize + per-position md5 explode THREE times (duplicated-gram
+    # aggregate, join-back, per-doc totals). Pre-aggregate per
+    # (gram_hash, doc) once, count the gram's distinct docs as a window
+    # over those rows (one row per doc by construction), and fold both
+    # per-doc outputs — total positions and positions whose gram appears
+    # in >= 2 docs — into ONE conditional aggregate. Identical BIGINT
+    # arithmetic, one corpus scan, and no join whose right side (the
+    # duplicated-gram set) only broadcasts at test scale.
+    from pyspark.sql import Window
+
+    gpc = grams.groupBy("gram_hash", id_col).agg(F.count("*").alias("_c"))
+    flagged = gpc.withColumn(
+        "_n_docs", F.count("*").over(Window.partitionBy("gram_hash"))
     )
-    per_doc = grams.join(dup_grams, "gram_hash").groupBy(id_col).agg(
-        F.count("*").alias("dup_grams")
+    per_doc = flagged.groupBy(id_col).agg(
+        F.sum("_c").alias("n_grams"),
+        F.sum(F.when(F.col("_n_docs") >= 2, F.col("_c")).otherwise(F.lit(0))).alias(
+            "dup_grams"
+        ),
     )
-    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    return (
-        totals.join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
-            F.round(
-                F.coalesce("dup_grams", F.lit(0)) / F.col("n_grams"), 6
-            ).alias("dup_fraction"),
-        )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        F.col("dup_grams").cast("long").alias("dup_grams"),
+        F.round(F.col("dup_grams") / F.col("n_grams"), 6).alias("dup_fraction"),
     )

@@ -352,17 +352,24 @@ def lm_cross_entropy(
     with corpus counts c, add-alpha smoothing, V = corpus distinct-token
     vocabulary. Docs with < 2 tokens are excluded (no bigrams to score).
 
-    Scale shape: one exploded-bigram pass feeds BOTH the per-doc pair
-    counts and the corpus pair counts (two aggregates over the same
-    map-side stream); scoring joins per-doc pairs against the aggregated
-    LM tables on (w1, w2) / (w1) -- unique-keyed aggregated right sides,
-    so the joins are shuffle-bounded by distinct pairs, never token
-    positions (AQE handles hot-pair skew). The ln terms accumulate as
-    round-12 DECIMAL weighted by the doc's pair multiplicity --
-    order-independent, so the round-6 result is engine-stable.
+    Scale shape (r13): ONE exploded-bigram pass feeds everything. The
+    corpus LM tables are derived from the per-doc pair counts instead of
+    re-exploding the corpus: c(w1,w2) = sum of c_doc over (w1,w2) and
+    c(w1,*) = sum of c_doc over (w1), both as window sums over the
+    already-aggregated per-doc pairs -- exact BIGINT arithmetic, identical
+    values to the former standalone aggregates. This replaces two extra
+    full tokenize+explode scans AND the (w1,w2)/(w1) joins (whose right
+    sides are vocabulary-sized -- broadcastable at test scale only) with
+    two window passes over distinct (doc, w1, w2) rows. The vocabulary
+    size still needs its own unigram pass (singleton-doc tokens and
+    final-position tokens never appear in a bigram). The ln terms
+    accumulate as round-12 DECIMAL weighted by the doc's pair
+    multiplicity -- order-independent, so the round-6 result is
+    engine-stable.
 
     Output: (doc_id, n_bigrams, cross_entropy).
     """
+    from pyspark.sql import Window
     toks = tokens(F.col(text_col))
     pos = docs.filter(F.size(toks) >= 2).select(
         F.col(id_col).alias("doc_id"),
@@ -374,19 +381,25 @@ def lm_cross_entropy(
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
     doc_pairs = pos.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c_doc"))
-    pair_counts = pos.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
-    left_counts = pair_counts.groupBy("w1").agg(F.sum("pair_count").alias("left_count"))
+    # corpus counts as window sums over the per-doc pairs: pair_count =
+    # sum(c_doc) over (w1, w2); left_count = sum(c_doc) over (w1) -- the
+    # same BIGINT totals the former groupBy tables held, minus two corpus
+    # scans and two joins. The w1 window runs first so the (w1, w2) window
+    # can reuse its hash partitioning (one exchange, not two).
     vocab = docs.select(F.explode(tokens(F.col(text_col))).alias("w")).agg(
         F.count_distinct("w").alias("v_size")
     )
     joined = (
-        doc_pairs.join(pair_counts, ["w1", "w2"])
-        .join(left_counts, "w1")
+        doc_pairs.withColumn(
+            "left_count", F.sum("c_doc").over(Window.partitionBy("w1"))
+        )
+        .withColumn(
+            "pair_count", F.sum("c_doc").over(Window.partitionBy("w1", "w2"))
+        )
         .crossJoin(F.broadcast(vocab))
     )
-    # every doc pair exists in the corpus counts by construction (the corpus
-    # includes the doc), so the joins are inner; alpha still matters for the
-    # smoothed denominator and for scoring held-out text via the same tables
+    # alpha matters for the smoothed denominator and for scoring held-out
+    # text against the same tables
     lp = F.log(
         (F.col("pair_count") + F.lit(alpha))
         / (F.col("left_count") + F.lit(alpha) * F.col("v_size"))

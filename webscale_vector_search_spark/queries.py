@@ -1172,25 +1172,25 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
     tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    # r13: doclen and df both derive from tf (one row per (doc, term)) —
+    # sum(n) over doc is the token count, count(*) over term is the
+    # distinct-doc frequency the oracle's array_distinct explode computed.
+    # One tokenize+explode scan instead of two, and n_docs rides the same
+    # lazy DAG as a broadcast 1-row aggregate instead of an eager .count()
+    # job paid at query-construction time.
     doclen = tf.groupBy("doc_id").agg(F.sum("n").alias("len"))
-    df = (
-        docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("term"),
-        )
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
-    n_docs = docs.count()
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("_n_docs"))
     return (
         tf.join(doclen, "doc_id")
         .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
             F.round(
                 (F.col("n").cast("double") / F.col("len"))
-                * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                * (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
                 6,
             ).alias("tfidf"),
         )
