@@ -15,7 +15,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from webscale_vector_search_spark.operators.hnsw_partition import PyHNSW
+from webscale_vector_search_spark.operators.hnsw_partition import (
+    CSRServingGraph,
+    PyHNSW,
+)
 
 
 def _corpus(n=2000, dim=16, seed=3):
@@ -92,6 +95,57 @@ def test_degree_bound_with_shrink_slack():
             mmax = g.M0 if lc == 0 else g.M
             assert len(lst) <= mmax + g.shrink_slack
             assert len(lst) == len(set(lst)), "duplicate links"
+
+
+def _to_csr(g: PyHNSW) -> CSRServingGraph:
+    """Flatten a built PyHNSW into the CSR layout `_decode_parquet_graph`
+    produces (frozen-bundle dtypes: float32 V, int32 offsets/vals)."""
+    n = len(g.V)
+    levels = np.array([max(g.links[c].keys()) for c in range(n)], dtype=np.int16)
+    outer = np.zeros(n, dtype=np.int32)
+    flat_lists, cnt = [], 0
+    for c in range(n):
+        outer[c] = cnt
+        for lc in range(levels[c] + 1):
+            flat_lists.append(g.links[c].get(lc, []))
+            cnt += 1
+    inner = np.zeros(cnt + 1, dtype=np.int32)
+    for j, lst in enumerate(flat_lists):
+        inner[j + 1] = inner[j] + len(lst)
+    vals = np.fromiter(
+        (u for lst in flat_lists for u in lst), dtype=np.int32, count=int(inner[-1])
+    )
+    return CSRServingGraph(
+        g.V.astype(np.float32), np.arange(n, dtype=np.int64), levels, outer,
+        inner, vals, g.entry, M=g.M, ef_construction=g.ef_construction,
+    )
+
+
+def test_csr_batch_knn_bit_identical_to_per_query():
+    """The serving form (CSRServingGraph) must give the same guarantee the
+    mutable graph does: the vectorized `_batch_search_layer` (r13: visited
+    bitmaps, zero-copy `_neighbors_arr` slices, python-float heap keys)
+    equals per-query `_search_layer` traversal bit-for-bit — including the
+    float32→float64 upcast the frozen-bundle dtypes introduce."""
+    V = _corpus()
+    g = PyHNSW(V.shape[1], M=8, ef_construction=32, seed=0)
+    g.add_items(V)
+    s = _to_csr(g)
+    # the two adjacency accessors must agree everywhere first
+    for c in range(0, len(V), 97):
+        for lc in range(int(s._levels[c]) + 1):
+            assert s._neighbors_arr(c, lc).tolist() == list(s._neighbors(c, lc))
+    Q = _corpus(n=64, dim=16, seed=9)
+    ef = 24
+    labels, dists = s.knn_query(Q, k=5, ef=ef)
+    for qi in range(len(Q)):
+        q = Q[qi]
+        ep = [s.entry]
+        for lc in range(s.max_level, 0, -1):
+            ep = [s._search_layer(q, ep, 1, lc)[0][1]]
+        res = s._search_layer(q, ep, ef, 0)[:5]
+        assert labels[qi].tolist() == [u for _, u in res]
+        assert np.array_equal(dists[qi], np.array([d for d, _ in res]))
 
 
 def test_banned_nodes_behave_as_absent():

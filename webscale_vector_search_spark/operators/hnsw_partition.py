@@ -51,6 +51,8 @@ except ImportError:
     hnswlib = None
     HAS_HNSWLIB = False
 
+_EMPTY_IDS = np.empty(0, dtype=np.int64)
+
 
 class PyHNSW:
     """Hierarchical Navigable Small World graph, pure python/numpy.
@@ -106,6 +108,15 @@ class PyHNSW:
         """Adjacency accessor — overridden by the CSR serving graph."""
         return self.links[c].get(level, ())
 
+    def _neighbors_arr(self, c: int, level: int) -> np.ndarray:
+        """Adjacency as an int ndarray — the batch kernel's accessor (the
+        CSR serving graph overrides this with a zero-copy buffer slice).
+        Same ids in the same order as `_neighbors`."""
+        nb = self.links[c].get(level)
+        if not nb:
+            return _EMPTY_IDS
+        return np.asarray(nb, dtype=np.int64)
+
     def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, level: int):
         """Beam search within one layer; returns ascending [(dist, id), ...]."""
         visited = set(eps)
@@ -157,15 +168,27 @@ class PyHNSW:
 
         Returns one ascending [(dist, id), ...] list per query."""
         B = len(Q)
+        n = len(self.V)
+        # Per-query visited state is a (B, n) bool plane, not B python
+        # sets: membership filtering and marking become whole-array numpy
+        # ops, and a beam that visits thousands of nodes touches ~n bytes
+        # per row where the equivalent set of boxed ints costs ~70x that.
+        # np.zeros is calloc'd lazily, so untouched rows commit no pages.
+        vis = np.zeros((B, n), dtype=bool)
         if banned:
-            # seeding `visited` with the banned set blocks them from ever
+            # seeding visited with the banned set blocks them from ever
             # being scored as fresh neighbors — invisible to the beam
-            visited = [set(eps) | banned for eps in eps_list]
-        else:
-            visited = [set(eps) for eps in eps_list]
+            ban = np.fromiter(banned, dtype=np.int64, count=len(banned))
+            vis[:, ban] = True
+        for i, eps in enumerate(eps_list):
+            vis[i, eps] = True
         flat_q = [i for i, eps in enumerate(eps_list) for _ in eps]
         flat_u = [u for eps in eps_list for u in eps]
-        D = self._pair_dists(Q, flat_q, flat_u)
+        # .tolist() turns the distance vector into python floats ONCE per
+        # round: heap tuples then compare as native floats (same IEEE
+        # doubles, identical ordering) instead of boxed np.float64 scalars,
+        # which roughly halves the heap-op cost
+        D = self._pair_dists(Q, flat_q, flat_u).tolist()
         cand: list[list] = [[] for _ in range(B)]
         res: list[list] = [[] for _ in range(B)]
         pos = 0
@@ -178,44 +201,52 @@ class PyHNSW:
             heapq.heapify(cand[i])
             heapq.heapify(res[i])
         active = list(range(B))
+        heappop, heappush = heapq.heappop, heapq.heappush
+        neighbors_arr = self._neighbors_arr
         while active:
             round_qi: list[int] = []
-            round_fresh: list[list[int]] = []
+            round_fresh: list[np.ndarray] = []
             still = []
             for i in active:
                 fresh = None
                 ci, ri = cand[i], res[i]
+                vi = vis[i]
                 while ci:
-                    dc, c = heapq.heappop(ci)
+                    dc, c = heappop(ci)
                     if dc > -ri[0][0] and len(ri) >= ef:
                         ci.clear()  # same termination as _search_layer
                         break
-                    f = [u for u in self._neighbors(c, level) if u not in visited[i]]
-                    if f:
-                        fresh = f
-                        break
+                    nb = neighbors_arr(c, level)
+                    if nb.size:
+                        f = nb[~vi[nb]]
+                        if f.size:
+                            fresh = f
+                            break
                 if fresh is None:
                     continue  # exhausted or terminated: drops out of lockstep
-                visited[i].update(fresh)
+                vi[fresh] = True
                 round_qi.append(i)
                 round_fresh.append(fresh)
                 still.append(i)
             if not round_qi:
                 break
-            flat_u = [u for f in round_fresh for u in f]
-            flat_q = [i for i, f in zip(round_qi, round_fresh) for _ in f]
-            D = self._pair_dists(Q, flat_q, flat_u)
+            flat_u = np.concatenate(round_fresh)
+            flat_q = np.repeat(
+                np.asarray(round_qi, dtype=np.int64),
+                [f.size for f in round_fresh],
+            )
+            D = self._pair_dists(Q, flat_q, flat_u).tolist()
             pos = 0
             for i, f in zip(round_qi, round_fresh):
                 ci, ri = cand[i], res[i]
-                for u in f:
+                for u in f.tolist():
                     du = D[pos]
                     pos += 1
                     if len(ri) < ef or du < -ri[0][0]:
-                        heapq.heappush(ci, (du, u))
-                        heapq.heappush(ri, (-du, u))
+                        heappush(ci, (du, u))
+                        heappush(ri, (-du, u))
                         if len(ri) > ef:
-                            heapq.heappop(ri)
+                            heappop(ri)
             active = still
         if banned:
             # only initial eps can be banned-in-res (see docstring): drop
@@ -548,6 +579,13 @@ class CSRServingGraph(PyHNSW):
         # stays O(buffers), and a serving loop's hot path converges to
         # plain-list speed after the first batch touches the working set
         self._l0: list = [None] * len(ids)
+        # offset columns ALSO kept as python int lists: `_neighbors_arr`
+        # runs once per beam expansion, and python-int indexing + slicing
+        # is ~4x cheaper than boxing numpy scalars there; ~30 bytes/node,
+        # paid once at load
+        self._levels_l = levels.tolist()
+        self._outer_l = outer_off.tolist()
+        self._inner_l = inner_off.tolist()
 
     def _neighbors(self, c: int, level: int):
         if level == 0:
@@ -560,6 +598,14 @@ class CSRServingGraph(PyHNSW):
             return ()
         s = self._outer[c] + level
         return self._vals[self._inner[s] : self._inner[s + 1]].tolist()
+
+    def _neighbors_arr(self, c: int, level: int) -> np.ndarray:
+        """Zero-copy CSR slice — no tolist, no per-node cache needed: a
+        numpy view over the shared values buffer is free to produce."""
+        if level > self._levels_l[c]:
+            return _EMPTY_IDS
+        s = self._outer_l[c] + level
+        return self._vals[self._inner_l[s] : self._inner_l[s + 1]]
 
     def add_items(self, V):  # pragma: no cover - guard, exercised via to_mutable
         raise TypeError("CSRServingGraph is read-only; call to_mutable() first")
