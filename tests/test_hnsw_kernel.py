@@ -148,6 +148,25 @@ def test_csr_batch_knn_bit_identical_to_per_query():
         assert np.array_equal(dists[qi], np.array([d for d, _ in res]))
 
 
+def test_single_query_dispatch_matches_batch_rows():
+    """knn_query at nq=1 takes the scalar `_search_layer` fast path (r13
+    serve-latency dispatch); its rows must be bit-identical to the same
+    query's row inside a lockstep batch — on BOTH graph forms (mutable
+    dict-of-lists and frozen CSR), at more than one ef."""
+    V = _corpus()
+    g = PyHNSW(V.shape[1], M=8, ef_construction=32, seed=0)
+    g.add_items(V)
+    s = _to_csr(g)
+    Q = _corpus(n=32, dim=16, seed=11)
+    for graph in (g, s):
+        for ef in (8, 24):
+            bl, bd = graph.knn_query(Q, k=5, ef=ef)
+            for qi in range(len(Q)):
+                sl, sd = graph.knn_query(Q[qi : qi + 1], k=5, ef=ef)
+                assert sl[0].tolist() == bl[qi].tolist()
+                assert np.array_equal(sd[0], bd[qi])
+
+
 def test_banned_nodes_behave_as_absent():
     """The held-out profiling hook (r13): `banned` local indices must never
     appear in results, at ANY ef — including ef high enough that an

@@ -439,11 +439,23 @@ class PyHNSW:
         Q = np.asarray(Q, dtype=np.float64)
         ef = max(ef, k)
         nq = len(Q)
-        eps = [[self.entry]] * nq
-        for lc in range(self.max_level, 0, -1):
-            out = self._batch_search_layer(Q, eps, 1, lc, banned=banned)
-            eps = [[r[0][1]] if r else eps[i] for i, r in enumerate(out)]
-        res = self._batch_search_layer(Q, eps, ef, 0, banned=banned)
+        if nq == 1 and not banned:
+            # Single-query serving fast path: the lockstep kernel's
+            # whole-batch numpy ops cost more than they save at B=1
+            # (measured 1.10-1.17x on the CSR form), and per-query
+            # traversal is contractually bit-identical (the lockstep
+            # docstring; pinned by tests), so dispatch to _search_layer.
+            q = Q[0]
+            ep = [self.entry]
+            for lc in range(self.max_level, 0, -1):
+                ep = [self._search_layer(q, ep, 1, lc)[0][1]]
+            res = [self._search_layer(q, ep, ef, 0)]
+        else:
+            eps = [[self.entry]] * nq
+            for lc in range(self.max_level, 0, -1):
+                out = self._batch_search_layer(Q, eps, 1, lc, banned=banned)
+                eps = [[r[0][1]] if r else eps[i] for i, r in enumerate(out)]
+            res = self._batch_search_layer(Q, eps, ef, 0, banned=banned)
         labels = np.full((nq, k), -1, dtype=np.int64)
         dists = np.full((nq, k), np.inf, dtype=np.float64)
         for qi, r in enumerate(res):
