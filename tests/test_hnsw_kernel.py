@@ -212,3 +212,65 @@ def test_banned_entry_point_still_navigable():
     keep = np.array(sorted(set(range(len(V))) - banned))
     exact = keep[_exact_topk(V[keep], Q, 5)]
     assert _recall(labels, exact) >= 0.9
+
+
+def _textbook_search_layer(g, q, eps, ef, level):
+    """Independent reference beam: the unoptimized Malkov-Yashunin layer
+    search exactly as the pre-r13 kernel wrote it (push + overflow-pop,
+    bound re-derived from the heap each candidate). The production
+    `_search_layer`/`_batch_search_layer` cache the admission bound as a
+    native float and merge the full-beam push+pop into one heappushpop —
+    this pin proves those carry the SAME heap contents at every step, by
+    comparing final results element-for-element at efs that stress the
+    full-transition (ef <= len(eps)) and strict-bound (du == bound) edges."""
+    import heapq
+
+    visited = set(eps)
+    d = g._dists(q, eps)
+    cand = [(d[i], eps[i]) for i in range(len(eps))]
+    heapq.heapify(cand)
+    res = [(-d[i], eps[i]) for i in range(len(eps))]
+    heapq.heapify(res)
+    while cand:
+        dc, c = heapq.heappop(cand)
+        if dc > -res[0][0] and len(res) >= ef:
+            break
+        fresh = [u for u in g._neighbors(c, level) if u not in visited]
+        if not fresh:
+            continue
+        visited.update(fresh)
+        nd = g._dists(q, fresh)
+        for du, u in zip(nd, fresh):
+            if len(res) < ef or du < -res[0][0]:
+                heapq.heappush(cand, (du, u))
+                heapq.heappush(res, (-du, u))
+                if len(res) > ef:
+                    heapq.heappop(res)
+    return sorted((-nd, u) for nd, u in res)
+
+
+def test_beam_matches_textbook_reference_at_edge_efs():
+    """r13 heap-loop optimization pin: results equal the unoptimized
+    textbook beam bit-for-bit at ef=1 (full from the first seed), ef=2/5
+    (full flips mid-fresh-list), and a serving ef — on BOTH graph forms,
+    batch and per-query, including duplicate-distance corpora (ties)."""
+    V = _corpus(n=1500, dim=8, seed=21)
+    V[200:260] = V[100:160]  # exact duplicate rows: dense distance ties
+    g = PyHNSW(V.shape[1], M=8, ef_construction=32, seed=2)
+    g.add_items(V)
+    s = _to_csr(g)
+    Q = _corpus(n=48, dim=8, seed=22)
+    for graph in (g, s):
+        for ef in (1, 2, 5, 48):
+            bl, bd = graph.knn_query(Q, k=min(5, ef), ef=ef)
+            for qi in range(len(Q)):
+                q = Q[qi].astype(np.float64)
+                ep = [graph.entry]
+                for lc in range(graph.max_level, 0, -1):
+                    ep = [_textbook_search_layer(graph, q, ep, 1, lc)[0][1]]
+                ref = _textbook_search_layer(graph, q, ep, max(ef, min(5, ef)), 0)
+                ref = ref[: min(5, ef)]
+                assert bl[qi].tolist()[: len(ref)] == [u for _, u in ref]
+                assert np.array_equal(
+                    bd[qi][: len(ref)], np.array([d for d, _ in ref])
+                )

@@ -118,28 +118,45 @@ class PyHNSW:
         return np.asarray(nb, dtype=np.int64)
 
     def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, level: int):
-        """Beam search within one layer; returns ascending [(dist, id), ...]."""
+        """Beam search within one layer; returns ascending [(dist, id), ...].
+
+        The admission bound `-res[0][0]` is cached as a native float (`b`,
+        valid whenever `full`) and maintained on every res mutation, and
+        the full-beam push+overflow-pop pair is one `heappushpop` — heap
+        CONTENTS are unchanged at every step, and since all elements are
+        distinct tuples the pop sequence is a function of contents alone,
+        so results stay bit-identical to the textbook form (pinned by the
+        determinism fixtures: construction runs through this code)."""
         visited = set(eps)
-        d = self._dists(q, eps)
+        d = self._dists(q, eps).tolist()
         cand = [(d[i], eps[i]) for i in range(len(eps))]
         heapq.heapify(cand)
         res = [(-d[i], eps[i]) for i in range(len(eps))]
         heapq.heapify(res)
+        full = len(res) >= ef
+        b = -res[0][0] if res else 0.0
+        heappop, heappush = heapq.heappop, heapq.heappush
+        heappushpop = heapq.heappushpop
         while cand:
-            dc, c = heapq.heappop(cand)
-            if dc > -res[0][0] and len(res) >= ef:
+            dc, c = heappop(cand)
+            if full and dc > b:
                 break
             fresh = [u for u in self._neighbors(c, level) if u not in visited]
             if not fresh:
                 continue
             visited.update(fresh)
-            nd = self._dists(q, fresh)
+            nd = self._dists(q, fresh).tolist()
             for du, u in zip(nd, fresh):
-                if len(res) < ef or du < -res[0][0]:
-                    heapq.heappush(cand, (du, u))
-                    heapq.heappush(res, (-du, u))
-                    if len(res) > ef:
-                        heapq.heappop(res)
+                if not full:
+                    heappush(cand, (du, u))
+                    heappush(res, (-du, u))
+                    if len(res) >= ef:
+                        full = True
+                        b = -res[0][0]
+                elif du < b:
+                    heappush(cand, (du, u))
+                    heappushpop(res, (-du, u))
+                    b = -res[0][0]
         return sorted((-nd, u) for nd, u in res)
 
     def _batch_search_layer(self, Q: np.ndarray, eps_list, ef: int, level: int,
@@ -192,6 +209,14 @@ class PyHNSW:
         cand: list[list] = [[] for _ in range(B)]
         res: list[list] = [[] for _ in range(B)]
         pos = 0
+        # per-query cached admission state: `full[i]` <-> len(res[i]) >= ef,
+        # `bnd[i]` == -res[i][0][0] whenever full[i] (maintained on every
+        # res mutation) — the hot loops then compare one native float
+        # instead of re-deriving len() + tuple-indexing per candidate;
+        # contents of both heaps are unchanged at every step, so the pop
+        # sequence (distinct tuples) and results stay bit-identical
+        full = [False] * B
+        bnd = [0.0] * B
         for i, eps in enumerate(eps_list):
             for u in eps:
                 d = D[pos]
@@ -200,8 +225,12 @@ class PyHNSW:
                 res[i].append((-d, u))
             heapq.heapify(cand[i])
             heapq.heapify(res[i])
+            if res[i]:
+                full[i] = len(res[i]) >= ef
+                bnd[i] = -res[i][0][0]
         active = list(range(B))
         heappop, heappush = heapq.heappop, heapq.heappush
+        heappushpop = heapq.heappushpop
         neighbors_arr = self._neighbors_arr
         while active:
             round_qi: list[int] = []
@@ -211,9 +240,10 @@ class PyHNSW:
                 fresh = None
                 ci, ri = cand[i], res[i]
                 vi = vis[i]
+                fl, b = full[i], bnd[i]
                 while ci:
                     dc, c = heappop(ci)
-                    if dc > -ri[0][0] and len(ri) >= ef:
+                    if fl and dc > b:
                         ci.clear()  # same termination as _search_layer
                         break
                     nb = neighbors_arr(c, level)
@@ -239,14 +269,21 @@ class PyHNSW:
             pos = 0
             for i, f in zip(round_qi, round_fresh):
                 ci, ri = cand[i], res[i]
+                fl, b = full[i], bnd[i]
                 for u in f.tolist():
                     du = D[pos]
                     pos += 1
-                    if len(ri) < ef or du < -ri[0][0]:
+                    if not fl:
                         heappush(ci, (du, u))
                         heappush(ri, (-du, u))
-                        if len(ri) > ef:
-                            heappop(ri)
+                        if len(ri) >= ef:
+                            fl = True
+                            b = -ri[0][0]
+                    elif du < b:
+                        heappush(ci, (du, u))
+                        heappushpop(ri, (-du, u))
+                        b = -ri[0][0]
+                full[i], bnd[i] = fl, b
             active = still
         if banned:
             # only initial eps can be banned-in-res (see docstring): drop
