@@ -881,6 +881,31 @@ def test_hnsw_stored_search_broadcast_query_batch(spark, tmp_path_factory):
     assert via_closure.collect() == via_broadcast.collect()
 
 
+def test_hnsw_stored_search_split_invariant(spark, tmp_path_factory):
+    """r13: the scatter's query_splits (defaulted from session parallelism)
+    must never change results — each query meets every shard exactly once
+    regardless of how the batch is subdivided (strided slices partition it)
+    and the K3 merge is per-query. Pin splits=1 == splits=3 (odd stride,
+    non-divisible batch) == the derived default."""
+    from webscale_vector_search_spark.operators.hnsw_partition import hnsw_stored_search
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+
+    corpus = load_table(spark, "embeddings", SF_SMOKE)
+    out = str(tmp_path_factory.mktemp("hnsw_split_idx"))
+    handle = build_index(spark, corpus, out, EngineConfig(index_type="HNSW", num_shards=2))
+    queries = queries_from_embeddings(spark, SF_SMOKE, 20)
+    one = hnsw_stored_search(
+        handle.vectors_dir, 2, queries, k=5, query_splits=1
+    ).orderBy("query_id", "rank").collect()
+    three = hnsw_stored_search(
+        handle.vectors_dir, 2, queries, k=5, query_splits=3
+    ).orderBy("query_id", "rank").collect()
+    derived = hnsw_stored_search(
+        handle.vectors_dir, 2, queries, k=5  # default: parallelism-derived
+    ).orderBy("query_id", "rank").collect()
+    assert one == three == derived
+
+
 def _skewed_corpus(spark, n=3000, dim=16, seed=7):
     """~2/3 of the points in ONE tight blob (a power-law hot list), the rest
     spread over 7 separated blobs — the shape that makes one inverted list

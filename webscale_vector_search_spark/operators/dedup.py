@@ -236,8 +236,13 @@ def band_signatures(
 ) -> DataFrame:
     """Per-band LSH signatures: (doc_id, band, band_sig); kernel selects the
     Arrow numpy path (default) or the pure-Catalyst expression form."""
+    from webscale_vector_search_spark.operators.knn import spread_if_narrow
+
+    # the per-shingle md5 + minhash fold is map-side CPU ahead of any
+    # exchange; spread an unsplittable narrow input (guide §2.5). Output
+    # is per-row discrete strings — partitioning-independent by nature.
     fn = band_signatures_pandas if kernel == "pandas" else band_signatures_sql
-    return fn(docs, id_col, text_col, n_hashes)
+    return fn(spread_if_narrow(docs), id_col, text_col, n_hashes)
 
 
 def neardup_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -630,6 +635,14 @@ def dup_span_stats(
     Returns (doc_id, n_grams, dup_grams, dup_fraction): window count,
     windows whose gram appears in >= 2 distinct docs, and their ratio.
     """
+    from webscale_vector_search_spark.operators.knn import spread_if_narrow
+
+    # the tokenize + per-position md5 explode is the expensive stage and it
+    # runs BEFORE the first exchange — an unsplittable input (one parquet
+    # row group) would pin it to one task (guide §2.5 input skew). All
+    # downstream aggregation is exact BIGINT, so the spread cannot change
+    # results (measured identical; ~2.7x at sf0.1 on a 32-core session).
+    docs = spread_if_narrow(docs)
     toks = F.split(F.lower(F.col(text_col)), " ")
     idx = F.sequence(F.lit(0), F.size(toks) - w)  # empty when size < w
     grams = docs.filter(F.size(toks) >= w).select(

@@ -961,7 +961,7 @@ def hnsw_stored_search(
     queries: DataFrame,
     k: int = 10,
     ef_search: int = 64,
-    query_splits: int = 1,
+    query_splits: int | None = None,
     broadcast_threshold_bytes: int = 4 << 20,
 ) -> DataFrame:
     """K9 serving over a PERSISTED graph: one task per shard loads the stored
@@ -1003,11 +1003,26 @@ def hnsw_stored_search(
     Q = np.stack([r["qvec"] for r in q_rows]).astype(np.float64)
     # query_splits > 1 subdivides each shard's batch across tasks (smaller
     # straggler quantum; the mmap'd bundle means extra tasks share pages,
-    # not IO). Default 1: on a runtime that forks a fresh python worker
-    # per task (this local mode — measured), every extra task re-pays the
-    # ~1 s interpreter/import tax, which outweighs the straggler win; on
-    # long-lived executors with reused workers, raise it to ~2x cores /
-    # num_shards.
+    # not IO). Default (None): derive from the session so the scatter
+    # fills the cluster — num_shards tasks use only num_shards slots, and
+    # when the scheduler has more (local[32] over 16 shards; any executor
+    # fleet wider than the shard count) the idle slots are free wall-clock.
+    # Python workers ARE reused across tasks here (measured: 64 tasks land
+    # on exactly 32 worker pids, reused verbatim across jobs, numpy import
+    # 0 ms in the forked child — the earlier fork-tax note was wrong), so
+    # an extra task costs only the ~0.03 s bundle load on a cache miss.
+    # Derivation, not a constant: splits = 2*parallelism // num_shards —
+    # two task waves per slot so uneven beam work evens out (the straggler
+    # quantum), which measured faster than exact-width splitting even on a
+    # fully-loaded box (paired A/B on the 1M tier artifact: splits 4 =
+    # 6.8 s vs splits 1 = 8.4 s at ef 256). The driver's lower-core-count
+    # runs derive 1 split (8 cores / 16 shards — 16 tasks over 8 slots is
+    # already two waves); wider clusters scale up. Results are independent
+    # of the split count: each query meets every shard exactly once
+    # (strided slices partition the batch) and the K3 merge is per-query.
+    if query_splits is None:
+        par = spark.sparkContext.defaultParallelism
+        query_splits = max(1, (2 * par) // max(1, num_shards))
     n_splits = max(1, min(query_splits, len(q_ids)))
     q_bc = None
     if q_ids.nbytes + Q.nbytes > broadcast_threshold_bytes:

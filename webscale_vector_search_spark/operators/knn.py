@@ -33,6 +33,38 @@ from webscale_vector_search_spark.functions.distance import cosine_distance, dot
 _METRICS = {"sq_l2": sq_l2, "cosine": cosine_distance, "dot": dot_product}
 
 
+def spread_if_narrow(df: DataFrame, min_ratio: int = 2) -> DataFrame:
+    """Round-robin repartition a compute-heavy input ONLY when its natural
+    scan parallelism is materially below the cluster's.
+
+    The exact kNN map stage does O(|corpus| x |queries| x dim) work per
+    row, so its wall-clock is bounded by the SCAN's task count — and a
+    corpus that arrives as one small unsplittable file (a single parquet
+    row group; gzip text) pins the whole stage to one core regardless of
+    cluster width (guide §2.5 "input skew": repartition immediately after
+    the read). The guard keeps this a no-op at scale: a corpus already
+    wider than the cluster keeps its layout and nothing is shuffled — the
+    repartition only fires when the input is narrower than the cluster by
+    `min_ratio`, where the one-pass shuffle of a tiny input buys cluster-
+    width parallelism for the quadratic distance work. Derived from the
+    session (defaultParallelism), never a local-mode constant.
+
+    Results are partitioning-independent everywhere this is used: the
+    distance is a per-row expression and every downstream top-k orders by
+    a TOTAL key (distance, vec_id), so callers' outputs are bit-identical
+    (pinned by tests/test_knn_spread.py).
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # exotic plans where the RDD view is unavailable
+        return df
+    if n * min_ratio <= par:
+        return df.repartition(par)
+    return df
+
+
 def with_distance(
     df: DataFrame,
     left: str = "qvec",
@@ -98,8 +130,8 @@ def knn(
     ride along to every task. At 100 TB this is the only join shape that
     works — never the reverse.
     """
-    pairs = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    pairs = spread_if_narrow(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     ).crossJoin(F.broadcast(queries.select("query_id", "qvec")))
     scored = with_distance(pairs, metric=metric)
     ranked = topk(scored, k)
@@ -142,7 +174,9 @@ def knn_sharded(
             F.col(shard_col).alias("shard_id"),
         )
 
-    pairs = base.crossJoin(F.broadcast(queries.select("query_id", "qvec")))
+    pairs = spread_if_narrow(base).crossJoin(
+        F.broadcast(queries.select("query_id", "qvec"))
+    )
     scored = with_distance(pairs, metric=metric)
     # K2: partial top-k inside each shard (what each search node returns)
     partial = topk(
@@ -186,7 +220,7 @@ def similarity_join(
     """
     l = left.select(F.col(left_id).alias("left_id"), F.col(vec_col).alias("qvec"))
     r = right.select(F.col(right_id).alias("right_id"), F.col(vec_col).alias("embedding"))
-    pairs = r.crossJoin(F.broadcast(l))
+    pairs = spread_if_narrow(r).crossJoin(F.broadcast(l))
     scored = with_distance(pairs, metric=metric)
     return scored.filter(F.col("distance") < threshold).select("left_id", "right_id", "distance")
 
@@ -337,7 +371,9 @@ def knn_pandas(
             np.maximum(dist, 0.0, out=dist)  # clamp -0.0-ish fp residue
             yield topk_record_batch([batch_topk_rows(dist, ids, q_ids, k)])
 
-    partial = corpus.select(id_col, vec_col).mapInArrow(scan, out_schema)
+    partial = spread_if_narrow(corpus.select(id_col, vec_col)).mapInArrow(
+        scan, out_schema
+    )
     ranked = topk(partial, k)
     return ranked.select(
         "query_id",

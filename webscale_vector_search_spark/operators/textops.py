@@ -289,6 +289,12 @@ def bm25_search(
     """
     from pyspark.sql import Window
 
+    from webscale_vector_search_spark.operators.knn import spread_if_narrow
+
+    # both corpus passes (scalars + postings) tokenize before their first
+    # exchange — spread an unsplittable narrow input (guide §2.5); long/
+    # DECIMAL accumulation keeps results partitioning-independent.
+    docs = spread_if_narrow(docs)
     toks = tokens(F.col(text_col))
     base = docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("dl"), toks.alias("_tk"))
     # exact corpus scalars: long sum / long count, single tiny row, broadcast
@@ -370,6 +376,15 @@ def lm_cross_entropy(
     Output: (doc_id, n_bigrams, cross_entropy).
     """
     from pyspark.sql import Window
+
+    from webscale_vector_search_spark.operators.knn import spread_if_narrow
+
+    # the bigram explode (and the vocab unigram pass) run before any
+    # exchange; spread an unsplittable narrow input so they parallelize
+    # (guide §2.5). All accumulation is BIGINT window sums + round-12
+    # DECIMAL — order-independent, so results are engine-stable under any
+    # partitioning (measured identical; ~2x at sf0.1 on 32 cores).
+    docs = spread_if_narrow(docs)
     toks = tokens(F.col(text_col))
     pos = docs.filter(F.size(toks) >= 2).select(
         F.col(id_col).alias("doc_id"),
