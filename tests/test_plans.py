@@ -192,3 +192,40 @@ def test_tfidf_lazy_single_tokenize(spark):
     df = QUERIES["q_tfidf"](spark, SF_SMOKE)
     plan = plan_of(df)
     assert "array_distinct" not in plan, "df must derive from tf, not re-tokenize"
+
+
+def test_spread_fires_only_where_measured_to_win(spark):
+    """r13 session-3 refinement (guide §1 applied to the spread itself):
+    the input-skew round-robin Exchange must appear in the SQL-fold kNN
+    plans (wash-to-win + core-scaling) and in the full-corpus heavy text
+    pipelines, and must NOT appear where the quiet-box A/B measured it as a
+    regression — the capped declared dedup queries (100-200 input rows),
+    bm25 (aggregates immediately), and the Arrow-kernel exact kNN (one
+    numpy GEMM per task beats 32 exchanges)."""
+    spreads = ("q_knn_exact", "q_dup_spans", "q_lm_score")
+    no_spreads = ("q_neardup_bands", "q_ngram_jaccard", "q_dedup_clusters", "q_bm25")
+    for name in spreads:
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        assert "RoundRobinPartitioning" in plan, f"{name} must spread its narrow scan"
+    # knn_sharded spreads BY shard_id so the K2 window's Exchange is elided:
+    # the spread shuffle must be the ONLY exchange below the K3 merge
+    plan = plan_of(QUERIES["q_knn_partial_final"](spark, SF_SMOKE))
+    assert "hashpartitioning(shard_id" in plan, "sharded kNN must spread by shard_id"
+    assert "RoundRobinPartitioning" not in plan
+    assert plan.count("Exchange") <= 4, (  # spread + merge (plan text ~doubles nodes)
+        f"by-shard spread must elide the partial top-k exchange:\n{plan}"
+    )
+    for name in no_spreads:
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        assert "RoundRobinPartitioning" not in plan, (
+            f"{name} is capped/aggregate-immediate: the spread is measured overhead"
+        )
+    from webscale_vector_search_spark.operators.knn import knn_pandas
+    from webscale_vector_search_spark.sources.fixtures import queries_from_embeddings
+
+    corpus = load_table(spark, "embeddings", SF_SMOKE)
+    qs = queries_from_embeddings(spark, SF_SMOKE, 4)
+    plan = plan_of(knn_pandas(corpus, qs, k=3))
+    assert "RoundRobinPartitioning" not in plan, (
+        "the Arrow kernel must not spread: vectorized map work, measured slower spread"
+    )

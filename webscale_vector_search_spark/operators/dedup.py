@@ -233,26 +233,36 @@ def band_signatures(
     text_col: str = "text",
     n_hashes: int = N_HASHES,
     kernel: str = "pandas",
+    spread: bool = True,
 ) -> DataFrame:
     """Per-band LSH signatures: (doc_id, band, band_sig); kernel selects the
-    Arrow numpy path (default) or the pure-Catalyst expression form."""
+    Arrow numpy path (default) or the pure-Catalyst expression form.
+
+    ``spread=False`` skips the input-skew repartition: a caller that KNOWS
+    the input is a few hundred rows (an oracle-parity query with a pushed
+    id cap) pays only exchange overhead for it — measured at sf0.1, the
+    full-corpus pass wins 1.8x from the spread while the 100-doc capped
+    pass loses 0.16 s to it (guide §1: measure first).
+    """
     from webscale_vector_search_spark.operators.knn import spread_if_narrow
 
     # the per-shingle md5 + minhash fold is map-side CPU ahead of any
     # exchange; spread an unsplittable narrow input (guide §2.5). Output
     # is per-row discrete strings — partitioning-independent by nature.
     fn = band_signatures_pandas if kernel == "pandas" else band_signatures_sql
-    return fn(spread_if_narrow(docs), id_col, text_col, n_hashes)
+    return fn(spread_if_narrow(docs) if spread else docs, id_col, text_col, n_hashes)
 
 
-def neardup_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def neardup_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", spread: bool = True
+) -> DataFrame:
     """X2 — candidate near-dup pairs: docs sharing any band bucket.
 
     The self-join happens per bucket (groupBy band_sig), never all-pairs:
     at 100 TB the band signature is the shuffle key and bucket sizes stay
     small for non-pathological corpora (salt oversized buckets if needed).
     """
-    bands = band_signatures(docs, id_col, text_col)
+    bands = band_signatures(docs, id_col, text_col, spread=spread)
     left = bands.alias("a")
     right = bands.alias("b")
     pairs = (
@@ -493,6 +503,7 @@ def dedup_clusters(
     pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    spread: bool = True,
 ) -> DataFrame:
     """Near-dup CLUSTER ASSIGNMENT: connected components over candidate
     pairs, cluster_id = min doc_id in the component (singletons cluster to
@@ -512,7 +523,7 @@ def dedup_clusters(
     Returns (doc_id, cluster_id) for EVERY input doc, deterministic.
     """
     if pairs is None:
-        pairs = neardup_candidate_pairs(docs, id_col=id_col)
+        pairs = neardup_candidate_pairs(docs, id_col=id_col, spread=spread)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).cache()

@@ -33,7 +33,7 @@ from webscale_vector_search_spark.functions.distance import cosine_distance, dot
 _METRICS = {"sq_l2": sq_l2, "cosine": cosine_distance, "dot": dot_product}
 
 
-def spread_if_narrow(df: DataFrame, min_ratio: int = 2) -> DataFrame:
+def spread_if_narrow(df: DataFrame, min_ratio: int = 2, by: list | None = None) -> DataFrame:
     """Round-robin repartition a compute-heavy input ONLY when its natural
     scan parallelism is materially below the cluster's.
 
@@ -53,6 +53,16 @@ def spread_if_narrow(df: DataFrame, min_ratio: int = 2) -> DataFrame:
     distance is a per-row expression and every downstream top-k orders by
     a TOTAL key (distance, vec_id), so callers' outputs are bit-identical
     (pinned by tests/test_knn_spread.py).
+
+    ``by``: optional hash-partition columns instead of round-robin. When
+    the columns are a subset of a downstream window's partition keys, the
+    window's own Exchange is elided (HashPartitioning satisfies its
+    ClusteredDistribution), so the spread REPLACES a shuffle instead of
+    adding one — and the map-side partial top-k emits exactly k rows per
+    group instead of k per group per partition. Measured on
+    q_knn_partial_final at sf0.1 (same box, alternating): by-shard 0.92 s
+    vs round-robin 1.31 s vs unspread 1.10 s; parallelism is then bounded
+    by the key cardinality, which is why it is opt-in per call site.
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -61,7 +71,7 @@ def spread_if_narrow(df: DataFrame, min_ratio: int = 2) -> DataFrame:
     except Exception:  # exotic plans where the RDD view is unavailable
         return df
     if n * min_ratio <= par:
-        return df.repartition(par)
+        return df.repartition(par, *by) if by else df.repartition(par)
     return df
 
 
@@ -174,7 +184,13 @@ def knn_sharded(
             F.col(shard_col).alias("shard_id"),
         )
 
-    pairs = spread_if_narrow(base).crossJoin(
+    # spread BY shard_id: hashpartitioning(shard_id) satisfies the K2
+    # window's ClusteredDistribution(query_id, shard_id), so the partial
+    # top-k Exchange is elided (2 exchanges total, not 3) and the partial
+    # emits exactly k rows per (query, shard) — no per-partition inflation
+    # through the K3 merge. Measured faster than both round-robin and
+    # unspread (see spread_if_narrow docstring).
+    pairs = spread_if_narrow(base, by=[F.col("shard_id")]).crossJoin(
         F.broadcast(queries.select("query_id", "qvec"))
     )
     scored = with_distance(pairs, metric=metric)
@@ -220,7 +236,11 @@ def similarity_join(
     """
     l = left.select(F.col(left_id).alias("left_id"), F.col(vec_col).alias("qvec"))
     r = right.select(F.col(right_id).alias("right_id"), F.col(vec_col).alias("embedding"))
-    pairs = spread_if_narrow(r).crossJoin(F.broadcast(l))
+    # no spread here: the exact all-pairs form is oracle-parity only and its
+    # callers cap the input to a few hundred rows (the scale path is the IVF
+    # centroid equi-join / LSH banding) — measured, the added exchange only
+    # costs on those shapes (guide §1: measure first)
+    pairs = r.crossJoin(F.broadcast(l))
     scored = with_distance(pairs, metric=metric)
     return scored.filter(F.col("distance") < threshold).select("left_id", "right_id", "distance")
 
@@ -371,9 +391,14 @@ def knn_pandas(
             np.maximum(dist, 0.0, out=dist)  # clamp -0.0-ish fp residue
             yield topk_record_batch([batch_topk_rows(dist, ids, q_ids, k)])
 
-    partial = spread_if_narrow(corpus.select(id_col, vec_col)).mapInArrow(
-        scan, out_schema
-    )
+    # no spread here (measured, guide §1): the kernel is one numpy GEMM per
+    # Arrow batch — already vectorized native code, so a single task chews
+    # the whole narrow input faster than 32 tasks pay the exchange + per-task
+    # Arrow/python round-trips (sf0.1 A/B: 0.53 s unspread vs 0.89 s spread
+    # for the exact-kNN shape, 0.66 vs 0.83 for the all-pairs batch shape).
+    # The SQL fold form (knn/knn_sharded) keeps the spread: its per-row
+    # interpreted fold is what the extra width actually buys down.
+    partial = corpus.select(id_col, vec_col).mapInArrow(scan, out_schema)
     ranked = topk(partial, k)
     return ranked.select(
         "query_id",

@@ -289,12 +289,10 @@ def bm25_search(
     """
     from pyspark.sql import Window
 
-    from webscale_vector_search_spark.operators.knn import spread_if_narrow
-
-    # both corpus passes (scalars + postings) tokenize before their first
-    # exchange — spread an unsplittable narrow input (guide §2.5); long/
-    # DECIMAL accumulation keeps results partitioning-independent.
-    docs = spread_if_narrow(docs)
+    # no spread here (measured, guide §1): both corpus passes aggregate
+    # immediately after the tokenize (codegen'd, cheap per row) and the
+    # postings pass is term-filtered small, so the two added exchanges cost
+    # more than the width buys (sf0.1 A/B: 1.08 s unspread vs 1.60 s spread).
     toks = tokens(F.col(text_col))
     base = docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("dl"), toks.alias("_tk"))
     # exact corpus scalars: long sum / long count, single tiny row, broadcast

@@ -464,7 +464,10 @@ ORDER BY doc_id, band
 @declare("q_neardup_bands", _NEARDUP_ORACLE)
 def q_neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _NEARDUP_DOCS)
-    return dedup_ops.band_signatures(docs)
+    # spread=False: input capped at 100 docs — the repartition is pure
+    # overhead at that size (measured; the full-corpus bench variant
+    # q_neardup_full keeps the spread and its 1.8x win)
+    return dedup_ops.band_signatures(docs, spread=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1430,7 +1433,8 @@ ORDER BY doc_a, doc_b
 @declare("q_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _NGRAM_JACCARD_DOCS)
-    pairs = dedup_ops.neardup_candidate_pairs(docs)
+    # spread=False: 200-doc capped input (see q_neardup_bands)
+    pairs = dedup_ops.neardup_candidate_pairs(docs, spread=False)
     return dedup_ops.ngram_jaccard(docs, docs, pairs)
 
 
@@ -1496,7 +1500,8 @@ FROM reach GROUP BY node ORDER BY doc_id
 @declare("q_dedup_clusters", _DEDUP_CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < _NEARDUP_DOCS)
-    return dedup_ops.dedup_clusters(docs)
+    # spread=False: 100-doc capped input (see q_neardup_bands)
+    return dedup_ops.dedup_clusters(docs, spread=False)
 
 
 # ---------------------------------------------------------------------------
